@@ -1,0 +1,240 @@
+package graft.icelite
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** icelite — a minimal, self-contained table format implementing Iceberg's
+  * *semantics* on a plain filesystem (no Iceberg jar exists in this sandbox;
+  * see SURVEY.md §7.1):
+  *
+  *   - immutable parquet data files, listed by a per-snapshot manifest
+  *     (bucket -> file list); files never mutated, only added;
+  *   - atomic snapshot commits via write-temp + ATOMIC_MOVE rename of a single
+  *     pointer file (`metadata/version-hint.text`) — readers always see a
+  *     complete snapshot or the previous one;
+  *   - schema evolution: every snapshot pins a schema id; schemas are
+  *     append-only (`metadata/schema-N.json`); ADD COLUMN and widening
+  *     (int->long, float->double) are legal evolutions;
+  *   - idempotent commits keyed by batch epoch: re-committing an epoch that is
+  *     already in the snapshot chain is a no-op (the analog of the reference's
+  *     `INSERT ... ON CONFLICT DO UPDATE` re-run safety,
+  *     /root/reference/etl/fact_changed.py:821-843, README.md:253-258);
+  *   - per-partition lineage carried on each snapshot:
+  *     (bucket, lsnMin, lsnMax, rows) — source offset range -> snapshot id.
+  *
+  * Layout:
+  * {{{
+  *   <root>/
+  *     metadata/version-hint.text      # current snapshot id (atomic pointer)
+  *     metadata/table.json             # static: key cols, bucket count
+  *     metadata/schema-<sid>.json      # Spark StructType json, append-only
+  *     metadata/snap-<id>.json         # snapshot manifest (see Snapshot)
+  *     data/b=<bucket>/snap-<id>/part-*.parquet
+  * }}}
+  *
+  * Scale notes: commit work is O(affected buckets), never O(rows). At 100 TB
+  * the manifest JSON for 2^16 buckets is a few MB — acceptable for a pointer
+  * commit; unaffected buckets inherit the parent's file list by reference.
+  * Orphan data files (crash between data write and pointer rename) are
+  * harmless: only manifest-listed files are ever read; a GC can sweep them.
+  */
+object Icelite {
+  implicit val fmts: Formats = DefaultFormats
+
+  /** Per-bucket lineage record: source offset (LSN) range applied to this
+    * bucket by the commit that produced this snapshot. */
+  case class BucketLineage(bucket: Int, lsnMin: Long, lsnMax: Long, events: Long, rows: Long)
+
+  case class Snapshot(
+      snapshotId: Long,
+      parentId: Long, // -1 for first
+      batchEpoch: Long, // idempotency key; -1 for non-batch commits
+      schemaId: Int,
+      // bucket -> data file paths relative to table root
+      bucketFiles: Map[String, List[String]],
+      // bucket -> schema id its files were written with (for widening reads)
+      bucketSchemaIds: Map[String, Int],
+      lineage: List[BucketLineage],
+      totalRows: Long,
+      commitMillis: Long)
+
+  case class TableMeta(keyCols: List[String], buckets: Int)
+
+  private[icelite] def write(p: Path, s: String): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp" + System.nanoTime())
+    Files.writeString(tmp, s, StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+class IceliteTable private (val root: Path) {
+  import Icelite._
+
+  private val metaDir = root.resolve("metadata")
+  private val pointer = metaDir.resolve("version-hint.text")
+
+  def meta: TableMeta =
+    Serialization.read[TableMeta](Files.readString(metaDir.resolve("table.json")))
+
+  /** Current snapshot id, or -1 if the table is empty (no commit yet). */
+  def currentSnapshotId: Long =
+    if (Files.exists(pointer)) Files.readString(pointer).trim.toLong else -1L
+
+  def snapshot(id: Long): Snapshot =
+    Serialization.read[Snapshot](Files.readString(metaDir.resolve(s"snap-$id.json")))
+
+  def currentSnapshot: Option[Snapshot] = {
+    val id = currentSnapshotId
+    if (id < 0) None else Some(snapshot(id))
+  }
+
+  def schema(sid: Int): StructType =
+    DataType.fromJson(Files.readString(metaDir.resolve(s"schema-$sid.json"))).asInstanceOf[StructType]
+
+  def currentSchema: Option[StructType] = currentSnapshot.map(s => schema(s.schemaId))
+
+  /** All epochs in the current snapshot chain (root -> current). O(snapshots),
+    * driver-side; fine for the pointer-walk commit protocol. */
+  def committedEpochs: Set[Long] = {
+    var id = currentSnapshotId
+    val b = Set.newBuilder[Long]
+    while (id >= 0) { val s = snapshot(id); if (s.batchEpoch >= 0) b += s.batchEpoch; id = s.parentId }
+    b.result()
+  }
+
+  /** Highest committed epoch, or -1. Used for checkpoint resume. */
+  def lastEpoch: Long = {
+    val e = committedEpochs
+    if (e.isEmpty) -1L else e.max
+  }
+
+  def snapshotChain: List[Snapshot] = {
+    var id = currentSnapshotId
+    var out = List.empty[Snapshot]
+    while (id >= 0) { val s = snapshot(id); out = s :: out; id = s.parentId }
+    out
+  }
+
+  /** Absolute data file paths of the current snapshot, optionally restricted
+    * to a set of buckets (manifest-level partition pruning: the file list is
+    * computed from metadata BEFORE any Spark plan is built). */
+  def currentFiles(buckets: Option[Set[Int]] = None): Seq[String] =
+    currentSnapshot.toSeq.flatMap { s =>
+      s.bucketFiles.iterator.collect {
+        case (b, files) if buckets.forall(_.contains(b.toInt)) => files
+      }.flatten.map(rel => root.resolve(rel).toString)
+    }
+
+  /** (files, schemaId) groups for the current snapshot restricted to buckets —
+    * readers group by writer schema so widened columns can be up-cast. */
+  def currentFileGroups(buckets: Option[Set[Int]] = None): Map[Int, Seq[String]] =
+    currentSnapshot.map { s =>
+      s.bucketFiles.iterator
+        .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
+        .toSeq
+        .groupBy { case (b, _) => s.bucketSchemaIds.getOrElse(b, s.schemaId) }
+        .map { case (sid, entries) =>
+          sid -> entries.flatMap(_._2).map(rel => root.resolve(rel).toString)
+        }
+    }.getOrElse(Map.empty)
+
+  private def nextSchemaId: Int = {
+    var i = 0
+    while (Files.exists(metaDir.resolve(s"schema-$i.json"))) i += 1
+    i
+  }
+
+  /** Register a (possibly evolved) schema; returns its id. Reuses the current
+    * id if the schema is unchanged. Append-only, like Iceberg's schema list. */
+  def ensureSchema(s: StructType): Int = {
+    currentSnapshot match {
+      case Some(snap) if schema(snap.schemaId).json == s.json => snap.schemaId
+      case _ =>
+        // reuse any previously registered identical schema
+        var i = 0
+        while (Files.exists(metaDir.resolve(s"schema-$i.json"))) {
+          if (schema(i).json == s.json) return i
+          i += 1
+        }
+        write(metaDir.resolve(s"schema-$i.json"), s.json)
+        i
+    }
+  }
+
+  /** Atomically commit a new snapshot replacing `newBucketFiles`' buckets and
+    * inheriting every other bucket from the parent. Returns the committed
+    * snapshot (or the existing one if `batchEpoch` was already applied —
+    * idempotent re-delivery is a no-op).
+    *
+    * Single-writer optimistic protocol: we re-read the pointer immediately
+    * before the rename and fail on concurrent movement. The sandbox is
+    * single-writer; a multi-writer deployment would swap this for a
+    * compare-and-swap on an object store / catalog service, which is exactly
+    * the Iceberg catalog contract.
+    */
+  def commit(
+      batchEpoch: Long,
+      schemaId: Int,
+      newBucketFiles: Map[Int, List[String]],
+      lineage: List[BucketLineage],
+      rowDelta: Long): Snapshot = synchronized {
+    val parent = currentSnapshot
+    if (batchEpoch >= 0 && committedEpochs.contains(batchEpoch)) {
+      // already applied — exactly-once via idempotent no-op
+      return snapshotChain.find(_.batchEpoch == batchEpoch).get
+    }
+    val parentId = parent.map(_.snapshotId).getOrElse(-1L)
+    val id = parentId + 1
+    val inheritedFiles = parent.map(_.bucketFiles).getOrElse(Map.empty)
+    val inheritedSids = parent.map(_.bucketSchemaIds).getOrElse(Map.empty)
+    val bf = inheritedFiles ++ newBucketFiles.map { case (k, v) => k.toString -> v }
+    val sids = inheritedSids ++ newBucketFiles.keys.map(k => k.toString -> schemaId)
+    val snap = Snapshot(
+      snapshotId = id, parentId = parentId, batchEpoch = batchEpoch,
+      schemaId = schemaId, bucketFiles = bf, bucketSchemaIds = sids,
+      lineage = lineage, totalRows = parent.map(_.totalRows).getOrElse(0L) + rowDelta,
+      commitMillis = System.currentTimeMillis())
+    write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
+    if (currentSnapshotId != parentId)
+      throw new IllegalStateException(
+        s"concurrent commit detected: expected parent $parentId, found $currentSnapshotId")
+    write(pointer, id.toString)
+    snap
+  }
+
+  /** Directory that a new commit should write bucket data files into. */
+  def newDataDir(snapshotId: Long): Path = root.resolve("data").resolve(s"snap-$snapshotId")
+
+  def relativize(abs: Path): String = root.relativize(abs).toString
+}
+
+object IceliteTable {
+  import Icelite._
+
+  def create(root: String, keyCols: Seq[String], buckets: Int): IceliteTable = {
+    val r = Paths.get(root)
+    val metaDir = r.resolve("metadata")
+    Files.createDirectories(metaDir)
+    Icelite.write(metaDir.resolve("table.json"),
+      Serialization.write(TableMeta(keyCols.toList, buckets)))
+    new IceliteTable(r)
+  }
+
+  def load(root: String): IceliteTable = {
+    val r = Paths.get(root)
+    require(Files.exists(r.resolve("metadata").resolve("table.json")),
+      s"not an icelite table: $root")
+    new IceliteTable(r)
+  }
+
+  def exists(root: String): Boolean =
+    Files.exists(Paths.get(root).resolve("metadata").resolve("table.json"))
+
+  def createOrLoad(root: String, keyCols: Seq[String], buckets: Int): IceliteTable =
+    if (exists(root)) load(root) else create(root, keyCols, buckets)
+}

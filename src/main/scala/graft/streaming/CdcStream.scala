@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.engine.CdcEngine
+import graft.model.ChangeEvent
+
+/** Structured Streaming front-end: tail a directory of change-event files
+  * (the sandbox's stand-in for a binlog/WAL/Kafka topic) and apply each
+  * micro-batch through the engine's MERGE.
+  *
+  * Exactly-once composition: Spark's streaming checkpoint gives
+  * monotonically increasing, replay-stable `batchId`s; `applyBatch` commits
+  * are idempotent per epoch — so a batch re-delivered after a crash between
+  * sink-commit and offset-commit is a no-op. This is the standard
+  * foreachBatch + idempotent-sink exactly-once recipe.
+  *
+  * The reference's analog is its snapshot-folder replay loop
+  * (/root/reference/etl/fact_changed.py:851-875); here the "folder" is a
+  * file-source offset range and the state lives in the icelite table, so no
+  * streaming state store or watermark is needed (SURVEY.md §2.9).
+  */
+object CdcStream {
+
+  /** Run until no more input files (Trigger.AvailableNow), then return. */
+  def runAvailableNow(
+      spark: SparkSession,
+      engine: CdcEngine,
+      inputDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 0): Unit = {
+    var reader = spark.readStream.schema(ChangeEvent.schema)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val stream = reader.parquet(inputDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        engine.applyBatch(batchId, df): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

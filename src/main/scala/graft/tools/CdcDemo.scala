@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.{CdcEngine, EngineConf}
+import graft.icelite.IceliteTable
+import graft.streaming.CdcStream
+import graft.synth.Synth
+
+/** End-to-end demo/smoke driver for the CDC engine: generates a change
+  * stream as parquet files, tails it with Structured Streaming into an
+  * icelite table, prints the resulting state, then delivers MORE files —
+  * including a full re-delivery of old ones — and resumes from checkpoint,
+  * demonstrating exactly-once + incremental merge.
+  *
+  * Run: sbt "runMain graft.tools.CdcDemo [workDir]"
+  */
+object CdcDemo {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("cdcdemo").toString)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("cdc-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val input = s"$work/stream"
+    val ckpt = s"$work/ckpt"
+    val tableDir = s"$work/table"
+    val table = IceliteTable.createOrLoad(tableDir, Seq("repo", "path"), buckets = 16)
+    val engine = new CdcEngine(spark, table, EngineConf(buckets = 16))
+
+    println(s"== work dir: $work")
+    // wave 1: 20k events as two files
+    val ev = Synth.events(spark, 20000, seed = 7, repos = 50, hotPct = 40)
+    ev.filter("commit_lsn < 10000").coalesce(1).write.mode("append").parquet(input)
+    ev.filter("commit_lsn >= 10000").coalesce(1).write.mode("append").parquet(input)
+    CdcStream.runAvailableNow(spark, engine, input, ckpt, maxFilesPerTrigger = 1)
+    val s1 = engine.currentState()
+    println(s"== after wave 1: snapshot=${table.currentSnapshotId} rows=${s1.count()}")
+    s1.orderBy("repo", "path").show(5, truncate = false)
+
+    // wave 2: 5k more events (later LSNs) + resume
+    Synth.events(spark, 25000, seed = 7, repos = 50, hotPct = 40)
+      .filter("commit_lsn >= 20000").coalesce(1).write.mode("append").parquet(input)
+    CdcStream.runAvailableNow(spark, engine, input, ckpt)
+    val s2 = engine.currentState()
+    println(s"== after wave 2: snapshot=${table.currentSnapshotId} rows=${s2.count()}")
+
+    // re-run with NO new input: must be a no-op (no new snapshot)
+    val before = table.currentSnapshotId
+    CdcStream.runAvailableNow(spark, engine, input, ckpt)
+    println(s"== idempotent re-run: snapshot ${before} -> ${table.currentSnapshotId}" +
+      (if (before == table.currentSnapshotId) " (no-op, exactly-once holds)" else " (BUG!)"))
+
+    println("== snapshot chain (epoch, schemaId, buckets touched, lineage rows):")
+    table.snapshotChain.foreach { s =>
+      println(f"   snap ${s.snapshotId}%3d epoch=${s.batchEpoch}%3d schema=${s.schemaId} " +
+        f"lineage=${s.lineage.size} events=${s.lineage.map(_.events).sum}")
+    }
+    println("== metrics.jsonl:")
+    val m = table.root.resolve("metrics.jsonl")
+    if (java.nio.file.Files.exists(m)) print(java.nio.file.Files.readString(m))
+    spark.stop()
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{CdcEngine, EngineConf, MicroBatchRunner}
+import graft.icelite.IceliteTable
+import graft.synth.Synth
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val N = 5000L
+  val basePayload = Seq("commit", "lang", "content")
+
+  def newEngine(conf: EngineConf = EngineConf(buckets = 16)): CdcEngine = {
+    val dir = SparkTestBase.tmpDir("icelite")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), conf.buckets)
+    new CdcEngine(spark, t, conf)
+  }
+
+  /** Engine state must equal the naive sequential fold of all events. */
+  def assertEquivalent(engine: CdcEngine, allEvents: DataFrame,
+      payload: Seq[String] = basePayload): Unit = {
+    val oracle = TestOracle.finalState(allEvents.collect().toSeq, payload)
+    val got = engine.currentState().collect()
+    val gotMap = got.map { r =>
+      (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path"))) -> r
+    }.toMap
+    assert(gotMap.size === got.length, "duplicate keys in engine state")
+    assert(gotMap.keySet === oracle.keySet)
+    for ((k, ks) <- oracle) {
+      val r = gotMap(k)
+      assert(r.getString(r.fieldIndex("_op")) === ks.op, s"op mismatch at $k")
+      assert(r.getLong(r.fieldIndex("_lsn")) === ks.lsn, s"lsn mismatch at $k")
+      assert(r.getInt(r.fieldIndex("_seq")) === ks.seq, s"seq mismatch at $k")
+      for (c <- payload) {
+        val got = if (r.isNullAt(r.fieldIndex(c))) null else r.get(r.fieldIndex(c))
+        assert(got === ks.cols.getOrElse(c, null), s"column $c mismatch at $k")
+      }
+      // north-rule per-row invariant: content sha256 equality
+      if (payload.contains("content")) {
+        val oc = ks.cols.getOrElse("content", null)
+        val gotSha = if (r.isNullAt(r.fieldIndex("content_sha256"))) null
+          else r.getString(r.fieldIndex("content_sha256"))
+        val expSha = if (oc == null) null else TestOracle.sha256Hex(oc.toString)
+        assert(gotSha === expSha, s"content sha mismatch at $k")
+      }
+    }
+  }
+
+  test("in-order replay equals naive fold (incl. tombstones, carry-forward)") {
+    val ev = Synth.events(spark, N, seed = 1)
+    val engine = newEngine()
+    new MicroBatchRunner(engine).run(
+      Synth.batches(ev, 4, N).zipWithIndex.map { case (b, i) => (i.toLong, b) })
+    assertEquivalent(engine, ev)
+  }
+
+  test("out-of-order delivery across batches converges to the same state") {
+    val ev = Synth.events(spark, N, seed = 2)
+    val engine = newEngine()
+    val bs = Synth.batches(ev, 5, N, shuffleDelivery = true)
+    new MicroBatchRunner(engine).run(bs.zipWithIndex.map { case (b, i) => (i.toLong, b) })
+    assertEquivalent(engine, ev)
+  }
+
+  test("duplicate rows and re-delivered duplicate batches are no-ops") {
+    val ev = Synth.events(spark, N, seed = 3, dupPct = 20)
+    val engine = newEngine()
+    val bs = Synth.batches(ev, 3, N)
+    engine.applyBatch(0, bs(0))
+    engine.applyBatch(0, bs(0)) // exact epoch redelivery -> skipped
+    engine.applyBatch(1, bs(1))
+    val dup = engine.applyBatch(1, bs(1))
+    assert(dup.skipped)
+    engine.applyBatch(2, bs(2))
+    // same batch content under a NEW epoch (at-least-once upstream): the ACI
+    // merge must still not change the state
+    engine.applyBatch(3, bs(1))
+    assertEquivalent(engine, ev)
+  }
+
+  test("checkpoint resume: restarted runner skips committed epochs, state intact") {
+    val ev = Synth.events(spark, N, seed = 4)
+    val engine = newEngine()
+    val batches = Synth.batches(ev, 4, N).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+    val runner = new MicroBatchRunner(engine)
+    runner.run(batches.take(2))
+    assert(runner.checkpointEpoch === 1L)
+    // "crash", new runner + engine over the same table
+    val engine2 = new CdcEngine(spark, IceliteTable.load(engine.table.root.toString),
+      engine.conf)
+    val runner2 = new MicroBatchRunner(engine2)
+    val results = runner2.run(batches)
+    assert(results.take(2).forall(_.skipped))
+    assert(results.drop(2).forall(!_.skipped))
+    assertEquivalent(engine2, ev)
+  }
+
+  test("salted two-phase merge produces identical state under hot-key skew") {
+    val ev = Synth.events(spark, N, seed = 5, hotPct = 80, repos = 5, pathsPerRepo = 50)
+    val plain = newEngine(EngineConf(buckets = 8))
+    val salted = newEngine(EngineConf(buckets = 8, saltBuckets = 4, writeSaltPerBucket = 2))
+    val bs = Synth.batches(ev, 3, N)
+    bs.zipWithIndex.foreach { case (b, i) => plain.applyBatch(i, b) }
+    bs.zipWithIndex.foreach { case (b, i) => salted.applyBatch(i, b) }
+    assertEquivalent(plain, ev)
+    assertEquivalent(salted, ev)
+  }
+
+  test("mid-stream schema evolution: add column + widen int->long") {
+    import org.apache.spark.sql.types._
+    val engine = newEngine(EngineConf(buckets = 4))
+    def mk(rows: Seq[Row], extra: Seq[StructField]): DataFrame = {
+      val schema = StructType(Seq(
+        StructField("repo", StringType), StructField("path", StringType),
+        StructField("commit", StringType), StructField("lang", StringType),
+        StructField("content", StringType), StructField("op", StringType),
+        StructField("commit_lsn", LongType), StructField("seq", IntegerType),
+        StructField("ts", TimestampType)) ++ extra)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    }
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // batch 0: base schema
+    engine.applyBatch(0, mk(Seq(
+      Row("r1", "a.scala", "c1", "scala", "v1", "I", 1L, 0, ts),
+      Row("r1", "b.scala", "c2", "scala", "w1", "I", 2L, 0, ts)), Nil))
+    // batch 1: adds size:int
+    engine.applyBatch(1, mk(Seq(
+      Row("r1", "a.scala", "c3", null, "v2", "U", 3L, 0, ts, 100),
+      Row("r1", "c.scala", "c4", "scala", "x1", "I", 4L, 0, ts, 7)),
+      Seq(StructField("size", IntegerType))))
+    // batch 2: widens size to long, carries null content on a.scala
+    engine.applyBatch(2, mk(Seq(
+      Row("r1", "a.scala", "c5", null, null, "U", 5L, 0, ts, 5000000000L)),
+      Seq(StructField("size", LongType))))
+    val st = engine.currentState().collect().map { r =>
+      r.getString(r.fieldIndex("path")) -> r
+    }.toMap
+    assert(st.size === 3)
+    val a = st("a.scala")
+    assert(a.getString(a.fieldIndex("content")) === "v2") // carried through batch 2
+    assert(a.getString(a.fieldIndex("lang")) === "scala") // carried from batch 0
+    assert(a.getLong(a.fieldIndex("size")) === 5000000000L) // widened
+    val b = st("b.scala")
+    assert(b.isNullAt(b.fieldIndex("size"))) // old row null-filled for added col
+    val c = st("c.scala")
+    assert(c.getLong(c.fieldIndex("size")) === 7L) // int value widened on read
+    // table schema is now the evolved one
+    val sch = engine.table.currentSchema.get
+    assert(sch("size").dataType === CdcEngine.cellType(LongType))
+  }
+
+  test("tombstone delete and revival by a later event") {
+    import org.apache.spark.sql.types._
+    val engine = newEngine(EngineConf(buckets = 4))
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = Seq(
+      Row("r", "f", "c1", "scala", "body1", "I", 1L, 0, ts),
+      Row("r", "g", "c2", "scala", "body2", "I", 2L, 0, ts),
+      Row("r", "f", "c3", null, null, "D", 3L, 0, ts),
+      Row("r", "f", "c4", null, null, "U", 4L, 0, ts)) // revive, carry columns
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      graft.model.ChangeEvent.schema)
+    engine.applyBatch(0, df.filter(col("commit_lsn") <= 3))
+    val afterDelete = engine.currentState().collect()
+    assert(afterDelete.map(_.getString(1)).toSet === Set("g")) // f tombstoned
+    engine.applyBatch(1, df.filter(col("commit_lsn") === 4))
+    val revived = engine.currentState().collect().map(r => r.getString(1) -> r).toMap
+    assert(revived.keySet === Set("f", "g"))
+    assert(revived("f").getString(revived("f").fieldIndex("content")) === "body1")
+    assertEquivalent(engine, df)
+  }
+
+  test("lineage records source offset ranges per bucket") {
+    val ev = Synth.events(spark, 500, seed = 6)
+    val engine = newEngine(EngineConf(buckets = 4))
+    engine.applyBatch(7, ev)
+    val snap = engine.table.currentSnapshot.get
+    assert(snap.batchEpoch === 7)
+    assert(snap.lineage.nonEmpty)
+    assert(snap.lineage.map(_.events).sum === 500)
+    assert(snap.lineage.forall(l => l.lsnMin >= 0 && l.lsnMax < 500 && l.lsnMin <= l.lsnMax))
+    assert(snap.lineage.map(_.bucket).distinct.size === snap.lineage.size)
+  }
+}
