@@ -1,0 +1,386 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational / CDC-semantic operator library over the driver test tables.
+  *
+  * Each query has a DuckDB oracle twin (SparkEntry.oracleSql) with IDENTICAL
+  * output column names and types. Operator numbers (P*, J*, A*, W*, O*, U*,
+  * F*) refer to the inventory in SURVEY.md §2, which cites the reference
+  * implementation lines.
+  *
+  * Double-valued aggregates are rounded on BOTH sides: summation order across
+  * engines differs at the last ulp; rounding collapses that. Monetary sums
+  * round at 2 (values are whole cents, so .xx5 boundaries cannot occur).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1-A4, P1: multi-aggregate group-by rollup (TPC-H Q1 shape;
+    // reference delay rollup spark_etl/spark_queries.py:67-84)
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+
+    // P1/P2/P8: filtered projection; filters + pruning must reach the scan
+    "q02_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-03-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    }),
+
+    // J1/J8: star-schema broadcast join chain (reference dim joins)
+    "q03_star_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // J4/U5: anti join — keys with no match (reference "added" candidates,
+    // spark_etl/spark_batched.py:596-600)
+    "q04_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // J3 (semi flavor): customers having a finalized order, per nation
+    "q05_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // A8/W2/J5: latest row per key — the LWW core, implemented as a single
+    // hash aggregation max(struct(order, payload)) with NO window sort.
+    // (reference DISTINCT ON ... ORDER BY snapshot_key DESC, sql_queries/task3.sql)
+    "q06_latest_per_key" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))
+    }),
+
+    // W1: carry-forward last non-null observation over per-key event time
+    // (reference last(ignorenulls) spark_etl/spark_batched.py:623-648)
+    "q07_carry_forward" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .withColumn("last_click_value",
+          last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+        .select("user_id", "event_id", "last_click_value")
+    }),
+
+    // W2/W3/O4: top-k per group via row_number
+    "q08_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    }),
+
+    // J6/J7: cross-join scaffold + left join + zero-fill + avg
+    // (reference peak-hour density spark_etl/spark_queries.py:5-19)
+    "q09_scaffold_zerofill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("d", to_date(col("ts")))
+      val days = ev.select(col("d")).distinct()
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(col("d"), col("event_type")).agg(count(lit(1)).as("n"))
+      days.crossJoin(types)
+        .join(counts, Seq("d", "event_type"), "left")
+        .na.fill(0, Seq("n"))
+        .groupBy(col("event_type"))
+        .agg(round(avg("n"), 4).as("avg_daily"), count(lit(1)).as("n_days"))
+    }),
+
+    // U1-U3: union of two observation streams + daily aggregate
+    // (reference arrival+departure delay obs, sql_queries/task4.sql)
+    "q10_union_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(to_date(col("ts")).as("d"), col("value").as("v"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(to_date(col("ts")).as("d"), col("value").as("v"))
+      clicks.unionByName(views)
+        .groupBy(col("d"))
+        .agg(round(avg("v"), 4).as("avg_v"), count(lit(1)).as("n"))
+    }),
+
+    // A5: distinct counting per group (graph/graph_setup.py:72)
+    "q11_distinct_count" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(countDistinct(col("c_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+    }),
+
+    // U4/A5/A6/F10/O5: consecutive-stop edge aggregation with canonical
+    // (least,greatest) undirected edges (reference graph/graph_setup.py:41-74)
+    "q12_edges" -> ((s, dir) => {
+      // total order within the partition: (l_orderkey, l_linenumber) is NOT
+      // unique in the test data, and lead() over a partial order is
+      // nondeterministic (the reference had exactly this QUIRK, SURVEY §2.5)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .withColumn("next_part", lead(col("l_partkey"), 1).over(w))
+        .filter(col("next_part").isNotNull)
+        .select(least(col("l_partkey"), col("next_part")).as("src"),
+          greatest(col("l_partkey"), col("next_part")).as("dst"),
+          col("l_orderkey"), col("l_shipdate"))
+        .groupBy(col("src"), col("dst"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_shipdate")).as("first_ship"), max(col("l_shipdate")).as("last_ship"))
+    }),
+
+    // O2/F9: nearest neighbor by computed distance, top-1
+    // (reference nearest station sql_queries/task2.sql)
+    "q13_nearest_neighbor" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("dist", round(
+          pow(col("p_size") - lit(25), 2) + pow((col("p_retailprice") - lit(1500)) / 100.0, 2), 6))
+        .orderBy(col("dist"), col("p_partkey"))
+        .limit(1)
+        .select("p_partkey", "p_name", "dist")
+    }),
+
+    // J2/F2/F4: similarity theta-join — normalized names, levenshtein filter
+    // (reference fuzzy crossJoin spark_etl/spark_batched.py:356-395)
+    "q14_fuzzy_match" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), regexp_replace(col("c_name"), "Customer#", "").as("cn"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), regexp_replace(col("s_name"), "Supplier#", "").as("sn"))
+      c.crossJoin(broadcast(sup))
+        .withColumn("lev", levenshtein(col("cn"), col("sn")))
+        .filter(col("lev") <= 1)
+        .select("c_custkey", "s_suppkey", "lev")
+    }),
+
+    // O1-O3: global top-k (TakeOrderedAndProject — no full sort)
+    "q15_global_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // P5/P6: conditional aggregation with when/otherwise + coalesce
+    "q16_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2).as("ret_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - coalesce(col("l_discount"), lit(0.0)))), 2).as("net_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // P9/F7: peak-hour set membership + time extraction
+    // (reference spark_etl/spark_queries.py:14)
+    "q17_peak_hours" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("h", hour(col("ts")))
+        .filter(col("h").isin(7, 8, 17, 18))
+        .groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    }),
+
+    // F11/F13: split + explode array tokens
+    "q18_array_tokens" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("token"), col("p_brand"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("p_brand")).as("n_brands"))
+    }),
+
+    // F19: the per-row content invariant used by the CDC engine
+    "q19_sha_invariant" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), sha2(col("text"), 256).as("content_sha256"))
+    }),
+
+    // F8: epoch-difference minutes (reference delay minutes
+    // etl/fact_changed.py:439-443); avg per priority class
+    "q20_minutes_diff" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("mins",
+          (unix_timestamp(col("l_shipdate")) - unix_timestamp(col("o_orderdate"))) / 60.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(avg("mins"), 4).as("avg_min"), count(lit(1)).as("n"))
+    }),
+
+    // J5 (as-of join): for each error event, the latest click of the same
+    // user at-or-before it — single-pass union + carry-forward, NO per-row
+    // lookup (reference as-of SQL etl/fact_changed.py:600-633)
+    "q21_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("click_id"), lit(null).cast("long").as("err_id"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("long").as("click_id"), col("event_id").as("err_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(errs)
+        .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("err_id").isNotNull)
+        .select(col("err_id").as("error_event_id"), col("user_id"), col("asof_click_id"))
+    }),
+
+    // Streaming-shape tumbling window aggregate (SURVEY §2.9); Spark
+    // window() start is epoch-aligned, like DuckDB time_bucket
+    "q34_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),6) AS avg_disc,
+         count(*) AS n FROM lineitem GROUP BY 1,2""",
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+           AND l_quantity > 45""",
+    "q03_star_join" ->
+      """SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+         FROM orders JOIN customer ON o_custkey=c_custkey
+         JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+         GROUP BY 1""",
+    "q04_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey) GROUP BY 1""",
+    "q05_semi_join" ->
+      """SELECT n_name, count(*) AS n_cust FROM customer
+         JOIN nation ON c_nationkey=n_nationkey
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='F')
+         GROUP BY 1""",
+    "q06_latest_per_key" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+           SELECT user_id, ts, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+           FROM events) WHERE rn = 1""",
+    "q07_carry_forward" ->
+      """SELECT user_id, event_id,
+           last_value(CASE WHEN event_type='click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+         FROM events WHERE user_id < 100""",
+    "q08_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rk
+           FROM orders) WHERE rk <= 3""",
+    "q09_scaffold_zerofill" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) d, event_type FROM events),
+         days AS (SELECT DISTINCT d FROM ev),
+         types AS (SELECT DISTINCT event_type FROM ev),
+         counts AS (SELECT d, event_type, count(*) n FROM ev GROUP BY 1,2)
+         SELECT t.event_type, round(avg(coalesce(c.n, 0)),4) AS avg_daily, count(*) AS n_days
+         FROM days dd CROSS JOIN types t
+         LEFT JOIN counts c ON c.d = dd.d AND c.event_type = t.event_type
+         GROUP BY 1""",
+    "q10_union_agg" ->
+      """WITH u AS (
+           SELECT CAST(ts AS DATE) d, value v FROM events WHERE event_type='click'
+           UNION ALL
+           SELECT CAST(ts AS DATE) d, value v FROM events WHERE event_type='view')
+         SELECT d, round(avg(v),4) AS avg_v, count(*) AS n FROM u GROUP BY 1""",
+    "q11_distinct_count" ->
+      """SELECT n_name, count(DISTINCT c_custkey) AS n_cust, count(*) AS n_orders
+         FROM customer JOIN orders ON c_custkey=o_custkey
+         JOIN nation ON c_nationkey=n_nationkey GROUP BY 1""",
+    "q12_edges" ->
+      """WITH nxt AS (
+           SELECT l_orderkey, l_partkey, l_shipdate,
+                  lead(l_partkey) OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) next_part
+           FROM lineitem)
+         SELECT least(l_partkey, next_part) AS src, greatest(l_partkey, next_part) AS dst,
+                count(DISTINCT l_orderkey) AS n_orders,
+                min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+         FROM nxt WHERE next_part IS NOT NULL GROUP BY 1,2""",
+    "q13_nearest_neighbor" ->
+      """SELECT p_partkey, p_name, dist FROM (
+           SELECT p_partkey, p_name,
+                  round(pow(p_size - 25, 2) + pow((p_retailprice - 1500)/100.0, 2), 6) AS dist
+           FROM part) ORDER BY dist, p_partkey LIMIT 1""",
+    "q14_fuzzy_match" ->
+      """SELECT c_custkey, s_suppkey, CAST(levenshtein(replace(c_name,'Customer#',''),
+                                                       replace(s_name,'Supplier#','')) AS INT) AS lev
+         FROM customer, supplier
+         WHERE levenshtein(replace(c_name,'Customer#',''), replace(s_name,'Supplier#','')) <= 1""",
+    "q15_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q16_conditional_agg" ->
+      """SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag='R' THEN l_extendedprice ELSE 0.0 END),2) AS ret_price,
+           round(sum(l_extendedprice * (1.0 - coalesce(l_discount, 0.0))),2) AS net_price,
+           count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q17_peak_hours" ->
+      """SELECT CAST(hour(ts) AS INT) AS h, event_type, count(*) AS n, round(sum(value),2) AS sum_v
+         FROM events WHERE hour(ts) IN (7,8,17,18) GROUP BY 1,2""",
+    "q18_array_tokens" ->
+      """SELECT token, count(*) AS n, count(DISTINCT p_brand) AS n_brands FROM (
+           SELECT unnest(string_split(p_name, ' ')) AS token, p_brand FROM part)
+         GROUP BY 1""",
+    "q19_sha_invariant" ->
+      """SELECT doc_id, sha256(text) AS content_sha256 FROM documents""",
+    "q20_minutes_diff" ->
+      """SELECT o_orderpriority,
+           round(avg(date_diff('second', o_orderdate, l_shipdate)/60.0),4) AS avg_min,
+           count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey GROUP BY 1""",
+    "q21_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, event_id AS click_id, CAST(NULL AS BIGINT) AS err_id
+           FROM events WHERE event_type='click'
+           UNION ALL
+           SELECT user_id, ts, event_id, CAST(NULL AS BIGINT), event_id
+           FROM events WHERE event_type='error'),
+         c AS (
+           SELECT user_id, err_id,
+                  last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+           FROM u)
+         SELECT err_id AS error_event_id, user_id, asof_click_id FROM c WHERE err_id IS NOT NULL""",
+    "q34_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start, event_type,
+                count(*) AS n, round(sum(value),2) AS sum_v
+         FROM events GROUP BY 1,2"""
+  )
+}

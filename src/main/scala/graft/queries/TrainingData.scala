@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+  * cosine), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (language-ID heuristic, quality score, token counts,
+  * fingerprinting) and multimodal binary plumbing.
+  *
+  * Every cross-engine hash is built from md5 (bit-identical in Spark and
+  * DuckDB): `hash64(x) = bigint(hex[0:15] of md5(x))` — 60 bits, positive.
+  * Engine-native hashes (xxhash64, Murmur3) differ between engines and are
+  * only used where no oracle comparison happens.
+  *
+  * Scale notes per operator are inline; the quadratic variants (exact n-gram
+  * join, brute-force ANN) are the correctness baselines, the banded variants
+  * (MinHash/LSH, hyperplane buckets) are the 100 TB paths.
+  */
+object TrainingData {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Cross-engine deterministic 60-bit hash (see object doc). */
+  private def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** distinct (doc_id, s) 5-char shingles. */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"))
+      .withColumn("i", explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)))))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
+      .distinct()
+
+  /** distinct (doc_id, tkn) word tokens. */
+  private def tokens(d: DataFrame, distinctTokens: Boolean): DataFrame = {
+    val tk = d.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tkn"))
+    if (distinctTokens) tk.distinct() else tk
+  }
+
+  /** exact-jaccard verification of candidate (da, db) pairs against shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      .withColumn("jac", col("c") / (col("ca.n") + col("cb.n") - col("c")))
+      .filter(col("jac") >= threshold)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on full content (the 100 TB-safe baseline:
+    // one shuffle on sha256, no pairwise work)
+    "q22_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    }),
+
+    // N-gram Jaccard near-dup, exact: shingle self-join. Quadratic in
+    // co-shingled docs — correctness baseline; q24 is the scale path.
+    "q23_dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingles(t(s, dir, "documents"))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .withColumn("jac", col("c") / (col("ca.n") + col("cb.n") - col("c")))
+        .filter(col("jac") >= 0.7)
+        .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+    }),
+
+    // MinHash + LSH banding: 12 hashes, 4 bands x 3 rows; candidates =
+    // band-bucket join (linear-ish), then exact-Jaccard verify on the
+    // (small) candidate set. THE near-dup scale path: no all-pairs stage.
+    "q24_dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingles(t(s, dir, "documents"))
+      val mhAggs = (0 until 12).map(i =>
+        min(hash64(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      val bands = (0 until 4).map { b =>
+        sig.select(col("doc_id"), lit(b).as("bidx"),
+          concat_ws("-", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}")).as("band"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.bidx") === col("b.bidx") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      verifyJaccard(cand, sh, 0.7).select(col("da"), col("db"))
+    }),
+
+    // SimHash: 16-bit fingerprint from token hashes, pairs at hamming <= 3.
+    // (All-pairs on fingerprints here; at scale, block on 4-bit chunks.)
+    "q25_dedup_simhash" -> ((s, dir) => {
+      val tk = tokens(t(s, dir, "documents"), distinctTokens = true)
+        .withColumn("th", hash64(col("tkn")))
+      val bits = tk.withColumn("j", explode(sequence(lit(0), lit(15))))
+        .withColumn("contrib",
+          when(expr("shiftright(th, j) & 1") === 1, lit(1)).otherwise(lit(-1)))
+        .groupBy(col("doc_id"), col("j")).agg(sum(col("contrib")).as("sj"))
+      val fp = bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("sj") >= 0, expr("CAST(shiftleft(1L, j) AS BIGINT)")).otherwise(lit(0L))).as("fp"))
+      fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", expr("CAST(bit_count(a.fp ^ b.fp) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("hamming"))
+    }),
+
+    // Embedding cosine near-dup (set-based, threshold in a verified gap of
+    // the data so float-ulp noise cannot flip membership)
+    "q26_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val withNorm = e.withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("cos", col("dot") / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") >= 0.45)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
+    // Brute-force cosine top-k ANN — the correctness baseline for
+    // similarity search (probes x corpus, fully distributed)
+    "q27_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      val scored = probes.join(e, col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          aggregate(zip_with(col("pv"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+            / (col("pn") * col("nrm")))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
+    // LSH-bucketed ANN: 8 deterministic +-1 hyperplanes -> 8-bit bucket;
+    // top-1 neighbor within bucket. The scale path: candidate set is
+    // bucket-local, never all-pairs.
+    "q28_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      val comps = e.select(col("vec_id"), col("v"))
+        .withColumn("di", explode(sequence(lit(1), lit(64))))
+        .withColumn("x", element_at(col("v"), col("di")))
+        .withColumn("p", explode(sequence(lit(0), lit(7))))
+        .withColumn("r", when(
+          hash64(concat(col("p").cast("string"), lit("_"), col("di").cast("string"))) % 2 === 1,
+          lit(1.0)).otherwise(lit(-1.0)))
+      val planeDots = comps.groupBy(col("vec_id"), col("p")).agg(sum(col("x") * col("r")).as("pd"))
+      val buckets = planeDots.groupBy(col("vec_id"))
+        .agg(sum(when(col("pd") >= 0, expr("CAST(shiftleft(1L, p) AS BIGINT)")).otherwise(lit(0L))).as("bucket"))
+      val ev = e.join(buckets, "vec_id")
+      val cand = ev.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"), col("bucket").as("pbucket"))
+        .join(ev, col("vec_id") =!= col("probe_id") && col("bucket") === col("pbucket"))
+      val scored = cand.withColumn("cos",
+        aggregate(zip_with(col("pv"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          / (col("pn") * col("nrm")))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("probe_id"), col("vec_id").as("nn_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // Language-ID heuristic: stopword-list voting (deterministic formula —
+    // the oracle replicates the same heuristic)
+    "q29_lang_id" -> ((s, dir) => {
+      val en = Seq("the", "a", "of", "and", "is")
+      val de = Seq("der", "die", "das", "und", "ist")
+      val es = Seq("el", "la", "de", "y", "es")
+      val fr = Seq("le", "la", "de", "et", "est")
+      def score(ws: Seq[String]) = sum(when(col("tkn").isInCollection(ws), 1L).otherwise(0L))
+      val sc = tokens(t(s, dir, "documents"), distinctTokens = false)
+        .groupBy(col("doc_id"))
+        .agg(score(en).as("s_en"), score(de).as("s_de"), score(es).as("s_es"), score(fr).as("s_fr"))
+      sc.join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "pred_lang", "is_match")
+    }),
+
+    // Quality scoring: token stats + stopword ratio -> bounded score
+    "q30_quality_score" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+      tokens(t(s, dir, "documents"), distinctTokens = false)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tok"),
+          round(avg(length(col("tkn"))), 4).as("avg_len"),
+          (sum(when(col("tkn").isInCollection(stop), 1L).otherwise(0L)) * 1.0 / count(lit(1))).as("sr"))
+        .select(col("doc_id"), col("n_tok"), col("avg_len"),
+          round(col("sr"), 4).as("stop_ratio"),
+          round(least(lit(1.0), col("n_tok") / 500.0) * (lit(1.0) - col("sr")), 4).as("score"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish regex pieces
+    "q31_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+    }),
+
+    // Document fingerprint: position-weighted token-hash checksum
+    // (rolling-hash analog that is order-sensitive yet SQL-expressible)
+    "q32_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as(Seq("pos0", "tkn")))
+        .withColumn("w", (col("pos0") % 97) + 1)
+        .withColumn("th", hash64(col("tkn")) % 1000003L)
+        .groupBy(col("doc_id"))
+        .agg((sum(col("w") * col("th")) % 2147483647L).as("fp"))
+    }),
+
+    // Multimodal plumbing: opaque binary column + deterministic metadata
+    // extraction (decode itself is stubbed — no image/audio libs in the
+    // sandbox; see Multimodal.scala for the mapPartitions batch path)
+    "q33_multimodal_stub" -> ((s, dir) => {
+      val blob = col("text").cast("binary")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        lower(hex(substring(blob, 1, 8))).as("head_hex"),
+        sha2(blob, 256).as("blob_sha"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY 1""",
+    "q23_dedup_ngram_jaccard" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-4,1))) i FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) s FROM pos),
+         cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
+                   JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+         SELECT da, db, round(c*1.0/(ca.n+cb.n-c),4) AS jac
+         FROM inter JOIN cnt ca ON ca.doc_id=da JOIN cnt cb ON cb.doc_id=db
+         WHERE c*1.0/(ca.n+cb.n-c) >= 0.7""",
+    "q24_dedup_minhash_lsh" -> {
+      val mh = (0 until 12).map(i =>
+        s"min(('0x' || substr(md5('$i:' || s),1,15))::BIGINT) AS mh$i").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS bidx, mh${3*b} || '-' || mh${3*b+1} || '-' || mh${3*b+2} AS band FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-4,1))) i FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) s FROM pos),
+         sig AS (SELECT doc_id, $mh FROM sh GROUP BY doc_id),
+         bands AS ($bandSel),
+         cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
+                  JOIN bands b ON a.bidx=b.bidx AND a.band=b.band AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         inter AS (SELECT da, db, count(*) c FROM cand
+                   JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db AND y.s = x.s
+                   GROUP BY 1,2)
+         SELECT da, db FROM inter JOIN cnt ca ON ca.doc_id=da JOIN cnt cb ON cb.doc_id=db
+         WHERE c*1.0/(ca.n+cb.n-c) >= 0.7"""
+    },
+    "q25_dedup_simhash" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+         th AS (SELECT doc_id, tkn, ('0x' || substr(md5(tkn),1,15))::BIGINT h FROM tk),
+         bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) sj
+                  FROM th, (SELECT unnest(generate_series(0,15)) j) GROUP BY 1,2),
+         fp AS (SELECT doc_id, CAST(sum(CASE WHEN sj >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) fp
+                FROM bits GROUP BY 1)
+         SELECT a.doc_id da, b.doc_id db, CAST(bit_count(xor(a.fp, b.fp)) AS INT) hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+    "q26_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         p AS (SELECT a.vec_id ai, b.vec_id bi, unnest(a.v) x, unnest(b.v) y
+               FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         d AS (SELECT ai, bi, sum(x*y) dot, sqrt(sum(x*x)) na, sqrt(sum(y*y)) nb FROM p GROUP BY 1,2)
+         SELECT ai AS a_id, bi AS b_id, round(dot/(na*nb),6) AS cos
+         FROM d WHERE dot/(na*nb) >= 0.45""",
+    "q27_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         pr AS (SELECT vec_id probe_id, v pv FROM e WHERE vec_id < 10),
+         p AS (SELECT probe_id, vec_id, unnest(pv) x, unnest(v) y
+               FROM pr JOIN e ON vec_id <> probe_id),
+         d AS (SELECT probe_id, vec_id, sum(x*y) dot, sqrt(sum(x*x)) pn, sqrt(sum(y*y)) nn
+               FROM p GROUP BY 1,2),
+         r AS (SELECT probe_id, vec_id, dot/(pn*nn) cos,
+                      row_number() OVER (PARTITION BY probe_id ORDER BY dot/(pn*nn) DESC, vec_id) rk
+               FROM d)
+         SELECT probe_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rk, round(cos,6) AS cos
+         FROM r WHERE rk <= 5""",
+    "q28_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         comps AS (SELECT vec_id, v, unnest(generate_series(1,64)) di FROM e),
+         pc AS (SELECT vec_id, di, v[di] x, unnest(generate_series(0,7)) p FROM comps),
+         pr AS (SELECT vec_id, p, di, x,
+                       CASE WHEN (('0x' || substr(md5(p || '_' || di),1,15))::BIGINT) % 2 = 1
+                            THEN 1.0 ELSE -1.0 END r
+                FROM pc),
+         pd AS (SELECT vec_id, p, sum(x*r) pd FROM pr GROUP BY 1,2),
+         bk AS (SELECT vec_id, CAST(sum(CASE WHEN pd >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) bucket
+                FROM pd GROUP BY 1),
+         ev AS (SELECT e.vec_id, v, bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+         cd AS (SELECT a.vec_id probe_id, b.vec_id nb, unnest(a.v) x, unnest(b.v) y
+                FROM ev a JOIN ev b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         d AS (SELECT probe_id, nb, sum(x*y) dot, sqrt(sum(x*x)) pn, sqrt(sum(y*y)) nn
+               FROM cd GROUP BY 1,2),
+         r AS (SELECT probe_id, nb, dot/(pn*nn) cos,
+                      row_number() OVER (PARTITION BY probe_id ORDER BY dot/(pn*nn) DESC, nb) rk
+               FROM d)
+         SELECT probe_id, nb AS nn_id, round(cos,6) AS cos FROM r WHERE rk = 1""",
+    "q29_lang_id" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+         sc AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN tkn IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS BIGINT) s_en,
+                  CAST(sum(CASE WHEN tkn IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) s_de,
+                  CAST(sum(CASE WHEN tkn IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS BIGINT) s_es,
+                  CAST(sum(CASE WHEN tkn IN ('le','la','de','et','est') THEN 1 ELSE 0 END) AS BIGINT) s_fr
+                FROM tk GROUP BY 1)
+         SELECT sc.doc_id, s_en, s_de, s_es, s_fr,
+                CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+                (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS is_match
+         FROM sc JOIN documents USING (doc_id)""",
+    "q30_quality_score" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+         st AS (SELECT doc_id, count(*) n_tok, round(avg(len(tkn)),4) avg_len,
+                  round(CAST(sum(CASE WHEN tkn IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS BIGINT)*1.0/count(*),4) stop_ratio,
+                  CAST(sum(CASE WHEN tkn IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS BIGINT)*1.0/count(*) sr
+                FROM tk GROUP BY 1)
+         SELECT doc_id, n_tok, avg_len, stop_ratio,
+                round(least(1.0, n_tok/500.0) * (1.0 - sr), 4) AS score
+         FROM st""",
+    "q31_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens
+         FROM documents""",
+    "q32_fingerprint" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') tks FROM documents),
+         p AS (SELECT doc_id, unnest(generate_series(1, len(tks))) i, tks FROM d),
+         x AS (SELECT doc_id, ((i - 1) % 97) + 1 w,
+                      (('0x' || substr(md5(tks[i]),1,15))::BIGINT) % 1000003 th
+               FROM p)
+         SELECT doc_id, CAST(sum(w * th) % 2147483647 AS BIGINT) AS fp FROM x GROUP BY 1""",
+    "q33_multimodal_stub" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+                sha256(text) AS blob_sha
+         FROM documents"""
+  )
+}

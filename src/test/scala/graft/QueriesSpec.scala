@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Plumbing checks for the query library. Cross-engine VALUE correctness is
+  * the driver's DuckDB compare (tools/compare.py locally); these tests pin
+  * the contract: every query runs, oracle coverage is complete, and a few
+  * hand-computed facts hold. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("every query has an oracle and every oracle a query") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
+
+  test("all queries execute at sf0.001") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q06 latest_per_key picks the (ts, event_id)-max row per user") {
+    val got = SparkEntry.queries("q06_latest_per_key")(spark, sf)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val users = ev.select(countDistinct("user_id")).head().getLong(0)
+    assert(got.count() === users)
+    // spot-check one user against a collected sort
+    val u = ev.select("user_id").head().getLong(0)
+    val expected = ev.filter(col("user_id") === u)
+      .orderBy(col("ts").desc, col("event_id").desc).head()
+    val gotRow = got.filter(col("user_id") === u).head()
+    assert(gotRow.getLong(gotRow.fieldIndex("event_id")) ===
+      expected.getLong(expected.fieldIndex("event_id")))
+  }
+
+  test("q19 sha invariant matches MessageDigest") {
+    val r = SparkEntry.queries("q19_sha_invariant")(spark, sf).limit(1).head()
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === r.getLong(0)).head()
+    assert(r.getString(1) === TestOracle.sha256Hex(doc.getString(doc.fieldIndex("text"))))
+  }
+
+  test("multimodal mapPartitions plumbing: schema, determinism, batch shape") {
+    val f1 = graft.queries.Multimodal.features(spark, sf)
+    val f2 = graft.queries.Multimodal.features(spark, sf)
+    assert(f1.columns.toSeq ===
+      Seq("doc_id", "media_type", "n_bytes", "feat_a", "feat_b", "checksum"))
+    val a = f1.orderBy("doc_id").collect()
+    val b = f2.orderBy("doc_id").collect()
+    assert(a.sameElements(b)) // deterministic across runs
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(a.length === docs)
+    assert(a.forall(_.getInt(2) > 0)) // n_bytes populated
+  }
+}
