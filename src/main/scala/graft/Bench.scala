@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.engine.{CdcEngine, EngineConf, MicroBatchRunner}
+import graft.icelite.IceliteTable
+import graft.synth.Synth
+
+/** Per-round benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR,
+  * plus the north-rule headline metric — sustained change-events/sec of a
+  * deterministic CDC replay (seed=42 synthetic log, hot-repo skew) through
+  * the MERGE engine into an icelite table. Prints ONE JSON line.
+  * Scaling evidence across parallelism levels lives in
+  * graft.tools.ScalingBench -> BENCH.md. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,45 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    // CDC replay throughput (events/sec): 4 micro-batches, generation
+    // excluded (events pre-written to parquet), one warmup replay first so
+    // JIT/codegen compilation is not billed to the steady-state number.
+    val work = java.nio.file.Files.createTempDirectory("bench-cdc").toString
+    val n = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "2000000").toLong
+    Synth.events(spark, n, seed = 42, repos = 200, pathsPerRepo = 2000,
+      hotPct = 30, parts = cpus.toInt * 2).write.parquet(s"$work/events")
+    val ev = spark.read.parquet(s"$work/events")
+    def replay(tableDir: String, events: Long, k: Int): Double = {
+      val engine = new CdcEngine(spark,
+        IceliteTable.create(tableDir, Seq("repo", "path"), buckets = 64),
+        EngineConf(buckets = 64))
+      val per = (events + k - 1) / k
+      val batches = (0 until k).map(i =>
+        (i.toLong, ev.filter(ev("commit_lsn") >= i * per && ev("commit_lsn") < (i + 1) * per)))
+      val t0 = System.nanoTime()
+      new MicroBatchRunner(engine).run(batches)
+      (System.nanoTime() - t0) / 1e9
+    }
+    replay(s"$work/warm", math.min(n, 100000L), 2) // warmup
+    val cdcSec = replay(s"$work/table", n, 4)
+    val eps = n / cdcSec
+
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s""""cdc_events":$n,"cdc_sec":${f"$cdcSec%.3f"},"cdc_events_per_sec":${f"$eps%.0f"},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

