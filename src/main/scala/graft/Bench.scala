@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, floor}
 import graft.engine.{CdcEngine, EngineConf, MicroBatchRunner}
 import graft.icelite.IceliteTable
 import graft.synth.Synth
@@ -35,22 +36,28 @@ object Bench {
     // JIT/codegen compilation is not billed to the steady-state number.
     val work = java.nio.file.Files.createTempDirectory("bench-cdc").toString
     val n = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "2000000").toLong
+    val k = 4
+    val per = (n + k - 1) / k
+    // pre-split by micro-batch directory (binlog offset range); a per-batch
+    // lsn filter would embed fresh literals -> serial codegen recompile per
+    // batch (see graft.tools.ScalingBench.replay)
     Synth.events(spark, n, seed = 42, repos = 200, pathsPerRepo = 2000,
-      hotPct = 30, parts = cpus.toInt * 2).write.parquet(s"$work/events")
-    val ev = spark.read.parquet(s"$work/events")
-    def replay(tableDir: String, events: Long, k: Int): Double = {
+      hotPct = 30, parts = cpus.toInt * 2)
+      .withColumn("__batch", floor(col("commit_lsn") / per))
+      .write.partitionBy("__batch").parquet(s"$work/events")
+    def replay(tableDir: String, batchDirs: Seq[String]): Double = {
       val engine = new CdcEngine(spark,
         IceliteTable.create(tableDir, Seq("repo", "path"), buckets = 64),
         EngineConf(buckets = 64))
-      val per = (events + k - 1) / k
-      val batches = (0 until k).map(i =>
-        (i.toLong, ev.filter(ev("commit_lsn") >= i * per && ev("commit_lsn") < (i + 1) * per)))
+      val batches = batchDirs.zipWithIndex.map { case (d, i) =>
+        (i.toLong, spark.read.schema(graft.model.ChangeEvent.schema).parquet(d))
+      }
       val t0 = System.nanoTime()
       new MicroBatchRunner(engine).run(batches)
       (System.nanoTime() - t0) / 1e9
     }
-    replay(s"$work/warm", math.min(n, 100000L), 2) // warmup
-    val cdcSec = replay(s"$work/table", n, 4)
+    replay(s"$work/warm", Seq(s"$work/events/__batch=0")) // warmup (JIT/codegen)
+    val cdcSec = replay(s"$work/table", (0 until k).map(i => s"$work/events/__batch=$i"))
     val eps = n / cdcSec
 
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +

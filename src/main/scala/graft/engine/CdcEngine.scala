@@ -119,8 +119,12 @@ class CdcEngine(
     * to the target payload schema. Groups files by their writer schema id so
     * widened columns are up-cast explicitly — old data files are never
     * rewritten on schema evolution. */
-  private def readStateCells(buckets: Option[Set[Int]], targetPayload: StructType): DataFrame = {
-    val groups = table.currentFileGroups(buckets)
+  private def readStateCells(buckets: Option[Set[Int]], targetPayload: StructType,
+      asOfSnapshot: Option[Long] = None): DataFrame = {
+    val groups = asOfSnapshot match {
+      case Some(id) => table.fileGroupsAt(id, buckets)
+      case None => table.currentFileGroups(buckets)
+    }
     val cellCols = Seq(OpCell, TsCell) ++ targetPayload.fieldNames
     val target = stateSchema(targetPayload)
     val aligned = groups.toSeq.map { case (sid, files) =>
@@ -161,6 +165,7 @@ class CdcEngine(
     * (schema evolution) or a subset (old producers). */
   def applyBatch(epoch: Long, batchRaw: DataFrame): CommitResult = {
     val t0 = System.nanoTime()
+    def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
     if (table.committedEpochs.contains(epoch)) {
       return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
     }
@@ -177,6 +182,7 @@ class CdcEngine(
       .groupBy(bucketCol.as("__b"))
       .agg(min("commit_lsn").as("lmin"), max("commit_lsn").as("lmax"), count(lit(1)).as("n"))
       .collect()
+    val lineageMs = ms(t0)
     if (lineageRows.isEmpty) { // empty batch: still commit the epoch (exactly-once bookkeeping)
       val sid = table.ensureSchema(stateSchema(targetPayload))
       val snap = table.commit(epoch, sid, Map.empty, Nil, 0)
@@ -194,6 +200,7 @@ class CdcEngine(
     // Write affected buckets copy-on-write; salt the repartition so a hot
     // bucket is written by several tasks (multiple files per bucket is fine —
     // the manifest lists files, not "the file").
+    val tw0 = System.nanoTime()
     val outDir = table.root.resolve("data").resolve(f"e$epoch%d-${System.nanoTime()}%x")
     val writeTasks = math.max(1, affected.size * math.max(1, conf.writeSaltPerBucket))
     val toWrite = merged.withColumn("__b", bucketCol)
@@ -203,12 +210,24 @@ class CdcEngine(
           .repartition(writeTasks, col("__b"), col(SaltCol)).drop(SaltCol)
       else toWrite.repartition(writeTasks, col("__b"))
     repartitioned.write.partitionBy("__b").parquet(outDir.toString)
+    val mergeWriteMs = ms(tw0)
 
-    // Manifest entries + per-bucket state row counts (partition-col-only scan).
+    // Manifest entries + per-bucket state row counts. Counts come from the
+    // parquet FOOTERS of the files just written (driver-side metadata reads,
+    // ~ms per file) — NOT a Spark job: at 4 jobs/batch the driver's serial
+    // job-planning time becomes the Amdahl term that caps scaling efficiency.
+    val tm0 = System.nanoTime()
     val bucketFiles: Map[Int, List[String]] = listBucketFiles(outDir, table)
-    val bucketRows: Map[Int, Long] = spark.read.parquet(outDir.toString)
-      .groupBy("__b").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val bucketRows: Map[Int, Long] = bucketFiles.map { case (b, files) =>
+      b -> files.map { rel =>
+        val p = new org.apache.hadoop.fs.Path(table.root.resolve(rel).toString)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }
+    val manifestMs = ms(tm0)
     val lineage = lineageRows.map { r =>
       val b = r.getInt(0)
       Icelite.BucketLineage(b, r.getLong(1), r.getLong(2), r.getLong(3),
@@ -217,9 +236,10 @@ class CdcEngine(
 
     val sid = table.ensureSchema(stateSchema(targetPayload))
     val snap = table.commit(epoch, sid, bucketFiles, lineage, rowDelta = events)
-    val ms = (System.nanoTime() - t0) / 1000000
-    appendMetrics(epoch, snap.snapshotId, events, affected.size, ms)
-    CommitResult(epoch, snap.snapshotId, skipped = false, events, affected.size, ms)
+    val totalMs = ms(t0)
+    appendMetrics(epoch, snap.snapshotId, events, affected.size, totalMs,
+      s""","lineageMs":$lineageMs,"mergeWriteMs":$mergeWriteMs,"manifestMs":$manifestMs""")
+    CommitResult(epoch, snap.snapshotId, skipped = false, events, affected.size, totalMs)
   }
 
   // ---------------------------------------------------------------- read
@@ -227,9 +247,25 @@ class CdcEngine(
   /** Current table state, flat: key cols, payload cols, envelope (_op, _lsn,
     * _seq, _ts) and the per-row content invariant sha256. Tombstoned keys are
     * excluded. `buckets` enables manifest-level pruning. */
-  def currentState(buckets: Option[Set[Int]] = None): DataFrame = {
-    val payload = tablePayload
-    val cells = readStateCells(buckets, payload)
+  def currentState(buckets: Option[Set[Int]] = None): DataFrame =
+    stateOf(buckets, asOfSnapshot = None)
+
+  /** Time-travel read: the visible state AS OF a past snapshot id
+    * (Iceberg `VERSION AS OF`). The payload schema is the one pinned by
+    * that snapshot, not the current one. */
+  def stateAt(snapshotId: Long, buckets: Option[Set[Int]] = None): DataFrame =
+    stateOf(buckets, asOfSnapshot = Some(snapshotId))
+
+  private def stateOf(buckets: Option[Set[Int]], asOfSnapshot: Option[Long]): DataFrame = {
+    val schemaAt = asOfSnapshot match {
+      case Some(id) => Some(table.schema(table.snapshot(id).schemaId))
+      case None => table.currentSchema
+    }
+    val payload = StructType(schemaAt.map(_.fields).getOrElse(Array.empty).collect {
+      case f if !keyCols.contains(f.name) && f.name != OpCell && f.name != TsCell =>
+        StructField(f.name, f.dataType.asInstanceOf[StructType]("v").dataType, nullable = true)
+    })
+    val cells = readStateCells(buckets, payload, asOfSnapshot)
     val flat = payload.fieldNames.toSeq.map(c => col(s"$c.v").as(c))
     val base = cells
       .filter(col(s"$OpCell.v") =!= lit("D"))
@@ -247,9 +283,10 @@ class CdcEngine(
 
   // ---------------------------------------------------------------- misc
 
-  private def appendMetrics(epoch: Long, snapId: Long, events: Long, buckets: Int, ms: Long): Unit = {
+  private def appendMetrics(epoch: Long, snapId: Long, events: Long, buckets: Int,
+      ms: Long, extra: String = ""): Unit = {
     val line = s"""{"epoch":$epoch,"snapshotId":$snapId,"events":$events,""" +
-      s""""buckets":$buckets,"millis":$ms,"eventsPerSec":${if (ms > 0) events * 1000.0 / ms else 0.0}}"""
+      s""""buckets":$buckets,"millis":$ms,"eventsPerSec":${if (ms > 0) events * 1000.0 / ms else 0.0}$extra}"""
     val p = table.root.resolve("metrics.jsonl")
     Files.writeString(p, line + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -133,15 +133,55 @@ class IceliteTable private (val root: Path) {
   /** (files, schemaId) groups for the current snapshot restricted to buckets —
     * readers group by writer schema so widened columns can be up-cast. */
   def currentFileGroups(buckets: Option[Set[Int]] = None): Map[Int, Seq[String]] =
-    currentSnapshot.map { s =>
-      s.bucketFiles.iterator
-        .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
-        .toSeq
-        .groupBy { case (b, _) => s.bucketSchemaIds.getOrElse(b, s.schemaId) }
-        .map { case (sid, entries) =>
-          sid -> entries.flatMap(_._2).map(rel => root.resolve(rel).toString)
-        }
-    }.getOrElse(Map.empty)
+    currentSnapshot.map(fileGroupsOf(_, buckets)).getOrElse(Map.empty)
+
+  /** Time travel: file groups of ANY snapshot in the chain (Iceberg's
+    * `VERSION AS OF`). Snapshots are immutable, so reading an old id is
+    * always consistent regardless of later commits. */
+  def fileGroupsAt(snapshotId: Long, buckets: Option[Set[Int]] = None): Map[Int, Seq[String]] =
+    fileGroupsOf(snapshot(snapshotId), buckets)
+
+  private def fileGroupsOf(s: Snapshot, buckets: Option[Set[Int]]): Map[Int, Seq[String]] =
+    s.bucketFiles.iterator
+      .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
+      .toSeq
+      .groupBy { case (b, _) => s.bucketSchemaIds.getOrElse(b, s.schemaId) }
+      .map { case (sid, entries) =>
+        sid -> entries.flatMap(_._2).map(rel => root.resolve(rel).toString)
+      }
+
+  /** Garbage-collect data files not referenced by ANY snapshot in the current
+    * chain — orphans from crashes between data write and pointer commit, or
+    * from aborted writers. Returns the deleted table-relative paths. Safe by
+    * construction: only manifest-listed files are ever read, and the chain is
+    * walked from the current pointer, so a concurrent reader of any committed
+    * snapshot never loses a file. */
+  def vacuum(): Seq[String] = {
+    val referenced: Set[String] =
+      snapshotChain.flatMap(_.bucketFiles.valuesIterator.flatten).toSet
+    val dataDir = root.resolve("data")
+    if (!Files.exists(dataDir)) return Seq.empty
+    val stream = Files.walk(dataDir)
+    val orphans =
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(relativize)
+        .filterNot(referenced.contains)
+        .toList
+      finally stream.close()
+    orphans.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
+    // sweep now-empty directories bottom-up
+    val dirStream = Files.walk(dataDir)
+    try dirStream.iterator().asScala.toList.reverse
+      .filter(p => Files.isDirectory(p) && p != dataDir)
+      .foreach { d =>
+        val ls = Files.list(d)
+        val empty = try !ls.iterator().hasNext finally ls.close()
+        if (empty) Files.deleteIfExists(d)
+      }
+    finally dirStream.close()
+    orphans
+  }
 
   private def nextSchemaId: Int = {
     var i = 0

@@ -175,6 +175,50 @@ class EngineSpec extends AnyFunSuite {
     assertEquivalent(engine, df)
   }
 
+  test("time travel: stateAt(old snapshot) reproduces the old state and schema") {
+    val ev = Synth.events(spark, 2000, seed = 8)
+    val engine = newEngine(EngineConf(buckets = 8))
+    val bs = Synth.batches(ev, 2, 2000)
+    val r0 = engine.applyBatch(0, bs(0))
+    val stateAfter0 = engine.currentState().collect().map(_.toString).sorted
+    engine.applyBatch(1, bs(1))
+    assert(engine.table.currentSnapshotId > r0.snapshotId)
+    val travelled = engine.stateAt(r0.snapshotId).collect().map(_.toString).sorted
+    assert(travelled === stateAfter0)
+    // schema evolution after the snapshot must not leak into the old read
+    import org.apache.spark.sql.types._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("rX", "p", "c", "scala", "b", "I", 99999L, 0, ts, 1))),
+      StructType(graft.model.ChangeEvent.schema.fields :+ StructField("size", IntegerType)))
+    engine.applyBatch(2, extra)
+    assert(engine.currentState().columns.contains("size"))
+    assert(!engine.stateAt(r0.snapshotId).columns.contains("size"))
+  }
+
+  test("vacuum removes orphan data files but never referenced ones") {
+    val ev = Synth.events(spark, 1000, seed = 9)
+    val engine = newEngine(EngineConf(buckets = 4))
+    val bs = Synth.batches(ev, 2, 1000)
+    engine.applyBatch(0, bs(0))
+    engine.applyBatch(1, bs(1))
+    val before = engine.currentState().collect().map(_.toString).sorted
+    // plant an orphan (simulates a crash between data write and commit)
+    val orphan = engine.table.root.resolve("data").resolve("crashed").resolve("part-0.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.writeString(orphan, "garbage")
+    val removed = engine.table.vacuum()
+    assert(removed.exists(_.contains("crashed")))
+    assert(!java.nio.file.Files.exists(orphan))
+    // every referenced file still present; state identical
+    engine.table.currentFiles().foreach(f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)), s"lost $f"))
+    assert(engine.currentState().collect().map(_.toString).sorted === before)
+    // time-travel to the pre-vacuum parent snapshot also still works:
+    // vacuum keeps the whole chain's files, not just the head's
+    assert(engine.stateAt(0).count() > 0)
+  }
+
   test("lineage records source offset ranges per bucket") {
     val ev = Synth.events(spark, 500, seed = 6)
     val engine = newEngine(EngineConf(buckets = 4))
