@@ -142,8 +142,18 @@ class CdcEngine(
   }
 
   /** The ACI last-writer-wins reduction: per key, per cell column, keep the
-    * struct with the greatest (l, s). Optionally two-phase over a salt to
-    * spread hot keys (north-rule skew handling). */
+    * struct with the greatest (l, s) — null cells (column absent = carry
+    * forward) are skipped by max(). Optionally two-phase over a salt to
+    * spread hot keys (north-rule skew handling).
+    *
+    * Plan note: this is a SortAggregate by necessity, and that is the right
+    * plan. HashAggregateExec only supports fixed-size primitive aggregation
+    * buffers; any latest-row aggregate whose buffer carries a string/struct
+    * (max(struct), max_by, window row_number alike) sorts per partition.
+    * What matters at scale is preserved: ONE shuffle on the key, map-side
+    * partial aggregation before it, no per-row lookups. (max_by was tried:
+    * same SortAggregate, with a second buffer column for the ordering —
+    * strictly fatter than max(struct).) */
   private def lwwAgg(df: DataFrame, cellCols: Seq[String]): DataFrame = {
     def aggs = cellCols.map(c => max(col(c)).as(c))
     if (conf.saltBuckets > 1) {

@@ -70,8 +70,11 @@ object Relational {
         .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
     }),
 
-    // A8/W2/J5: latest row per key — the LWW core, implemented as a single
-    // hash aggregation max(struct(order, payload)) with NO window sort.
+    // A8/W2/J5: latest row per key — the LWW core: ONE aggregation, one
+    // shuffle, map-side partial agg, no window. (It plans as SortAggregate:
+    // Spark's HashAggregateExec cannot hold string/struct buffers, so every
+    // latest-row formulation — max(struct), max_by, row_number — sorts per
+    // partition; max(struct) carries the leanest buffer.)
     // (reference DISTINCT ON ... ORDER BY snapshot_key DESC, sql_queries/task3.sql)
     "q06_latest_per_key" -> ((s, dir) => {
       t(s, dir, "events")

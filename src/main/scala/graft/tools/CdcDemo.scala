@@ -22,6 +22,7 @@ object CdcDemo {
       .master("local[8]")
       .appName("cdc-demo")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

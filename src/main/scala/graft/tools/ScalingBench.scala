@@ -63,6 +63,7 @@ object ScalingBench {
       .master(s"local[$cores]")
       .appName(s"cdc-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: at 100 TB the PLAN is the product, so the
+  * properties that make these queries scale are pinned as tests — filters
+  * and column pruning reaching the parquet scan, small dimensions broadcast,
+  * latest-per-key as a hash aggregate (no window sort), codegen on the hot
+  * paths. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the AQE plan — pre-execution it hides codegen/join choices
+    // keep only the final plan (the dump appends the pre-AQE initial plan too)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q02: predicate and projection push down to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"expected pushed filters on l_shipdate in:\n$p")
+    // pruned read schema: only the 4 needed columns are read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "scan reads columns the query never uses")
+  }
+
+  test("q03: star-schema dims are broadcast, not shuffled") {
+    val p = plan("q03_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to sort-merge")
+  }
+
+  test("q06: latest-per-key is one aggregation over one shuffle — no window") {
+    val p = plan("q06_latest_per_key")
+    // SortAggregate is expected: HashAggregateExec cannot hold struct/string
+    // buffers. The scale properties are partial agg + a single exchange.
+    assert(p.contains("partial_max"), s"expected map-side partial aggregation in:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one shuffle in:\n$p")
+    assert(!p.contains("Window"), "latest-per-key should not need a window")
+  }
+
+  test("q01: whole-stage codegen covers the aggregation path") {
+    val p = plan("q01_pricing_summary")
+    // AQE's final-plan string marks codegen stages with a "*(n)" prefix
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"expected codegen spans in:\n$p")
+  }
+
+  test("q04: anti join stays a broadcast/hash join") {
+    val p = plan("q04_anti_join")
+    assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
+  }
+
+  test("engine merge plan: state+batch LWW is a hash aggregate over a single shuffle") {
+    import graft.engine.{CdcEngine, EngineConf}
+    import graft.icelite.IceliteTable
+    val dir = SparkTestBase.tmpDir("planspec")
+    val engine = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    engine.applyBatch(0, graft.synth.Synth.events(spark, 500, seed = 13))
+    val p = engine.currentState().queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "current-state read must not sort")
+    // after one batch the read is a plain scan + project/filter
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), s"unexpected plan:\n$p")
+  }
+}

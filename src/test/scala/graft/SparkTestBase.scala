@@ -8,6 +8,7 @@ object SparkTestBase {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
