@@ -291,6 +291,32 @@ class CdcEngine(
   def currentCells(buckets: Option[Set[Int]] = None): DataFrame =
     readStateCells(buckets, tablePayload)
 
+  // ---------------------------------------------------------------- maintenance
+
+  /** Compaction: rewrite each selected bucket's file list into one file
+    * (Iceberg's rewrite_data_files). The MERGE is copy-on-write per bucket,
+    * so multiple files per bucket arise from salted hot-bucket writes
+    * (`writeSaltPerBucket` > 1) — compaction folds them back to one file per
+    * bucket for cheaper state reads. Commits a new snapshot (batchEpoch=-1 —
+    * not an ingest epoch); older snapshots keep referencing the old files,
+    * so time travel is unaffected and `vacuum` (which walks the whole chain)
+    * keeps them until snapshots are expired. Returns the new snapshot id. */
+  def compact(buckets: Option[Set[Int]] = None): Long = {
+    val payload = tablePayload
+    val groups = table.currentFileGroups(buckets)
+    if (groups.isEmpty) return table.currentSnapshotId
+    val selected: Set[Int] = buckets.getOrElse(
+      table.currentSnapshot.map(_.bucketFiles.keySet.map(_.toInt)).getOrElse(Set.empty))
+    val cells = readStateCells(Some(selected), payload)
+    val outDir = table.root.resolve("data").resolve(f"compact-${System.nanoTime()}%x")
+    cells.withColumn("__b", bucketCol)
+      .repartition(selected.size, col("__b"))
+      .write.partitionBy("__b").parquet(outDir.toString)
+    val bucketFiles = CdcEngine.listBucketFiles(outDir, table)
+    val sid = table.ensureSchema(stateSchema(payload))
+    table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0).snapshotId
+  }
+
   // ---------------------------------------------------------------- misc
 
   private def appendMetrics(epoch: Long, snapId: Long, events: Long, buckets: Int,

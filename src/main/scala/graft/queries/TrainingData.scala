@@ -51,16 +51,14 @@ object TrainingData {
     if (distinctTokens) tk.distinct() else tk
   }
 
-  /** Unrolled dot product over fixed-dim (64) float arrays: a left-to-right
-    * chain of GetArrayItem*GetArrayItem terms — whole-stage-codegen'd, no
-    * per-pair array allocation (the zip_with/aggregate HOF route is
-    * interpreted and ~10x slower on the pair-join hot path). Summation order
-    * equals the sequential fold, so results are bit-identical to the oracle's
-    * ordered sum. */
-  private val DIM = 64
+  /** Native-expression dot product (graft.functions.VecDot, codegen'd tight
+    * loop): the zip_with/aggregate HOF route is interpreted, ~10x slower on
+    * the pair-join hot path. Summation is sequential (index order), so
+    * results are bit-identical to the oracle's ordered fold. Queries using
+    * it call `VecOps.register(s)` first (Column-level wiring goes through
+    * the session function registry). */
   private def dot(a: Column, b: Column): Column =
-    (0 until DIM).map(i => a.getItem(i).cast("double") * b.getItem(i).cast("double"))
-      .reduce(_ + _)
+    graft.functions.VecOps.dot(a, b)
 
   /** exact-jaccard verification of candidate (da, db) pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
@@ -151,6 +149,7 @@ object TrainingData {
     // Embedding cosine near-dup (set-based, threshold in a verified gap of
     // the data so float-ulp noise cannot flip membership)
     "q26_embed_neardup" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -164,6 +163,7 @@ object TrainingData {
     // Brute-force cosine top-k ANN — the correctness baseline for
     // similarity search (probes x corpus, fully distributed)
     "q27_ann_topk" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -182,6 +182,7 @@ object TrainingData {
     // top-1 neighbor within bucket. The scale path: candidate set is
     // bucket-local, never all-pairs.
     "q28_ann_lsh" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))

@@ -219,6 +219,24 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.stateAt(0).count() > 0)
   }
 
+  test("compaction folds salted multi-file buckets to one file, state unchanged") {
+    val ev = Synth.events(spark, 3000, seed = 10, hotPct = 60, repos = 3, pathsPerRepo = 40)
+    val engine = newEngine(EngineConf(buckets = 4, writeSaltPerBucket = 3))
+    Synth.batches(ev, 2, 3000).zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
+    val before = engine.currentState().collect().map(_.toString).sorted
+    val filesBefore = engine.table.currentFiles().size
+    assert(filesBefore > 4, s"expected salted multi-file buckets, got $filesBefore files")
+    val preSnap = engine.table.currentSnapshotId
+    engine.compact()
+    val filesAfter = engine.table.currentFiles().size
+    assert(filesAfter <= 4, s"expected <=1 file per bucket after compact, got $filesAfter")
+    assert(engine.currentState().collect().map(_.toString).sorted === before)
+    // time travel to the pre-compaction snapshot still reads the old files
+    assert(engine.stateAt(preSnap).collect().map(_.toString).sorted === before)
+    // compaction snapshot is not an ingest epoch: epoch bookkeeping unaffected
+    assert(engine.table.committedEpochs === Set(0L, 1L))
+  }
+
   test("lineage records source offset ranges per bucket") {
     val ev = Synth.events(spark, 500, seed = 6)
     val engine = newEngine(EngineConf(buckets = 4))
