@@ -339,6 +339,23 @@ object Relational {
       visited.groupBy(col("node")).agg(min(col("hop")).as("hop"))
     }),
 
+    // Gap-based sessionization: lag -> new-session flag -> running sum =
+    // session id (single window partitioning, two passes, no self-join).
+    // The batch analog of streaming session windows.
+    "q39_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1).otherwise(0))
+        .withColumn("sess", sum(col("new_s")).over(cum))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .withColumn("avg_per_session", round(col("n_events") / col("n_sessions"), 4))
+    }),
+
     // F12: higher-order array functions — filter / transform / aggregate
     // over a token array (the reference's evaNumbers lambda filter,
     // /root/reference/spark_etl/spark_batched.py:165-171)
@@ -502,6 +519,21 @@ object Relational {
            UNION ALL
            SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hop < 3)
          SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""",
+    "q39_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+           FROM events),
+         f AS (SELECT user_id, ts, event_id,
+                  CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                       THEN 1 ELSE 0 END new_s
+           FROM x),
+         se AS (SELECT user_id,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+           FROM f)
+         SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events,
+                round(count(*)*1.0/max(sess), 4) AS avg_per_session
+         FROM se GROUP BY 1""",
     "q38_higher_order" ->
       """SELECT p_partkey,
            CAST(len(list_filter(string_split(p_name, ' '), x -> len(x) > 4)) AS INT) AS n_long,

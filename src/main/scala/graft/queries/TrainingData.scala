@@ -89,7 +89,7 @@ object TrainingData {
     // every other), so the exact baseline runs on a bounded sample —
     // q24 (MinHash+LSH) is the full-set scale path.
     "q23_dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(t(s, dir, "documents").filter(col("doc_id") < 500))
+      val sh = shingles(t(s, dir, "documents").filter(col("doc_id") < 500)).cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -107,7 +107,9 @@ object TrainingData {
     // band-bucket join (linear-ish), then exact-Jaccard verify on the
     // (small) candidate set. THE near-dup scale path: no all-pairs stage.
     "q24_dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingles(t(s, dir, "documents"))
+      // cached: the distinct shingle set feeds the signature build AND both
+      // sides of the exact-Jaccard verify — uncached it is computed 3x
+      val sh = shingles(t(s, dir, "documents")).cache()
       // 12 INDEPENDENT salted hashes. (A Kirsch-Mitzenmacher a+i*b scheme
       // was tried and reverted: correlated minima make stop-shingle docs
       // share whole bands, degenerating the candidate join toward all-pairs.)

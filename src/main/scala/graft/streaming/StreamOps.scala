@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the CDC event stream (SURVEY §2.9 beyond the
+  * sink path): event-time tumbling windows with a watermark, and custom
+  * keyed state via mapGroupsWithState. The MERGE sink itself deliberately
+  * keeps its state in the icelite table (no state store, no watermark);
+  * these operators cover the aggregation-side streaming surface. */
+object StreamOps {
+
+  /** Tumbling event-time counts per (window, op) with a watermark bounding
+    * state: late events beyond `lateness` are dropped, closed windows are
+    * evicted from the state store. Works on any ChangeEvent-shaped stream. */
+  def windowedOpCounts(events: DataFrame, window_ : String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).getField("start").as("w_start"), col("op"))
+      .agg(count(lit(1)).as("n"), approx_count_distinct("repo").as("n_repos"))
+
+  case class RepoStats(repo: String, events: Long, lastLsn: Long)
+
+  /** Custom keyed streaming state: running per-repo event count + high-water
+    * LSN via mapGroupsWithState (the KeyValueGroupedDataset state API).
+    * Emits the updated stats for every repo seen in the micro-batch. */
+  def repoStats(events: Dataset[graft.model.ChangeEvent]): Dataset[RepoStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.repo)
+      .mapGroupsWithState[RepoStats, RepoStats](GroupStateTimeout.NoTimeout) {
+        (repo, batch, state: GroupState[RepoStats]) =>
+          val prev = state.getOption.getOrElse(RepoStats(repo, 0L, -1L))
+          var n = prev.events
+          var hi = prev.lastLsn
+          batch.foreach { e => n += 1; if (e.commit_lsn > hi) hi = e.commit_lsn }
+          val next = RepoStats(repo, n, hi)
+          state.update(next)
+          next
+      }
+  }
+}
