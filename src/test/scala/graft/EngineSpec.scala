@@ -100,6 +100,21 @@ class EngineSpec extends AnyFunSuite {
     assertEquivalent(engine2, ev)
   }
 
+  test("resume from EVERY checkpoint cut point yields the uninterrupted state") {
+    val ev = Synth.events(spark, 2000, seed = 12)
+    val batches = Synth.batches(ev, 4, 2000).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+    for (cut <- 0 to 4) {
+      val engine = newEngine(EngineConf(buckets = 8))
+      new MicroBatchRunner(engine).run(batches.take(cut))
+      // crash: fresh runner + engine over the same table, full replay
+      val engine2 = new CdcEngine(spark,
+        graft.icelite.IceliteTable.load(engine.table.root.toString), engine.conf)
+      val results = new MicroBatchRunner(engine2).run(batches)
+      assert(results.take(cut).forall(_.skipped), s"cut=$cut: committed epochs re-applied")
+      assertEquivalent(engine2, ev)
+    }
+  }
+
   test("salted two-phase merge produces identical state under hot-key skew") {
     val ev = Synth.events(spark, N, seed = 5, hotPct = 80, repos = 5, pathsPerRepo = 50)
     val plain = newEngine(EngineConf(buckets = 8))
