@@ -60,7 +60,10 @@ object Icelite {
       bucketSchemaIds: Map[String, Int],
       lineage: List[BucketLineage],
       totalRows: Long,
-      commitMillis: Long)
+      commitMillis: Long,
+      // epochs of snapshots expired beneath this one (chain re-root keeps
+      // exactly-once bookkeeping intact after expireSnapshots)
+      carriedEpochs: List[Long] = Nil)
 
   case class TableMeta(keyCols: List[String], buckets: Int)
 
@@ -103,7 +106,12 @@ class IceliteTable private (val root: Path) {
   def committedEpochs: Set[Long] = {
     var id = currentSnapshotId
     val b = Set.newBuilder[Long]
-    while (id >= 0) { val s = snapshot(id); if (s.batchEpoch >= 0) b += s.batchEpoch; id = s.parentId }
+    while (id >= 0) {
+      val s = snapshot(id)
+      if (s.batchEpoch >= 0) b += s.batchEpoch
+      b ++= s.carriedEpochs
+      id = s.parentId
+    }
     b.result()
   }
 
@@ -150,12 +158,34 @@ class IceliteTable private (val root: Path) {
         sid -> entries.flatMap(_._2).map(rel => root.resolve(rel).toString)
       }
 
+  /** Expire history: truncate the snapshot chain to the most recent
+    * `keepLast` snapshots (Iceberg's expire_snapshots). The oldest kept
+    * snapshot is re-rooted (parentId -1); expired snapshot manifests are
+    * deleted, after which `vacuum()` reclaims any data files only they
+    * referenced. Epochs recorded by expired snapshots stay visible through
+    * the kept chain ONLY if re-listed — so expiration keeps the epoch set of
+    * the expired prefix on the new root to preserve exactly-once semantics.
+    * Returns the ids of expired snapshots. */
+  def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val chain = snapshotChain
+    if (chain.size <= keepLast) return Seq.empty
+    val (expired, kept) = chain.splitAt(chain.size - keepLast)
+    val epochsToCarry = expired.map(_.batchEpoch).filter(_ >= 0)
+    val newRoot = kept.head.copy(parentId = -1L,
+      carriedEpochs = (kept.head.carriedEpochs ++ epochsToCarry).distinct.sorted)
+    write(metaDir.resolve(s"snap-${newRoot.snapshotId}.json"), Serialization.writePretty(newRoot))
+    expired.foreach(s => Files.deleteIfExists(metaDir.resolve(s"snap-${s.snapshotId}.json")))
+    expired.map(_.snapshotId)
+  }
+
   /** Garbage-collect data files not referenced by ANY snapshot in the current
-    * chain — orphans from crashes between data write and pointer commit, or
-    * from aborted writers. Returns the deleted table-relative paths. Safe by
-    * construction: only manifest-listed files are ever read, and the chain is
-    * walked from the current pointer, so a concurrent reader of any committed
-    * snapshot never loses a file. */
+    * chain — orphans from crashes between data write and pointer commit,
+    * from aborted writers, or files only expired snapshots referenced.
+    * Returns the deleted table-relative paths. Safe by construction: only
+    * manifest-listed files are ever read, and the chain is walked from the
+    * current pointer, so a concurrent reader of any committed snapshot never
+    * loses a file. */
   def vacuum(): Seq[String] = {
     val referenced: Set[String] =
       snapshotChain.flatMap(_.bucketFiles.valuesIterator.flatten).toSet

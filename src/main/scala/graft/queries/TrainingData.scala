@@ -110,11 +110,21 @@ object TrainingData {
       // cached: the distinct shingle set feeds the signature build AND both
       // sides of the exact-Jaccard verify — uncached it is computed 3x
       val sh = shingles(t(s, dir, "documents")).cache()
-      // 12 INDEPENDENT salted hashes. (A Kirsch-Mitzenmacher a+i*b scheme
-      // was tried and reverted: correlated minima make stop-shingle docs
-      // share whole bands, degenerating the candidate join toward all-pairs.)
-      val mhAggs = (0 until 12).map(i =>
-        min(hash64(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+      // 12 independent hash functions from TWO md5 digests: h_i = the i-th
+      // disjoint 5-hex-char (20-bit) slice. Disjoint bit slices of a digest
+      // are independent uniform functions of the shingle, so per-slice argmin
+      // shingles differ — unlike a Kirsch-Mitzenmacher a+i*b scheme (tried,
+      // reverted: its minima are correlated across i, making stop-shingle
+      // docs share whole bands and degenerating the candidate join toward
+      // all-pairs). 20-bit space >> ~300 shingles/doc, so min-ties across
+      // docs are negligible; 2 digests instead of 12 = 6x less hashing.
+      val d1 = md5(col("s"))
+      val d2 = md5(concat(lit("x:"), col("s")))
+      def slice(d: Column, i: Int) = conv(substring(d, 1 + 5 * i, 5), 16, 10).cast("long")
+      val mhAggs = (0 until 12).map { i =>
+        val h = if (i < 6) slice(d1, i) else slice(d2, i - 6)
+        min(h).as(s"mh$i")
+      }
       val sig = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
       val bands = (0 until 4).map { b =>
         sig.select(col("doc_id"), lit(b).as("bidx"),
@@ -291,8 +301,11 @@ object TrainingData {
          FROM inter JOIN cnt ca ON ca.doc_id=da JOIN cnt cb ON cb.doc_id=db
          WHERE c*1.0/(ca.n+cb.n-c) >= 0.7""",
     "q24_dedup_minhash_lsh" -> {
-      val mh = (0 until 12).map(i =>
-        s"min(('0x' || substr(md5('$i:' || s),1,15))::BIGINT) AS mh$i").mkString(", ")
+      val mh = (0 until 12).map { i =>
+        val src = if (i < 6) s"md5(s)" else s"md5('x:' || s)"
+        val p = 1 + 5 * (if (i < 6) i else i - 6)
+        s"min(('0x' || substr($src,$p,5))::BIGINT) AS mh$i"
+      }.mkString(", ")
       val bandSel = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS bidx, mh${3*b} || '-' || mh${3*b+1} || '-' || mh${3*b+2} AS band FROM sig")
         .mkString(" UNION ALL ")

@@ -234,6 +234,26 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.stateAt(0).count() > 0)
   }
 
+  test("expireSnapshots truncates history, keeps exactly-once epochs, vacuum reclaims") {
+    val ev = Synth.events(spark, 2000, seed = 14)
+    val engine = newEngine(EngineConf(buckets = 4))
+    val bs = Synth.batches(ev, 4, 2000)
+    bs.zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
+    val before = engine.currentState().collect().map(_.toString).sorted
+    val expired = engine.table.expireSnapshots(keepLast = 2)
+    assert(expired === Seq(0L, 1L))
+    assert(engine.table.snapshotChain.map(_.snapshotId) === List(2L, 3L))
+    // exactly-once bookkeeping survives: re-applying an expired epoch no-ops
+    assert(engine.table.committedEpochs === Set(0L, 1L, 2L, 3L))
+    assert(engine.applyBatch(0, bs(0)).skipped)
+    // files only old snapshots referenced are reclaimed; state intact
+    val removed = engine.table.vacuum()
+    assert(removed.nonEmpty, "expected expired-only files to be reclaimed")
+    assert(engine.currentState().collect().map(_.toString).sorted === before)
+    // kept history still time-travels
+    assert(engine.stateAt(2L).count() > 0)
+  }
+
   test("compaction folds salted multi-file buckets to one file, state unchanged") {
     val ev = Synth.events(spark, 3000, seed = 10, hotPct = 60, repos = 3, pathsPerRepo = 40)
     val engine = newEngine(EngineConf(buckets = 4, writeSaltPerBucket = 3))
