@@ -356,6 +356,33 @@ object Relational {
         .withColumn("avg_per_session", round(col("n_events") / col("n_sessions"), 4))
     }),
 
+    // Temporal earliest-arrival reachability (3 relaxation rounds) — the
+    // reference's connection-scan earliest_arrival
+    // (/root/reference/graph/earliest_arrival.py:107-205) re-expressed as
+    // iterative DataFrame relaxation: connection usable iff it departs at or
+    // after the node's current earliest arrival. The (tiny) arrival frontier
+    // is broadcast each round; connections stay partitioned — no all-pairs.
+    "q40_earliest_arrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val conns = t(s, dir, "events")
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .withColumn("arr", lead(col("ts"), 1).over(w))
+        .filter(col("dst").isNotNull && col("arr") > col("ts"))
+        .select(col("event_type").as("src"), col("dst"), col("ts").as("dep"), col("arr"))
+        .distinct().cache()
+      var arrival = t(s, dir, "events").filter(col("event_type") === "click")
+        .agg(min(col("ts")).as("arr_ts"))
+        .select(lit("click").as("node"), col("arr_ts"))
+      for (_ <- 1 to 3) {
+        val cand = broadcast(arrival).join(conns,
+            col("node") === col("src") && col("dep") >= col("arr_ts"))
+          .select(col("dst").as("node"), col("arr").as("arr_ts"))
+        arrival = arrival.unionByName(cand)
+          .groupBy(col("node")).agg(min(col("arr_ts")).as("arr_ts"))
+      }
+      arrival
+    }),
+
     // F12: higher-order array functions — filter / transform / aggregate
     // over a token array (the reference's evaNumbers lambda filter,
     // /root/reference/spark_etl/spark_batched.py:165-171)
@@ -519,6 +546,30 @@ object Relational {
            UNION ALL
            SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hop < 3)
          SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""",
+    "q40_earliest_arrival" ->
+      """WITH legs AS (
+           SELECT event_type src, ts dep,
+                  lead(event_type) OVER w dst, lead(ts) OVER w arr
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         conns AS (SELECT DISTINCT src, dst, dep, arr FROM legs
+                   WHERE dst IS NOT NULL AND arr > dep),
+         a0 AS (SELECT 'click' AS node, min(ts) AS arr_ts FROM events WHERE event_type='click'),
+         a1 AS (SELECT node, min(arr_ts) AS arr_ts FROM (
+                  SELECT node, arr_ts FROM a0
+                  UNION ALL
+                  SELECT c.dst, c.arr FROM a0 JOIN conns c ON c.src = a0.node AND c.dep >= a0.arr_ts
+                ) GROUP BY 1),
+         a2 AS (SELECT node, min(arr_ts) AS arr_ts FROM (
+                  SELECT node, arr_ts FROM a1
+                  UNION ALL
+                  SELECT c.dst, c.arr FROM a1 JOIN conns c ON c.src = a1.node AND c.dep >= a1.arr_ts
+                ) GROUP BY 1),
+         a3 AS (SELECT node, min(arr_ts) AS arr_ts FROM (
+                  SELECT node, arr_ts FROM a2
+                  UNION ALL
+                  SELECT c.dst, c.arr FROM a2 JOIN conns c ON c.src = a2.node AND c.dep >= a2.arr_ts
+                ) GROUP BY 1)
+         SELECT node, arr_ts FROM a3""",
     "q39_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
