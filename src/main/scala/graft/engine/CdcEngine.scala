@@ -78,9 +78,16 @@ class CdcEngine(
 
   // ---------------------------------------------------------------- schema
 
-  /** Payload fields of an incoming flat batch (everything not envelope). */
-  private def payloadOf(df: DataFrame): StructType =
+  /** Payload fields of an incoming flat batch (everything not envelope).
+    * Reserved names would silently collide with the engine's internal
+    * columns (cell envelope, bucket/salt partitioners) — reject loudly. */
+  private def payloadOf(df: DataFrame): StructType = {
+    val reserved = Set(OpCell, TsCell, "__b", SaltCol)
+    val bad = df.schema.fieldNames.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"batch uses reserved column name(s): ${bad.mkString(", ")}")
     StructType(df.schema.fields.filterNot(f => ChangeEvent.envelopeCols.contains(f.name)))
+  }
 
   /** Payload fields recorded in the table's current (cell-form) schema. */
   private def tablePayload: StructType = table.currentSchema match {
@@ -187,8 +194,11 @@ class CdcEngine(
 
     // Per-bucket source-offset lineage straight off the raw batch (one cheap
     // aggregation; also yields the affected-bucket set for manifest pruning).
+    // same validity predicate as batchToCells so lineage counts exactly the
+    // applied events (a null-op row must not inflate lineage)
     val lineageRows = batchRaw
-      .filter(keyColumns.map(_.isNotNull).reduce(_ && _) && col("commit_lsn").isNotNull)
+      .filter(keyColumns.map(_.isNotNull).reduce(_ && _) &&
+        col("op").isNotNull && col("commit_lsn").isNotNull && col("seq").isNotNull)
       .groupBy(bucketCol.as("__b"))
       .agg(min("commit_lsn").as("lmin"), max("commit_lsn").as("lmax"), count(lit(1)).as("n"))
       .collect()

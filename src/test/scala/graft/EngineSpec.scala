@@ -272,6 +272,31 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.table.committedEpochs === Set(0L, 1L))
   }
 
+  test("reserved payload column names are rejected loudly") {
+    val engine = newEngine(EngineConf(buckets = 4))
+    val bad = Synth.events(spark, 10, seed = 15).withColumn("__b", col("commit_lsn"))
+    assertThrows[IllegalArgumentException](engine.applyBatch(0, bad))
+    val bad2 = Synth.events(spark, 10, seed = 15).withColumn("_op", col("op"))
+    assertThrows[IllegalArgumentException](engine.applyBatch(0, bad2))
+  }
+
+  test("malformed rows (null key/op/lsn) are dropped and excluded from lineage") {
+    import org.apache.spark.sql.types._
+    val engine = newEngine(EngineConf(buckets = 4))
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = Seq(
+      Row("r", "a", "c1", "scala", "x", "I", 1L, 0, ts),
+      Row(null, "b", "c2", "scala", "y", "I", 2L, 0, ts), // null key
+      Row("r", "c", "c3", "scala", "z", null, 3L, 0, ts), // null op
+      Row("r", "d", "c4", "scala", "w", "I", null, null, ts)) // null lsn/seq
+    val schema = StructType(graft.model.ChangeEvent.schema.fields.map(_.copy(nullable = true)))
+    engine.applyBatch(0, spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+    val st = engine.currentState().collect()
+    assert(st.map(_.getString(1)).toSet === Set("a"))
+    val snap = engine.table.currentSnapshot.get
+    assert(snap.lineage.map(_.events).sum === 1) // only the valid row counted
+  }
+
   test("lineage records source offset ranges per bucket") {
     val ev = Synth.events(spark, 500, seed = 6)
     val engine = newEngine(EngineConf(buckets = 4))
