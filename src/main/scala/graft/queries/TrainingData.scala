@@ -273,6 +273,46 @@ object TrainingData {
         .agg((sum(col("w") * col("th")) % 2147483647L).as("fp"))
     }),
 
+    // Stratified sampling: per-class rates via a deterministic content-hash
+    // threshold — reproducible across runs/engines, no RNG state, trivially
+    // distributed (the standard training-data downsampling pattern)
+    "q41_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 25).otherwise(10)
+      t(s, dir, "documents")
+        .filter(pmod(hash64(col("text")), lit(100)) < rate)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Near-dup CLUSTERS: SimHash pairs -> connected components via 3 rounds
+    // of min-label propagation over (edges + self-loops) — the step that
+    // turns pairwise candidates into canonical keep/drop groups. Iterative
+    // join+groupBy, no driver-side union-find; at scale rounds ~ component
+    // diameter (near-dup clusters are shallow).
+    "q42_dedup_clusters" -> ((s, dir) => {
+      val tk = tokens(t(s, dir, "documents"), distinctTokens = true)
+        .withColumn("th", hash64(col("tkn")))
+      val bitAggs = (0 until 16).map(j =>
+        sum(when(expr(s"shiftright(th, $j) & 1") === 1, lit(1)).otherwise(lit(-1))).as(s"s$j"))
+      val sj = tk.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      val fp = sj.select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+      val pairs = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(expr("bit_count(a.fp ^ b.fp)") <= 3)
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      val nodes = pairs.select(col("a").as("n")).unionAll(pairs.select(col("b").as("n"))).distinct()
+      val aug = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+        .unionAll(nodes.select(col("n").as("a"), col("n").as("b"))).distinct().cache()
+      var labels = nodes.select(col("n").as("doc_id"), col("n").as("cluster"))
+      for (_ <- 1 to 3) {
+        labels = aug.join(labels, col("b") === col("doc_id"))
+          .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
+          .select(col("a").as("doc_id"), col("cluster"))
+      }
+      labels
+    }),
+
     // Multimodal plumbing: opaque binary column + deterministic metadata
     // extraction (decode itself is stubbed — no image/audio libs in the
     // sandbox; see Multimodal.scala for the mapPartitions batch path)
@@ -407,6 +447,28 @@ object TrainingData {
                       (('0x' || substr(md5(tks[i]),1,15))::BIGINT) % 1000003 th
                FROM p)
          SELECT doc_id, CAST(sum(w * th) % 2147483647 AS BIGINT) AS fp FROM x GROUP BY 1""",
+    "q41_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(text),1,15))::BIGINT % 100 <
+               CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END""",
+    "q42_dedup_clusters" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+         th AS (SELECT doc_id, tkn, ('0x' || substr(md5(tkn),1,15))::BIGINT h FROM tk),
+         bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) sj
+                  FROM th, (SELECT unnest(generate_series(0,15)) j) GROUP BY 1,2),
+         fp AS (SELECT doc_id, CAST(sum(CASE WHEN sj >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) fp
+                FROM bits GROUP BY 1),
+         pairs AS (SELECT a.doc_id a, b.doc_id b FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         nodes AS (SELECT DISTINCT n FROM (SELECT a n FROM pairs UNION ALL SELECT b FROM pairs)),
+         aug AS (SELECT DISTINCT a, b FROM (
+                  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+                  UNION ALL SELECT n, n FROM nodes)),
+         l0 AS (SELECT n doc_id, n cl FROM nodes),
+         l1 AS (SELECT aug.a doc_id, min(l0.cl) cl FROM aug JOIN l0 ON aug.b = l0.doc_id GROUP BY 1),
+         l2 AS (SELECT aug.a doc_id, min(l1.cl) cl FROM aug JOIN l1 ON aug.b = l1.doc_id GROUP BY 1),
+         l3 AS (SELECT aug.a doc_id, min(l2.cl) cl FROM aug JOIN l2 ON aug.b = l2.doc_id GROUP BY 1)
+         SELECT doc_id, cl AS "cluster" FROM l3""",
     "q33_multimodal_stub" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
