@@ -86,6 +86,10 @@ class CdcEngine(
     val bad = df.schema.fieldNames.filter(reserved.contains)
     require(bad.isEmpty,
       s"batch uses reserved column name(s): ${bad.mkString(", ")}")
+    val missing = ChangeEvent.envelopeCols.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"batch is missing envelope column(s): ${missing.mkString(", ")} " +
+        s"(required: ${ChangeEvent.envelopeCols.mkString(", ")})")
     StructType(df.schema.fields.filterNot(f => ChangeEvent.envelopeCols.contains(f.name)))
   }
 

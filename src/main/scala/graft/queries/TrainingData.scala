@@ -298,9 +298,12 @@ object TrainingData {
       val fp = sj.select(col("doc_id"),
         (0 until 16).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
+      // cached: the all-pairs fingerprint scan feeds pairs, nodes AND the
+      // augmented edge set — uncached the union recomputes it three times
       val pairs = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
         .filter(expr("bit_count(a.fp ^ b.fp)") <= 3)
         .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .cache()
       val nodes = pairs.select(col("a").as("n")).unionAll(pairs.select(col("b").as("n"))).distinct()
       val aug = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
         .unionAll(nodes.select(col("n").as("a"), col("n").as("b"))).distinct().cache()

@@ -278,6 +278,9 @@ class EngineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](engine.applyBatch(0, bad))
     val bad2 = Synth.events(spark, 10, seed = 15).withColumn("_op", col("op"))
     assertThrows[IllegalArgumentException](engine.applyBatch(0, bad2))
+    val bad3 = Synth.events(spark, 10, seed = 15).drop("op", "seq")
+    val e = intercept[IllegalArgumentException](engine.applyBatch(0, bad3))
+    assert(e.getMessage.contains("missing envelope"))
   }
 
   test("malformed rows (null key/op/lsn) are dropped and excluded from lineage") {
