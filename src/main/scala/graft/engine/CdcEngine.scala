@@ -305,6 +305,38 @@ class CdcEngine(
   def currentCells(buckets: Option[Set[Int]] = None): DataFrame =
     readStateCells(buckets, tablePayload)
 
+  /** Highest source LSN applied up to and including `snapshotId` (from the
+    * per-bucket lineage records; -1 for an empty chain prefix). */
+  def highWatermark(snapshotId: Long): Long = {
+    var id = snapshotId
+    var hwm = -1L
+    while (id >= 0) {
+      val s = table.snapshot(id)
+      for (l <- s.lineage) if (l.lsnMax > hwm) hwm = l.lsnMax
+      id = s.parentId
+    }
+    hwm
+  }
+
+  /** Incremental change feed: rows whose last-writer LSN is beyond the high
+    * watermark of `sinceSnapshotId` — i.e. every key inserted, updated or
+    * tombstoned after that snapshot, in current (merged) form. Unlike
+    * `currentState`, deletes ARE included (`_op = "D"`) so a downstream
+    * consumer can apply them; `_lsn` orders the feed. The LSN predicate
+    * lands on the `_op.l` parquet column, so row-group stats skip files
+    * whose whole range predates the watermark. */
+  def changesSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None): DataFrame = {
+    val hwm = highWatermark(sinceSnapshotId)
+    val payload = tablePayload
+    val cells = readStateCells(buckets, payload)
+    val flat = payload.fieldNames.toSeq.map(c => col(s"$c.v").as(c))
+    cells
+      .filter(col(s"$OpCell.l") > hwm)
+      .select((keyColumns ++ flat ++ Seq(
+        col(s"$OpCell.v").as("_op"), col(s"$OpCell.l").as("_lsn"),
+        col(s"$OpCell.s").as("_seq"), col(s"$TsCell.v").as("_ts"))): _*)
+  }
+
   // ---------------------------------------------------------------- maintenance
 
   /** Compaction: rewrite each selected bucket's file list into one file

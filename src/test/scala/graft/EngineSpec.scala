@@ -272,6 +272,30 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.table.committedEpochs === Set(0L, 1L))
   }
 
+  test("changesSince(snapshot) feeds exactly the keys touched after it, deletes included") {
+    val ev = Synth.events(spark, 3000, seed = 16)
+    val engine = newEngine(EngineConf(buckets = 8))
+    val bs = Synth.batches(ev, 3, 3000)
+    engine.applyBatch(0, bs(0))
+    val snap0 = engine.table.currentSnapshotId
+    engine.applyBatch(1, bs(1))
+    engine.applyBatch(2, bs(2))
+    // expected: keys whose FINAL lsn (over the whole log) is >= 1000
+    // (batches are lsn ranges, so touched-after-snap0 == final lsn past it)
+    val oracle = TestOracle.fold(ev.collect().toSeq, basePayload)
+      .filter { case (_, ks) => ks.lsn >= 1000 }
+    val feed = engine.changesSince(snap0).collect()
+    val feedKeys = feed.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(feedKeys === oracle.keySet)
+    // tombstones are part of the feed (currentState hides them)
+    val dOps = feed.filter(_.getString(feed.head.fieldIndex("_op")) == "D")
+    assert(dOps.nonEmpty)
+    assert(oracle.exists(_._2.op == "D"))
+    // full-history feed == everything ever written (hwm of empty prefix = -1)
+    assert(engine.changesSince(-1L).count() ===
+      TestOracle.fold(ev.collect().toSeq, basePayload).size)
+  }
+
   test("reserved payload column names are rejected loudly") {
     val engine = newEngine(EngineConf(buckets = 4))
     val bad = Synth.events(spark, 10, seed = 15).withColumn("__b", col("commit_lsn"))
