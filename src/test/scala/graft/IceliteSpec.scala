@@ -49,6 +49,25 @@ class IceliteSpec extends AnyFunSuite {
     assert(t.currentSnapshot.get.bucketFiles("0") === List("a.parquet"))
   }
 
+  test("crash between manifest write and pointer move: next commit recovers") {
+    val t = mkTable()
+    val sid = t.ensureSchema(schemaA)
+    t.commit(0, sid, Map(0 -> List("a.parquet")), Nil, 1)
+    // simulate a writer that died after writing snap-1.json but BEFORE the
+    // pointer rename: the orphan manifest must be invisible and recoverable
+    val orphan = t.root.resolve("metadata").resolve("snap-1.json")
+    java.nio.file.Files.writeString(orphan, """{"snapshotId":1,"parentId":0,
+      "batchEpoch":99,"schemaId":0,"bucketFiles":{},"bucketSchemaIds":{},
+      "lineage":[],"totalRows":0,"commitMillis":0}""")
+    assert(t.currentSnapshotId === 0) // pointer untouched -> old state visible
+    assert(!t.committedEpochs.contains(99L)) // orphan epoch not committed
+    // next commit takes snapshot id 1, overwriting the orphan atomically
+    val s = t.commit(1, sid, Map(0 -> List("b.parquet")), Nil, 1)
+    assert(s.snapshotId === 1 && s.batchEpoch === 1)
+    assert(t.currentSnapshot.get.bucketFiles("0") === List("b.parquet"))
+    assert(t.committedEpochs === Set(0L, 1L))
+  }
+
   test("schema registry is append-only and deduplicating") {
     val t = mkTable()
     val a = t.ensureSchema(schemaA)
