@@ -167,6 +167,24 @@ class EngineSpec extends AnyFunSuite {
     // table schema is now the evolved one
     val sch = engine.table.currentSchema.get
     assert(sch("size").dataType === CdcEngine.cellType(LongType))
+
+    // LATE NARROW batch: an old producer still on size:int, with an lsn
+    // between existing ones — value upcast, LWW order respected
+    engine.applyBatch(3, mk(Seq(
+      Row("r1", "a.scala", "c6", null, null, "U", 4L, 0, ts, 42), // lsn 4 < 5: loses
+      Row("r1", "b.scala", "c7", null, null, "U", 6L, 0, ts, 10)), // b gains size
+      Seq(StructField("size", IntegerType))))
+    val st2 = engine.currentState().collect().map { r =>
+      r.getString(r.fieldIndex("path")) -> r
+    }.toMap
+    assert(st2("a.scala").getLong(st2("a.scala").fieldIndex("size")) === 5000000000L,
+      "late narrow write must not beat the newer wide value")
+    assert(st2("b.scala").getLong(st2("b.scala").fieldIndex("size")) === 10L)
+
+    // compaction across mixed writer schemas preserves the merged state
+    val before = engine.currentState().collect().map(_.toString).sorted
+    engine.compact()
+    assert(engine.currentState().collect().map(_.toString).sorted === before)
   }
 
   test("tombstone delete and revival by a later event") {
