@@ -20,6 +20,48 @@ class EnginePropertySpec extends AnyFunSuite {
   lazy val events = Synth.events(spark, N, seed = 11, repos = 10, pathsPerRepo = 30).cache()
   lazy val oracle = TestOracle.finalState(events.collect().toSeq, Seq("commit", "lang", "content"))
 
+  for (scenario <- 0 until 3)
+    test(s"replay equivalence under random schema evolution + random order (scenario $scenario)") {
+      import org.apache.spark.sql.functions._
+      val rnd = new scala.util.Random(2000 + scenario)
+      val n = 600L
+      val base = Synth.events(spark, n, seed = 20 + scenario, repos = 8, pathsPerRepo = 20)
+      val k = 3 + rnd.nextInt(3)
+      // lsn-range batches; each independently may carry an extra `size`
+      // column as int or long (legal widening in either direction)
+      val batches = Synth.batches(base, k, n).map { b =>
+        rnd.nextInt(3) match {
+          case 0 => b
+          case 1 => b.withColumn("size",
+            pmod(xxhash64(col("commit_lsn"), lit("sz")), lit(1000)).cast("int"))
+          case 2 => b.withColumn("size",
+            pmod(xxhash64(col("commit_lsn"), lit("sz")), lit(1000000)).cast("long"))
+        }
+      }
+      val dir = SparkTestBase.tmpDir("prop-evo")
+      val engine = new CdcEngine(spark,
+        IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+      val order = rnd.shuffle(batches.indices.toList)
+      order.zipWithIndex.foreach { case (i, epoch) => engine.applyBatch(epoch.toLong, batches(i)) }
+
+      val payload = Seq("commit", "lang", "content", "size")
+      val oracle = TestOracle.finalState(batches.flatMap(_.collect().toSeq), payload)
+      val got = engine.currentState().collect().map { r =>
+        (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path"))) -> r
+      }.toMap
+      assert(got.keySet === oracle.keySet, s"k=$k order=$order")
+      for ((key, ks) <- oracle) {
+        val r = got(key)
+        assert(r.getLong(r.fieldIndex("_lsn")) === ks.lsn, s"lsn at $key (order=$order)")
+        for (c <- payload) {
+          val gv = if (!r.schema.fieldNames.contains(c) || r.isNullAt(r.fieldIndex(c))) null
+            else r.get(r.fieldIndex(c)).toString
+          val ev = Option(ks.cols.getOrElse(c, null)).map(_.toString).orNull
+          assert(gv === ev, s"column $c at $key (order=$order)") // int/long compare via toString
+        }
+      }
+    }
+
   for (scenario <- 0 until 5)
     test(s"replay equivalence under random batching/order/duplication (scenario $scenario)") {
       val rnd = new scala.util.Random(1000 + scenario)
