@@ -339,6 +339,19 @@ object Relational {
       visited.groupBy(col("node")).agg(min(col("hop")).as("hop"))
     }),
 
+    // Exact interpolated percentiles per group (analytics staple; Spark
+    // `percentile` == DuckDB `quantile_cont`, both linear-interpolated).
+    // At 100 TB the approx_percentile sketch is the scale path; the exact
+    // aggregate is the verifiable baseline.
+    "q43_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+    }),
+
     // Gap-based sessionization: lag -> new-session flag -> running sum =
     // session id (single window partitioning, two passes, no self-join).
     // The batch analog of streaming session windows.
@@ -546,6 +559,10 @@ object Relational {
            UNION ALL
            SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hop < 3)
          SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""",
+    "q43_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, count(*) AS n
+         FROM lineitem GROUP BY 1""",
     "q40_earliest_arrival" ->
       """WITH legs AS (
            SELECT event_type src, ts dep,
