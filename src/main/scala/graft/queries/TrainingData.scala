@@ -60,6 +60,76 @@ object TrainingData {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VecOps.dot(a, b)
 
+  /** 60-bit SimHash fingerprint per doc: bit j of the fingerprint is the
+    * sign of sum over distinct tokens of (+1/-1 by bit j of the token hash).
+    * Computed as 60 columnar +-1 sums in ONE aggregation (not a 60x explode).
+    * 60 bits (not 64) because the cross-engine hash is 60 bits — and it
+    * splits evenly into 4 x 15-bit bands for the candidate stage. */
+  private def simhashFp(d: DataFrame): DataFrame = {
+    val tk = tokens(d, distinctTokens = true).withColumn("th", hash64(col("tkn")))
+    val bitAggs = (0 until 60).map(j =>
+      sum(when(expr(s"shiftright(th, $j) & 1") === 1, lit(1)).otherwise(lit(-1))).as(s"s$j"))
+    val sj = tk.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    sj.select(col("doc_id"),
+      (0 until 60).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("fp"))
+  }
+
+  /** SimHash near-dup pairs at hamming <= 3 via BANDED candidate generation:
+    * band b = fingerprint bits [15b, 15b+15). A pair differing in <= 3 bits
+    * can touch at most 3 of the 4 bands, so it shares >= 1 band EXACTLY
+    * (pigeonhole) — the band-bucket equi-join is a lossless candidate
+    * generator and the exact hamming check runs on candidates only.
+    * Never an all-pairs fingerprint join. */
+  private def simhashPairs(d: DataFrame): DataFrame = {
+    val fp = simhashFp(d).cache() // both sides of the band self-join
+    val bands = fp.select(col("doc_id"), col("fp"), expr(
+      "stack(4, 0, (fp >> 0) & 32767, 1, (fp >> 15) & 32767, " +
+        "2, (fp >> 30) & 32767, 3, (fp >> 45) & 32767) AS (bidx, bv)"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("CAST(bit_count(a.fp ^ b.fp) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct() // a pair may share several bands
+  }
+
+  /** Connected components by min-label propagation iterated TO CONVERGENCE
+    * (not a fixed round count — a chain component of diameter d needs ~d
+    * rounds). Each round: label(n) = min label over n's neighborhood
+    * including itself, so labels are monotonically non-increasing and the
+    * label SUM is strictly decreasing until fixpoint — one cheap aggregate
+    * action per round detects convergence without a change-count join.
+    * localCheckpoint truncates lineage so plans stay flat across rounds.
+    * Input: undirected edge pairs (a, b); output: (doc_id, cluster) for
+    * every endpoint, cluster = min node id of the component. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("a").as("n"))
+      .unionAll(pairs.select(col("b").as("n"))).distinct()
+    val aug = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .unionAll(nodes.select(col("n").as("a"), col("n").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = nodes.select(col("n").as("doc_id"), col("n").as("cluster"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = aug.join(labels, col("b") === col("doc_id"))
+        .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
+        .select(col("a").as("doc_id"), col("cluster"))
+        .localCheckpoint(true)
+      val sumNow = next.agg(sum(col("cluster"))).head().getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      labels = next
+      round += 1
+    }
+    require(converged, s"label propagation did not converge within $maxRounds rounds")
+    labels
+  }
+
   /** exact-jaccard verification of candidate (da, db) pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -125,38 +195,29 @@ object TrainingData {
         val h = if (i < 6) slice(d1, i) else slice(d2, i - 6)
         min(h).as(s"mh$i")
       }
-      val sig = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-      val bands = (0 until 4).map { b =>
-        sig.select(col("doc_id"), lit(b).as("bidx"),
-          concat_ws("-", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}")).as("band"))
-      }.reduce(_ unionByName _)
+      // cached: feeds both sides of the band self-join; one generator pass
+      // (stack) replaces 4 unioned re-aggregations of the signature
+      val sig = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*).cache()
+      // band key stays the raw (h1,h2,h3) long triple — no string concat
+      // on the hot path, no hash-collision risk
+      val bands = sig.select(col("doc_id"), expr(
+        "stack(4, 0, mh0, mh1, mh2, 1, mh3, mh4, mh5, " +
+          "2, mh6, mh7, mh8, 3, mh9, mh10, mh11) AS (bidx, h1, h2, h3)"))
       val cand = bands.as("a")
         .join(bands.as("b"),
-          col("a.bidx") === col("b.bidx") && col("a.band") === col("b.band") &&
+          col("a.bidx") === col("b.bidx") && col("a.h1") === col("b.h1") &&
+            col("a.h2") === col("b.h2") && col("a.h3") === col("b.h3") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       verifyJaccard(cand, sh, 0.7).select(col("da"), col("db"))
     }),
 
-    // SimHash: 16-bit fingerprint from token hashes, pairs at hamming <= 3.
-    // Bit-sum accumulation is 16 columnar aggregates over the token rows
-    // (NOT a 16x explode — same math, one shuffle, 1/16th the rows).
-    // (All-pairs on fingerprints here; at scale, block on 4-bit chunks.)
-    "q25_dedup_simhash" -> ((s, dir) => {
-      val tk = tokens(t(s, dir, "documents"), distinctTokens = true)
-        .withColumn("th", hash64(col("tkn")))
-      val bitAggs = (0 until 16).map(j =>
-        sum(when(expr(s"shiftright(th, $j) & 1") === 1, lit(1)).otherwise(lit(-1))).as(s"s$j"))
-      val sj = tk.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-      val fp = sj.select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
-      fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", expr("CAST(bit_count(a.fp ^ b.fp) AS INT)"))
-        .filter(col("hamming") <= 3)
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("hamming"))
-    }),
+    // SimHash near-dup: 60-bit fingerprint, banded candidate join (4 x
+    // 15-bit bands — lossless for hamming <= 3 by pigeonhole), exact
+    // hamming verify on candidates only. See simhashFp/simhashPairs.
+    "q25_dedup_simhash" -> ((s, dir) =>
+      simhashPairs(t(s, dir, "documents")).select(col("da"), col("db"), col("hamming"))),
 
     // Embedding cosine near-dup (set-based, threshold in a verified gap of
     // the data so float-ulp noise cannot flip membership)
@@ -284,36 +345,16 @@ object TrainingData {
         .select(col("doc_id"), col("lang"))
     }),
 
-    // Near-dup CLUSTERS: SimHash pairs -> connected components via 3 rounds
-    // of min-label propagation over (edges + self-loops) — the step that
-    // turns pairwise candidates into canonical keep/drop groups. Iterative
-    // join+groupBy, no driver-side union-find; at scale rounds ~ component
-    // diameter (near-dup clusters are shallow).
+    // Near-dup CLUSTERS: banded SimHash pairs -> CONVERGED connected
+    // components (min-label propagation to fixpoint, see
+    // connectedComponents) — the step that turns pairwise candidates into
+    // canonical keep/drop groups. Iterative join+groupBy, no driver-side
+    // union-find; rounds ~ component diameter with a convergence check,
+    // so chain components of any diameter are labeled correctly.
     "q42_dedup_clusters" -> ((s, dir) => {
-      val tk = tokens(t(s, dir, "documents"), distinctTokens = true)
-        .withColumn("th", hash64(col("tkn")))
-      val bitAggs = (0 until 16).map(j =>
-        sum(when(expr(s"shiftright(th, $j) & 1") === 1, lit(1)).otherwise(lit(-1))).as(s"s$j"))
-      val sj = tk.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-      val fp = sj.select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
-      // cached: the all-pairs fingerprint scan feeds pairs, nodes AND the
-      // augmented edge set — uncached the union recomputes it three times
-      val pairs = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .filter(expr("bit_count(a.fp ^ b.fp)") <= 3)
-        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-        .cache()
-      val nodes = pairs.select(col("a").as("n")).unionAll(pairs.select(col("b").as("n"))).distinct()
-      val aug = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-        .unionAll(nodes.select(col("n").as("a"), col("n").as("b"))).distinct().cache()
-      var labels = nodes.select(col("n").as("doc_id"), col("n").as("cluster"))
-      for (_ <- 1 to 3) {
-        labels = aug.join(labels, col("b") === col("doc_id"))
-          .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
-          .select(col("a").as("doc_id"), col("cluster"))
-      }
-      labels
+      val pairs = simhashPairs(t(s, dir, "documents"))
+        .select(col("da").as("a"), col("db").as("b")).cache()
+      connectedComponents(pairs)
     }),
 
     // Multimodal plumbing: opaque binary column + deterministic metadata
@@ -365,11 +406,14 @@ object TrainingData {
          SELECT da, db FROM inter JOIN cnt ca ON ca.doc_id=da JOIN cnt cb ON cb.doc_id=db
          WHERE c*1.0/(ca.n+cb.n-c) >= 0.7"""
     },
+    // oracle is the plain all-pairs form: the Spark side's banding is a
+    // LOSSLESS candidate generator for hamming <= 3, so result sets are
+    // identical — the oracle checks the semantics, not the plan
     "q25_dedup_simhash" ->
       """WITH tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
          th AS (SELECT doc_id, tkn, ('0x' || substr(md5(tkn),1,15))::BIGINT h FROM tk),
          bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) sj
-                  FROM th, (SELECT unnest(generate_series(0,15)) j) GROUP BY 1,2),
+                  FROM th, (SELECT unnest(generate_series(0,59)) j) GROUP BY 1,2),
          fp AS (SELECT doc_id, CAST(sum(CASE WHEN sj >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) fp
                 FROM bits GROUP BY 1)
          SELECT a.doc_id da, b.doc_id db, CAST(bit_count(xor(a.fp, b.fp)) AS INT) hamming
@@ -454,24 +498,25 @@ object TrainingData {
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(text),1,15))::BIGINT % 100 <
                CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END""",
+    // full transitive-closure components (recursive CTE) — the Spark side's
+    // converged label propagation must reach the same fixpoint for ANY
+    // component diameter, unlike a fixed-round unrolling
     "q42_dedup_clusters" ->
-      """WITH tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+      """WITH RECURSIVE tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
          th AS (SELECT doc_id, tkn, ('0x' || substr(md5(tkn),1,15))::BIGINT h FROM tk),
          bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) sj
-                  FROM th, (SELECT unnest(generate_series(0,15)) j) GROUP BY 1,2),
+                  FROM th, (SELECT unnest(generate_series(0,59)) j) GROUP BY 1,2),
          fp AS (SELECT doc_id, CAST(sum(CASE WHEN sj >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) fp
                 FROM bits GROUP BY 1),
          pairs AS (SELECT a.doc_id a, b.doc_id b FROM fp a JOIN fp b ON a.doc_id < b.doc_id
                    WHERE bit_count(xor(a.fp, b.fp)) <= 3),
          nodes AS (SELECT DISTINCT n FROM (SELECT a n FROM pairs UNION ALL SELECT b FROM pairs)),
-         aug AS (SELECT DISTINCT a, b FROM (
-                  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
-                  UNION ALL SELECT n, n FROM nodes)),
-         l0 AS (SELECT n doc_id, n cl FROM nodes),
-         l1 AS (SELECT aug.a doc_id, min(l0.cl) cl FROM aug JOIN l0 ON aug.b = l0.doc_id GROUP BY 1),
-         l2 AS (SELECT aug.a doc_id, min(l1.cl) cl FROM aug JOIN l1 ON aug.b = l1.doc_id GROUP BY 1),
-         l3 AS (SELECT aug.a doc_id, min(l2.cl) cl FROM aug JOIN l2 ON aug.b = l2.doc_id GROUP BY 1)
-         SELECT doc_id, cl AS "cluster" FROM l3""",
+         e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         reach(doc_id, cl) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT e.a, reach.cl FROM e JOIN reach ON e.b = reach.doc_id)
+         SELECT doc_id, min(cl) AS "cluster" FROM reach GROUP BY 1""",
     "q33_multimodal_stub" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 lower(substr(hex(encode(text)), 1, 16)) AS head_hex,

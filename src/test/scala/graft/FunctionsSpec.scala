@@ -33,6 +33,40 @@ class FunctionsSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql("SELECT vec_dot(1, 2)").collect())
   }
 
+  test("two vec_dots in one codegen context compile (no interpreter fallback)") {
+    // Regression: the generated loop variable was a literal `i`, so two
+    // vec_dots fused into one Janino class failed compilation ("Redefinition
+    // of local variable i") and SILENTLY fell back to interpreted eval —
+    // exactly the norm+pair-dot shape of q26-q28. CODEGEN_ONLY turns the
+    // silent fallback into a hard failure so this test proves compilation.
+    VecOps.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select($"vec_id", $"embedding".as("v"))
+      val e = df.select(
+        VecOps.dot($"v", $"v").as("nrm2"),
+        (VecOps.dot($"v", $"v") / VecOps.dot($"v", $"v")).as("unit"))
+      val rows = e.collect()
+      assert(rows.nonEmpty && rows.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
+  test("vec_dot yields NULL on length mismatch and on null elements") {
+    VecOps.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d)) mismatched,
+          vec_dot(array(1.0d, cast(null as double)), array(3.0d, 4.0d)) nullelem,
+          vec_dot(cast(null as array<double>), array(1.0d)) nullarg""").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("vec_dot participates in whole-stage codegen (no HOF lambda nodes)") {
     VecOps.register(spark)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -55,6 +55,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
   }
 
+  test("BFS frontierExpand: broadcast under the guard, shuffle join above it") {
+    import spark.implicits._
+    import graft.queries.Relational
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val frontier = Seq((1L, 0)).toDF("node", "hop").localCheckpoint(true)
+    val small = Relational.frontierExpand(frontier, edges, 1, threshold = 100L)
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small frontier should broadcast")
+    val big = Relational.frontierExpand(frontier, edges, 1, threshold = 0L)
+    val p = big.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+      s"over-threshold frontier must not broadcast:\n$p")
+  }
+
   test("engine merge plan: state+batch LWW is a hash aggregate over a single shuffle") {
     import graft.engine.{CdcEngine, EngineConf}
     import graft.icelite.IceliteTable

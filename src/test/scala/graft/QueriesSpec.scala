@@ -47,6 +47,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.getString(1) === TestOracle.sha256Hex(doc.getString(doc.fieldIndex("text"))))
   }
 
+  test("connectedComponents converges on chain components (diameter >= 5)") {
+    import spark.implicits._
+    // component A: a path 10-11-...-21 (diameter 11 — a fixed 3-round
+    // propagation would split it into several labels); component B: a
+    // disjoint triangle; both must collapse to their min node id.
+    val chain = (10L until 21L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("a", "b")
+    val labels = graft.queries.TrainingData.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 15)
+    (10L to 21L).foreach(n => assert(labels(n) === 10L, s"node $n"))
+    (100L to 102L).foreach(n => assert(labels(n) === 100L, s"node $n"))
+  }
+
   test("multimodal mapPartitions plumbing: schema, determinism, batch shape") {
     val f1 = graft.queries.Multimodal.features(spark, sf)
     val f2 = graft.queries.Multimodal.features(spark, sf)
