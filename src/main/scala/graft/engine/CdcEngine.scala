@@ -28,7 +28,10 @@ case class EngineConf(
     buckets: Int = 64,
     saltBuckets: Int = 0,
     writeSaltPerBucket: Int = 1,
-    mergeShufflePartitions: Int = 0)
+    mergeShufflePartitions: Int = 0,
+    // merge-on-read tables only: auto-compact a bucket back to one file
+    // once its delta-file count reaches this (0 = manual compaction only)
+    morCompactThreshold: Int = 0)
 
 case class CommitResult(
     epoch: Long,
@@ -147,9 +150,17 @@ class CdcEngine(
       }
       spark.read.schema(written).parquet(files: _*).select(cols: _*)
     }
-    aligned.reduceOption(_ unionByName _).getOrElse {
+    val unioned = aligned.reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
     }
+    // Merge-on-read tables: bucket file lists hold per-batch DELTA files,
+    // so the visible state is the LWW cell merge across them — the same ACI
+    // reduction the write path uses, applied at read time (Hudi/Iceberg MOR
+    // semantics). On compacted buckets the aggregation is a value-level
+    // no-op; compaction exists to keep this read tax low.
+    if (table.meta.mergeOnRead)
+      lwwAgg(unioned, Seq(OpCell, TsCell) ++ targetPayload.fieldNames)
+    else unioned
   }
 
   /** The ACI last-writer-wins reduction: per key, per cell column, keep the
@@ -216,10 +227,16 @@ class CdcEngine(
     val affected = lineageRows.map(_.getInt(0)).toSet
     val events = lineageRows.map(_.getLong(3)).sum
 
-    // MERGE = union(batch cells, affected state cells) -> one LWW reduction.
+    // Copy-on-write: MERGE = union(batch cells, affected state cells) ->
+    // one LWW reduction -> rewrite affected buckets (write work O(bucket
+    // rows)). Merge-on-read: reduce WITHIN the batch only and append the
+    // result as delta files (write work O(batch rows) — the sparse-batch
+    // write-amplification fix); the cross-batch merge happens at read time.
+    val mor = table.meta.mergeOnRead
     val batchCells = batchToCells(batchRaw, targetPayload)
-    val stateCells = readStateCells(Some(affected), targetPayload)
-    val merged = lwwAgg(batchCells.unionByName(stateCells), cellCols)
+    val merged =
+      if (mor) lwwAgg(batchCells, cellCols)
+      else lwwAgg(batchCells.unionByName(readStateCells(Some(affected), targetPayload)), cellCols)
 
     // Write affected buckets copy-on-write; salt the repartition so a hot
     // bucket is written by several tasks (multiple files per bucket is fine —
@@ -236,21 +253,16 @@ class CdcEngine(
     repartitioned.write.partitionBy("__b").parquet(outDir.toString)
     val mergeWriteMs = ms(tw0)
 
-    // Manifest entries + per-bucket state row counts. Counts come from the
-    // parquet FOOTERS of the files just written (driver-side metadata reads,
-    // ~ms per file) — NOT a Spark job: at 4 jobs/batch the driver's serial
-    // job-planning time becomes the Amdahl term that caps scaling efficiency.
+    // Manifest entries + per-bucket state row counts + file-level LSN
+    // stats, all from the parquet FOOTERS of the files just written
+    // (driver-side metadata reads, ~ms per file) — NOT a Spark job: at
+    // 4 jobs/batch the driver's serial job-planning time becomes the
+    // Amdahl term that caps scaling efficiency.
     val tm0 = System.nanoTime()
-    val bucketFiles: Map[Int, List[String]] = listBucketFiles(outDir, table)
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    val bucketRows: Map[Int, Long] = bucketFiles.map { case (b, files) =>
-      b -> files.map { rel =>
-        val p = new org.apache.hadoop.fs.Path(table.root.resolve(rel).toString)
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
-    }
+    val sid = table.ensureSchema(stateSchema(targetPayload))
+    val bucketFiles = collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
+    val bucketRows: Map[Int, Long] =
+      bucketFiles.map { case (b, files) => b -> files.map(_.rows).sum }
     val manifestMs = ms(tm0)
     val lineage = lineageRows.map { r =>
       val b = r.getInt(0)
@@ -258,8 +270,13 @@ class CdcEngine(
         bucketRows.getOrElse(b, 0L))
     }.toList
 
-    val sid = table.ensureSchema(stateSchema(targetPayload))
-    val snap = table.commit(epoch, sid, bucketFiles, lineage, rowDelta = events)
+    val snap = table.commit(epoch, sid, bucketFiles, lineage, rowDelta = events, append = mor)
+    if (mor && conf.morCompactThreshold > 0) {
+      val over = snap.bucketFiles.collect {
+        case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
+      }.toSet
+      if (over.nonEmpty) compact(Some(over))
+    }
     val totalMs = ms(t0)
     appendMetrics(epoch, snap.snapshotId, events, affected.size, totalMs,
       s""","lineageMs":$lineageMs,"mergeWriteMs":$mergeWriteMs,"manifestMs":$manifestMs""")
@@ -306,36 +323,113 @@ class CdcEngine(
     readStateCells(buckets, tablePayload)
 
   /** Highest source LSN applied up to and including `snapshotId` (from the
-    * per-bucket lineage records; -1 for an empty chain prefix). */
+    * per-bucket lineage records plus any watermark carried across
+    * expireSnapshots re-roots; -1 for an empty chain prefix). */
   def highWatermark(snapshotId: Long): Long = {
     var id = snapshotId
     var hwm = -1L
     while (id >= 0) {
       val s = table.snapshot(id)
+      if (s.carriedWatermark > hwm) hwm = s.carriedWatermark
       for (l <- s.lineage) if (l.lsnMax > hwm) hwm = l.lsnMax
       id = s.parentId
     }
     hwm
   }
 
-  /** Incremental change feed: rows whose last-writer LSN is beyond the high
-    * watermark of `sinceSnapshotId` — i.e. every key inserted, updated or
-    * tombstoned after that snapshot, in current (merged) form. Unlike
-    * `currentState`, deletes ARE included (`_op = "D"`) so a downstream
-    * consumer can apply them; `_lsn` orders the feed. The LSN predicate
-    * lands on the `_op.l` parquet column, so row-group stats skip files
-    * whose whole range predates the watermark. */
+  /** Buckets whose values may have changed after `sinceSnapshotId`, from the
+    * lineage of the chain segment (since, current]; None when the chain was
+    * re-rooted past `since` (expired — every bucket must be assumed
+    * changed). Compaction snapshots carry no lineage and rewrite values
+    * 1:1, so they add nothing to the set. */
+  private def bucketsTouchedSince(sinceSnapshotId: Long): Option[Set[Int]] = {
+    var id = table.currentSnapshotId
+    val b = Set.newBuilder[Int]
+    while (id >= 0 && id != sinceSnapshotId) {
+      val s = table.snapshot(id)
+      b ++= s.lineage.map(_.bucket)
+      id = s.parentId
+    }
+    if (id == sinceSnapshotId || sinceSnapshotId < 0) Some(b.result()) else None
+  }
+
+  /** Incremental change feed as a SNAPSHOT DIFF: every row whose visible
+    * merged cells differ between `sinceSnapshotId` and now — inserts,
+    * updates (any cell, not just the op cell) and tombstones (`_op = "D"`
+    * rows ARE included so a consumer can apply deletes); `_lsn` orders the
+    * feed. Defined on snapshot ORDER, not on LSNs: a late-arriving batch
+    * whose LSNs all precede the old high watermark still commits a new
+    * snapshot, so its rows diff and are delivered — an LSN-watermark filter
+    * (the previous design) silently dropped exactly those rows under the
+    * out-of-order delivery the engine's replay contract guarantees.
+    *
+    * Cost control: both sides are pruned to the buckets the segment's
+    * lineage actually touched (manifest metadata, no scan), and the diff is
+    * ONE anti-join on (key, all cells) — null-safe struct equality, so it
+    * plans as a hash join on the key+cell tuple. If `since` was expired the
+    * whole current state is conservatively re-delivered (Iceberg's
+    * incremental read makes the same call). */
   def changesSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None): DataFrame = {
-    val hwm = highWatermark(sinceSnapshotId)
+    val touched = bucketsTouchedSince(sinceSnapshotId)
+    val bsel = (touched, buckets) match {
+      case (Some(t), Some(u)) => Some(t intersect u)
+      case (Some(t), None) => Some(t)
+      case (None, u) => u
+    }
     val payload = tablePayload
-    val cells = readStateCells(buckets, payload)
+    val cellCols = Seq(OpCell, TsCell) ++ payload.fieldNames
+    val cur = readStateCells(bsel, payload)
+    val changed =
+      if (sinceSnapshotId < 0 || touched.isEmpty) cur
+      else {
+        val old = readStateCells(bsel, payload, Some(sinceSnapshotId))
+        val cond = keyCols.map(k => col(s"c.$k") === col(s"o.$k")).reduce(_ && _) &&
+          cellCols.map(c => col(s"c.$c") <=> col(s"o.$c")).reduce(_ && _)
+        cur.as("c").join(old.as("o"), cond, "left_anti")
+      }
     val flat = payload.fieldNames.toSeq.map(c => col(s"$c.v").as(c))
-    cells
-      .filter(col(s"$OpCell.l") > hwm)
+    changed.select((keyColumns ++ flat ++ Seq(
+      col(s"$OpCell.v").as("_op"), col(s"$OpCell.l").as("_lsn"),
+      col(s"$OpCell.s").as("_seq"), col(s"$TsCell.v").as("_ts"))): _*)
+  }
+
+  /** Offset-range audit scan: stored change rows whose last-writer LSN falls
+    * in [lo, hi], merged per key WITHIN the pruned file set. File skipping
+    * happens at the MANIFEST level before any plan is built — files whose
+    * footer-derived [minLsn, maxLsn] misses the range are never listed
+    * (tightest on merge-on-read delta files, each covering one batch's LSN
+    * range); the residual per-row predicate lands on the parquet `_op.l`
+    * column for row-group pruning. */
+  def scanLsnRange(lo: Long, hi: Long, buckets: Option[Set[Int]] = None): DataFrame = {
+    val payload = tablePayload
+    val target = stateSchema(payload)
+    val groups = table.currentFileGroups(buckets, lsnRange = Some((lo, hi)))
+    val aligned = groups.toSeq.map { case (sid, files) =>
+      val written = table.schema(sid)
+      val writtenNames = written.fieldNames.toSet
+      val cols = target.fields.toSeq.map { f =>
+        if (writtenNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      spark.read.schema(written).parquet(files: _*).select(cols: _*)
+    }
+    val unioned = aligned.reduceOption(_ unionByName _).getOrElse {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    }
+    val cellCols = Seq(OpCell, TsCell) ++ payload.fieldNames
+    val merged = if (table.meta.mergeOnRead) lwwAgg(unioned, cellCols) else unioned
+    val flat = payload.fieldNames.toSeq.map(c => col(s"$c.v").as(c))
+    merged
+      .filter(col(s"$OpCell.l").between(lo, hi))
       .select((keyColumns ++ flat ++ Seq(
         col(s"$OpCell.v").as("_op"), col(s"$OpCell.l").as("_lsn"),
         col(s"$OpCell.s").as("_seq"), col(s"$TsCell.v").as("_ts"))): _*)
   }
+
+  /** Data files the current snapshot would read for an LSN-range scan after
+    * manifest-level stats pruning (exposed for tests/inspection). */
+  def prunedFilesForLsnRange(lo: Long, hi: Long): Seq[String] =
+    table.currentFileGroups(None, lsnRange = Some((lo, hi))).values.flatten.toSeq
 
   // ---------------------------------------------------------------- maintenance
 
@@ -358,8 +452,11 @@ class CdcEngine(
     cells.withColumn("__b", bucketCol)
       .repartition(selected.size, col("__b"))
       .write.partitionBy("__b").parquet(outDir.toString)
-    val bucketFiles = CdcEngine.listBucketFiles(outDir, table)
     val sid = table.ensureSchema(stateSchema(payload))
+    val bucketFiles =
+      collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
+    // replace-commit (append=false) even on merge-on-read tables: compaction
+    // folds a bucket's delta pile back into one merged file
     table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0).snapshotId
   }
 
@@ -394,18 +491,45 @@ object CdcEngine {
       StructField(TsCell, cellType(TimestampType), nullable = true)) ++
       payload.fields.map(f => StructField(f.name, cellType(f.dataType), nullable = true)))
 
-  /** List parquet files written under `dir/__b=N/` as bucket -> table-relative paths. */
-  private[engine] def listBucketFiles(dir: Path, table: IceliteTable): Map[Int, List[String]] = {
+  /** List parquet files written under `dir/__b=N/` as bucket -> manifest
+    * entries, harvesting row count and `_op.l` (last-writer LSN) min/max
+    * from each parquet FOOTER. Driver-side metadata reads (~ms per file),
+    * NOT a Spark job — the same footer pass that produces the read-back row
+    * counts yields the file-skipping stats for free. */
+  private[engine] def collectBucketFiles(dir: Path, table: IceliteTable, schemaId: Int,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Map[Int, List[Icelite.DataFile]] = {
     val stream = Files.walk(dir)
-    try {
-      stream.iterator().asScala
+    val paths =
+      try stream.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .toList
-        .groupBy { p =>
-          val seg = p.getParent.getFileName.toString // "__b=N"
-          seg.stripPrefix("__b=").toInt
+      finally stream.close()
+    paths
+      .groupBy { p =>
+        val seg = p.getParent.getFileName.toString // "__b=N"
+        seg.stripPrefix("__b=").toInt
+      }
+      .map { case (b, ps) =>
+        b -> ps.sortBy(_.toString).map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p.toString)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, hadoopConf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val rows = r.getRecordCount
+            val lsnStats = r.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == s"$OpCell.l")
+              .map(_.getStatistics)
+            val usable = lsnStats.nonEmpty &&
+              lsnStats.forall(s => s != null && !s.isEmpty && s.hasNonNullValue)
+            val (mn, mx) =
+              if (usable)
+                (lsnStats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+                  lsnStats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+              else (Long.MinValue, Long.MaxValue) // unknown => never skipped
+            Icelite.DataFile(table.relativize(p), schemaId, rows, mn, mx)
+          } finally r.close()
         }
-        .map { case (b, ps) => b -> ps.map(p => table.relativize(p)).sorted }
-    } finally stream.close()
+      }
   }
 }

@@ -49,23 +49,51 @@ object Icelite {
     * bucket by the commit that produced this snapshot. */
   case class BucketLineage(bucket: Int, lsnMin: Long, lsnMax: Long, events: Long, rows: Long)
 
+  /** One data file in the manifest, with its writer schema id and the
+    * file-level statistics harvested (for free) from the parquet footer at
+    * commit time: row count and the min/max of the last-writer LSN column.
+    * LSN stats give file skipping for offset-range scans — most valuable on
+    * merge-on-read delta files, each of which covers one batch's tight LSN
+    * range. Key min/max stats are deliberately NOT kept: buckets partition
+    * by key HASH, so every file sees a near-uniform sample of the key domain
+    * and key-range stats would never prune anything. */
+  case class DataFile(
+      path: String, // relative to table root
+      schemaId: Int,
+      rows: Long,
+      minLsn: Long = Long.MinValue,
+      maxLsn: Long = Long.MaxValue)
+
   case class Snapshot(
       snapshotId: Long,
       parentId: Long, // -1 for first
       batchEpoch: Long, // idempotency key; -1 for non-batch commits
       schemaId: Int,
-      // bucket -> data file paths relative to table root
-      bucketFiles: Map[String, List[String]],
-      // bucket -> schema id its files were written with (for widening reads)
-      bucketSchemaIds: Map[String, Int],
+      // bucket -> data files (each pinned to its writer schema id)
+      bucketFiles: Map[String, List[DataFile]],
       lineage: List[BucketLineage],
       totalRows: Long,
       commitMillis: Long,
       // epochs of snapshots expired beneath this one (chain re-root keeps
       // exactly-once bookkeeping intact after expireSnapshots)
-      carriedEpochs: List[Long] = Nil)
+      carriedEpochs: List[Long] = Nil,
+      // max applied source LSN of the expired prefix (re-rooted chains must
+      // not understate the high watermark — a change-feed consumer would be
+      // re-sent data it has already seen)
+      carriedWatermark: Long = -1L)
 
-  case class TableMeta(keyCols: List[String], buckets: Int)
+  /** `mergeOnRead` = the table's write discipline: false = copy-on-write
+    * (each commit rewrites affected buckets, reads are plain scans), true =
+    * merge-on-read (commits append per-batch delta files, reads apply the
+    * LWW cell merge; compaction folds deltas back). A read-time property of
+    * the table, not of one engine instance, so it lives in table metadata. */
+  case class TableMeta(keyCols: List[String], buckets: Int, mergeOnRead: Boolean = false)
+
+  /** Optimistic-concurrency conflict: the table moved past the snapshot the
+    * writer prepared against. The writer must re-read, re-prepare (for
+    * append-mode delta commits simply re-issue; for replace commits re-merge
+    * against the new state) and retry — the Iceberg commit loop. */
+  class CommitConflictException(msg: String) extends RuntimeException(msg)
 
   private[icelite] def write(p: Path, s: String): Unit = {
     Files.createDirectories(p.getParent)
@@ -101,18 +129,37 @@ class IceliteTable private (val root: Path) {
 
   def currentSchema: Option[StructType] = currentSnapshot.map(s => schema(s.schemaId))
 
-  /** All epochs in the current snapshot chain (root -> current). O(snapshots),
-    * driver-side; fine for the pointer-walk commit protocol. */
-  def committedEpochs: Set[Long] = {
-    var id = currentSnapshotId
-    val b = Set.newBuilder[Long]
-    while (id >= 0) {
-      val s = snapshot(id)
-      if (s.batchEpoch >= 0) b += s.batchEpoch
-      b ++= s.carriedEpochs
-      id = s.parentId
+  // Cumulative committed-epoch set, cached per snapshot id. Without the
+  // cache every commit re-walked the whole chain (one JSON read per prior
+  // snapshot, per batch = O(batches^2) driver I/O over a long replay — a
+  // driver-side scale-killer at ~10^5 micro-batches). The cache is extended
+  // INCREMENTALLY: walk down from the current snapshot only until the cached
+  // id (or the root) is met. Safe because snapshots are immutable — the one
+  // in-place rewrite (expireSnapshots' re-root) preserves the cumulative
+  // epoch set by construction (expired epochs move into carriedEpochs).
+  private var epochCache: (Long, Set[Long]) = (-2L, Set.empty)
+
+  /** All epochs in the current snapshot chain (root -> current). Amortized
+    * O(new snapshots since last call), driver-side. */
+  def committedEpochs: Set[Long] = synchronized {
+    val cur = currentSnapshotId
+    if (cur < 0) return Set.empty
+    if (cur == epochCache._1) return epochCache._2
+    var id = cur
+    val fresh = Set.newBuilder[Long]
+    var hitCache = false
+    while (id >= 0 && !hitCache) {
+      if (id == epochCache._1) hitCache = true
+      else {
+        val s = snapshot(id)
+        if (s.batchEpoch >= 0) fresh += s.batchEpoch
+        fresh ++= s.carriedEpochs
+        id = s.parentId
+      }
     }
-    b.result()
+    val set = if (hitCache) epochCache._2 ++ fresh.result() else fresh.result()
+    epochCache = (cur, set)
+    set
   }
 
   /** Highest committed epoch, or -1. Used for checkpoint resume. */
@@ -135,28 +182,33 @@ class IceliteTable private (val root: Path) {
     currentSnapshot.toSeq.flatMap { s =>
       s.bucketFiles.iterator.collect {
         case (b, files) if buckets.forall(_.contains(b.toInt)) => files
-      }.flatten.map(rel => root.resolve(rel).toString)
+      }.flatten.map(f => root.resolve(f.path).toString)
     }
 
   /** (files, schemaId) groups for the current snapshot restricted to buckets —
-    * readers group by writer schema so widened columns can be up-cast. */
-  def currentFileGroups(buckets: Option[Set[Int]] = None): Map[Int, Seq[String]] =
-    currentSnapshot.map(fileGroupsOf(_, buckets)).getOrElse(Map.empty)
+    * readers group by writer schema so widened columns can be up-cast.
+    * `lsnRange` additionally SKIPS files whose footer-derived [minLsn,
+    * maxLsn] does not overlap the requested range (file-level stats
+    * pruning, the manifest analog of the reference's as-of index). */
+  def currentFileGroups(buckets: Option[Set[Int]] = None,
+      lsnRange: Option[(Long, Long)] = None): Map[Int, Seq[String]] =
+    currentSnapshot.map(fileGroupsOf(_, buckets, lsnRange)).getOrElse(Map.empty)
 
   /** Time travel: file groups of ANY snapshot in the chain (Iceberg's
     * `VERSION AS OF`). Snapshots are immutable, so reading an old id is
     * always consistent regardless of later commits. */
   def fileGroupsAt(snapshotId: Long, buckets: Option[Set[Int]] = None): Map[Int, Seq[String]] =
-    fileGroupsOf(snapshot(snapshotId), buckets)
+    fileGroupsOf(snapshot(snapshotId), buckets, None)
 
-  private def fileGroupsOf(s: Snapshot, buckets: Option[Set[Int]]): Map[Int, Seq[String]] =
+  private def fileGroupsOf(s: Snapshot, buckets: Option[Set[Int]],
+      lsnRange: Option[(Long, Long)]): Map[Int, Seq[String]] =
     s.bucketFiles.iterator
       .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
+      .flatMap { case (_, files) => files }
+      .filter(f => lsnRange.forall { case (lo, hi) => f.maxLsn >= lo && f.minLsn <= hi })
       .toSeq
-      .groupBy { case (b, _) => s.bucketSchemaIds.getOrElse(b, s.schemaId) }
-      .map { case (sid, entries) =>
-        sid -> entries.flatMap(_._2).map(rel => root.resolve(rel).toString)
-      }
+      .groupBy(_.schemaId)
+      .map { case (sid, fs) => sid -> fs.map(f => root.resolve(f.path).toString) }
 
   /** Expire history: truncate the snapshot chain to the most recent
     * `keepLast` snapshots (Iceberg's expire_snapshots). The oldest kept
@@ -172,8 +224,15 @@ class IceliteTable private (val root: Path) {
     if (chain.size <= keepLast) return Seq.empty
     val (expired, kept) = chain.splitAt(chain.size - keepLast)
     val epochsToCarry = expired.map(_.batchEpoch).filter(_ >= 0)
+    // the expired prefix's high watermark must survive the re-root: without
+    // it a chain re-rooted onto a lineage-free snapshot (e.g. a compaction)
+    // reports watermark -1 and a change-feed consumer gets the whole table
+    // re-delivered
+    val watermarkToCarry = (expired.map(_.carriedWatermark) ++
+      expired.flatMap(_.lineage.map(_.lsnMax))).foldLeft(-1L)(math.max)
     val newRoot = kept.head.copy(parentId = -1L,
-      carriedEpochs = (kept.head.carriedEpochs ++ epochsToCarry).distinct.sorted)
+      carriedEpochs = (kept.head.carriedEpochs ++ epochsToCarry).distinct.sorted,
+      carriedWatermark = math.max(kept.head.carriedWatermark, watermarkToCarry))
     write(metaDir.resolve(s"snap-${newRoot.snapshotId}.json"), Serialization.writePretty(newRoot))
     expired.foreach(s => Files.deleteIfExists(metaDir.resolve(s"snap-${s.snapshotId}.json")))
     expired.map(_.snapshotId)
@@ -182,19 +241,27 @@ class IceliteTable private (val root: Path) {
   /** Garbage-collect data files not referenced by ANY snapshot in the current
     * chain — orphans from crashes between data write and pointer commit,
     * from aborted writers, or files only expired snapshots referenced.
-    * Returns the deleted table-relative paths. Safe by construction: only
-    * manifest-listed files are ever read, and the chain is walked from the
-    * current pointer, so a concurrent reader of any committed snapshot never
-    * loses a file. */
-  def vacuum(): Seq[String] = {
+    * Returns the deleted table-relative paths.
+    *
+    * Concurrency contract: `vacuum` is synchronized against `commit` on this
+    * table instance, and `graceMillis` (Iceberg remove_orphan_files'
+    * `older_than`) excludes recently-written files — an in-flight writer's
+    * data files, written but not yet committed, are NOT orphans and must
+    * survive. Run vacuum with a grace period comfortably above the longest
+    * batch write time; same-process serialization alone only covers writers
+    * sharing this instance (the sandbox is single-writer; a multi-writer
+    * deployment keys this off the catalog's commit timestamps). */
+  def vacuum(graceMillis: Long = 0L): Seq[String] = synchronized {
     val referenced: Set[String] =
-      snapshotChain.flatMap(_.bucketFiles.valuesIterator.flatten).toSet
+      snapshotChain.flatMap(_.bucketFiles.valuesIterator.flatten.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
     val dataDir = root.resolve("data")
     if (!Files.exists(dataDir)) return Seq.empty
     val stream = Files.walk(dataDir)
     val orphans =
       try stream.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
+        .filter(p => Files.isRegularFile(p) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
         .map(relativize)
         .filterNot(referenced.contains)
         .toList
@@ -236,10 +303,15 @@ class IceliteTable private (val root: Path) {
     }
   }
 
-  /** Atomically commit a new snapshot replacing `newBucketFiles`' buckets and
-    * inheriting every other bucket from the parent. Returns the committed
-    * snapshot (or the existing one if `batchEpoch` was already applied —
-    * idempotent re-delivery is a no-op).
+  /** Atomically commit a new snapshot. `append = false` (copy-on-write)
+    * REPLACES `newBucketFiles`' buckets; `append = true` (merge-on-read
+    * deltas) APPENDS the new files to each bucket's existing list. Every
+    * untouched bucket inherits the parent's file list by reference. Returns
+    * the committed snapshot (or, if `batchEpoch` was already applied, the
+    * chain snapshot that applied it — falling back to the current snapshot
+    * when the applying snapshot was expired and survives only through
+    * `carriedEpochs`: idempotent re-delivery stays a no-op across
+    * expiration).
     *
     * Single-writer optimistic protocol: we re-read the pointer immediately
     * before the rename and fail on concurrent movement. The sandbox is
@@ -250,25 +322,37 @@ class IceliteTable private (val root: Path) {
   def commit(
       batchEpoch: Long,
       schemaId: Int,
-      newBucketFiles: Map[Int, List[String]],
+      newBucketFiles: Map[Int, List[DataFile]],
       lineage: List[BucketLineage],
-      rowDelta: Long): Snapshot = synchronized {
+      rowDelta: Long,
+      append: Boolean = false,
+      // multi-writer optimistic concurrency: the snapshot id the writer
+      // prepared its files against (-2 = single-writer mode, use current).
+      // A mismatch raises CommitConflictException; the writer re-reads and
+      // retries (its data files stay on disk, covered by the vacuum grace).
+      expectedParentId: Long = -2L): Snapshot = synchronized {
     val parent = currentSnapshot
     if (batchEpoch >= 0 && committedEpochs.contains(batchEpoch)) {
       // already applied — exactly-once via idempotent no-op
-      return snapshotChain.find(_.batchEpoch == batchEpoch).get
+      return snapshotChain.find(_.batchEpoch == batchEpoch)
+        .orElse(currentSnapshot).get
     }
     val parentId = parent.map(_.snapshotId).getOrElse(-1L)
+    if (expectedParentId != -2L && expectedParentId != parentId)
+      throw new CommitConflictException(
+        s"table advanced to snapshot $parentId past the writer's view $expectedParentId")
     val id = parentId + 1
     val inheritedFiles = parent.map(_.bucketFiles).getOrElse(Map.empty)
-    val inheritedSids = parent.map(_.bucketSchemaIds).getOrElse(Map.empty)
-    val bf = inheritedFiles ++ newBucketFiles.map { case (k, v) => k.toString -> v }
-    val sids = inheritedSids ++ newBucketFiles.keys.map(k => k.toString -> schemaId)
+    val bf = inheritedFiles ++ newBucketFiles.map { case (k, v) =>
+      val key = k.toString
+      key -> (if (append) inheritedFiles.getOrElse(key, Nil) ++ v else v)
+    }
     val snap = Snapshot(
       snapshotId = id, parentId = parentId, batchEpoch = batchEpoch,
-      schemaId = schemaId, bucketFiles = bf, bucketSchemaIds = sids,
+      schemaId = schemaId, bucketFiles = bf,
       lineage = lineage, totalRows = parent.map(_.totalRows).getOrElse(0L) + rowDelta,
-      commitMillis = System.currentTimeMillis())
+      commitMillis = System.currentTimeMillis(),
+      carriedWatermark = parent.map(_.carriedWatermark).getOrElse(-1L))
     write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
     if (currentSnapshotId != parentId)
       throw new IllegalStateException(
@@ -286,12 +370,13 @@ class IceliteTable private (val root: Path) {
 object IceliteTable {
   import Icelite._
 
-  def create(root: String, keyCols: Seq[String], buckets: Int): IceliteTable = {
+  def create(root: String, keyCols: Seq[String], buckets: Int,
+      mergeOnRead: Boolean = false): IceliteTable = {
     val r = Paths.get(root)
     val metaDir = r.resolve("metadata")
     Files.createDirectories(metaDir)
     Icelite.write(metaDir.resolve("table.json"),
-      Serialization.write(TableMeta(keyCols.toList, buckets)))
+      Serialization.write(TableMeta(keyCols.toList, buckets, mergeOnRead)))
     new IceliteTable(r)
   }
 
@@ -305,6 +390,7 @@ object IceliteTable {
   def exists(root: String): Boolean =
     Files.exists(Paths.get(root).resolve("metadata").resolve("table.json"))
 
-  def createOrLoad(root: String, keyCols: Seq[String], buckets: Int): IceliteTable =
-    if (exists(root)) load(root) else create(root, keyCols, buckets)
+  def createOrLoad(root: String, keyCols: Seq[String], buckets: Int,
+      mergeOnRead: Boolean = false): IceliteTable =
+    if (exists(root)) load(root) else create(root, keyCols, buckets, mergeOnRead)
 }

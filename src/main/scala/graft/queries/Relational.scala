@@ -21,17 +21,17 @@ object Relational {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** One BFS frontier expansion with a SIZE GUARD on the broadcast: the
-    * frontier (cols: node, hop) is broadcast to the edge join only while it
-    * is small; above `threshold` rows it falls back to a shuffled hash join,
-    * so a dense graph's hop-k frontier blowup can never exceed the broadcast
-    * limit. The frontier arrives materialized (localCheckpoint), so the
-    * count is a cheap cached-RDD pass, not a recompute. */
-  def frontierExpand(frontier: DataFrame, edges: DataFrame, hop: Int,
+    * frontier (must carry a `node` column) is broadcast to the edge join
+    * only while it is small; above `threshold` rows it falls back to a
+    * shuffled hash join, so a dense graph's hop-k frontier blowup can never
+    * exceed the broadcast limit. The frontier arrives materialized
+    * (localCheckpoint), so the count is a cheap cached-RDD pass, not a
+    * recompute. Returns frontier cols + the edge's `dst`; callers project. */
+  def frontierExpand(frontier: DataFrame, edges: DataFrame,
       threshold: Long): DataFrame = {
     val f = if (frontier.count() <= threshold) broadcast(frontier)
             else frontier.hint("shuffle_hash")
     f.join(edges, col("node") === col("src"))
-      .select(col("dst").as("node"), lit(hop).as("hop"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -204,6 +204,35 @@ object Relational {
         .select("c_custkey", "s_suppkey", "lev")
     }),
 
+    // Fuzzy-RESOLVE AUDIT: every left key gets an audit row — best
+    // candidate, score, resolve tier, resolved flag — instead of silently
+    // dropping non-matches (reference logs every resolve attempt and routes
+    // unresolved stops to review: /root/reference/schema.sql:12-34,
+    // etl/fact_planned.py:195-229). Tiers mirror the reference's
+    // threshold-fallback ladder (exact -> strict fuzzy -> weak fallback ->
+    // unresolved, fact_planned.py:186-193). The first question a user of a
+    // fuzzy join asks is "which keys failed to match, and how close were
+    // they" — this is that table.
+    "q44_resolve_audit" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), regexp_replace(col("c_name"), "Customer#", "").as("cn"))
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), regexp_replace(col("s_name"), "Supplier#", "").as("sn"))
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("lev"), col("s_suppkey"))
+      c.crossJoin(broadcast(sup))
+        .withColumn("lev", levenshtein(col("cn"), col("sn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(
+          col("c_custkey"),
+          when(col("lev") <= 3, col("s_suppkey")).as("best_suppkey"),
+          col("lev").as("best_lev"),
+          when(col("lev") === 0, "exact").when(col("lev") <= 1, "fuzzy")
+            .when(col("lev") <= 3, "fallback").otherwise("unresolved").as("tier"),
+          (col("lev") <= 3).as("resolved"))
+    }),
+
     // O1-O3: global top-k (TakeOrderedAndProject — no full sort)
     "q15_global_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -364,13 +393,53 @@ object Relational {
       var frontier = s.range(1).select(seed.as("node"), lit(0).as("hop")).localCheckpoint(true)
       var visited = frontier
       for (h <- 1 to 3) {
-        frontier = frontierExpand(frontier, edges, h, threshold)
+        frontier = frontierExpand(frontier, edges, threshold)
+          .select(col("dst").as("node"), lit(h).as("hop"))
           .join(visited.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
           .distinct()
           .localCheckpoint(true)
         visited = visited.unionAll(frontier)
       }
       visited.groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    }),
+
+    // BFS with PATH RECONSTRUCTION: the reference returns the actual route,
+    // not just reachability (/root/reference/graph/graph_setup.py:248-262,
+    // earliest_arrival.py:171-205 return the connection list). Each frontier
+    // row carries its path; per hop the frontier is reduced to ONE
+    // deterministic path per node (lexicographic min — node segments are
+    // zero-padded to fixed width so prefix order is monotone under
+    // extension, making the greedy per-hop min equal the oracle's), so the
+    // frontier never blows up combinatorially in the number of shortest
+    // paths. Same guarded expansion as q37.
+    "q45_bfs_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val dir1 = t(s, dir, "lineitem")
+        .withColumn("next_part", lead(col("l_partkey"), 1).over(w))
+        .filter(col("next_part").isNotNull && col("next_part") =!= col("l_partkey"))
+        .select(least(col("l_partkey"), col("next_part")).as("src"),
+          greatest(col("l_partkey"), col("next_part")).as("dst"))
+        .distinct()
+      val edges = dir1.unionAll(dir1.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      val threshold = s.conf.getOption("graft.bfs.broadcastThreshold")
+        .map(_.toLong).getOrElse(1000000L)
+      def seg(c: Column) = lpad(c.cast("string"), 6, "0")
+      var frontier = s.range(1)
+        .select(lit(1L).as("node"), lit(0).as("hop"), seg(lit(1L)).as("path"))
+        .localCheckpoint(true)
+      var visited = frontier
+      for (h <- 1 to 3) {
+        frontier = frontierExpand(frontier, edges, threshold)
+          .select(col("dst").as("node"),
+            concat(col("path"), lit("->"), seg(col("dst"))).as("path"))
+          .join(visited.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
+          .groupBy(col("node")).agg(min(col("path")).as("path"))
+          .select(col("node"), lit(h).as("hop"), col("path"))
+          .localCheckpoint(true)
+        visited = visited.unionAll(frontier)
+      }
+      visited.select(col("node"), col("hop"), col("path"))
     }),
 
     // Exact interpolated percentiles per group (analytics staple; Spark
@@ -598,6 +667,46 @@ object Relational {
            UNION ALL
            SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hop < 3)
          SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""",
+    "q44_resolve_audit" ->
+      """WITH sc AS (SELECT c_custkey, s_suppkey,
+             levenshtein(replace(c_name,'Customer#',''), replace(s_name,'Supplier#','')) lev
+           FROM customer, supplier),
+         best AS (SELECT c_custkey, s_suppkey, lev,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY lev, s_suppkey) rk FROM sc)
+         SELECT c_custkey,
+           CASE WHEN lev <= 3 THEN s_suppkey END AS best_suppkey,
+           CAST(lev AS INT) AS best_lev,
+           CASE WHEN lev = 0 THEN 'exact' WHEN lev <= 1 THEN 'fuzzy'
+                WHEN lev <= 3 THEN 'fallback' ELSE 'unresolved' END AS tier,
+           lev <= 3 AS resolved
+         FROM best WHERE rk = 1""",
+    "q45_bfs_paths" ->
+      """WITH d AS (
+           SELECT l_orderkey, l_partkey, lead(l_partkey) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) next_part
+           FROM lineitem),
+         u AS (SELECT DISTINCT least(l_partkey, next_part) src, greatest(l_partkey, next_part) dst
+               FROM d WHERE next_part IS NOT NULL AND next_part <> l_partkey),
+         e AS (SELECT src, dst FROM u UNION ALL SELECT dst, src FROM u),
+         f0 AS (SELECT CAST(1 AS BIGINT) node, 0 hop, lpad('1', 6, '0') path),
+         f1 AS (SELECT e.dst node, 1 hop,
+                       min(f0.path || '->' || lpad(CAST(e.dst AS VARCHAR), 6, '0')) path
+                FROM f0 JOIN e ON e.src = f0.node
+                WHERE e.dst NOT IN (SELECT node FROM f0) GROUP BY 1),
+         f2 AS (SELECT e.dst node, 2 hop,
+                       min(f1.path || '->' || lpad(CAST(e.dst AS VARCHAR), 6, '0')) path
+                FROM f1 JOIN e ON e.src = f1.node
+                WHERE e.dst NOT IN (SELECT node FROM f0 UNION ALL SELECT node FROM f1)
+                GROUP BY 1),
+         f3 AS (SELECT e.dst node, 3 hop,
+                       min(f2.path || '->' || lpad(CAST(e.dst AS VARCHAR), 6, '0')) path
+                FROM f2 JOIN e ON e.src = f2.node
+                WHERE e.dst NOT IN (SELECT node FROM f0 UNION ALL SELECT node FROM f1
+                                    UNION ALL SELECT node FROM f2)
+                GROUP BY 1)
+         SELECT node, CAST(hop AS INT) AS hop, path FROM (
+           SELECT * FROM f0 UNION ALL SELECT * FROM f1
+           UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)""",
     "q43_percentiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, count(*) AS n

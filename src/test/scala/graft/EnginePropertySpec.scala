@@ -62,8 +62,12 @@ class EnginePropertySpec extends AnyFunSuite {
       }
     }
 
-  for (scenario <- 0 until 5)
-    test(s"replay equivalence under random batching/order/duplication (scenario $scenario)") {
+  // the property must hold under BOTH write disciplines: copy-on-write
+  // (merge at write) and merge-on-read (per-batch deltas, merge at read) —
+  // same ACI reduction, applied at different times
+  for (scenario <- 0 until 5; mor <- Seq(false, true))
+    test(s"replay equivalence under random batching/order/duplication " +
+        s"(scenario $scenario, ${if (mor) "merge-on-read" else "copy-on-write"})") {
       val rnd = new scala.util.Random(1000 + scenario)
       val k = 1 + rnd.nextInt(5)
       val assignSeed = rnd.nextLong()
@@ -72,7 +76,8 @@ class EnginePropertySpec extends AnyFunSuite {
 
       val dir = SparkTestBase.tmpDir("prop")
       val engine = new CdcEngine(spark,
-        IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+        IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = mor),
+        EngineConf(buckets = 8))
       val batches = (0 until k).map(i =>
         events.filter(pmod(xxhash64(lit(assignSeed), col("commit_lsn")), lit(k)) === lit(i)))
       var epoch = 0L

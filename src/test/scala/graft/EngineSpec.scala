@@ -314,6 +314,103 @@ class EngineSpec extends AnyFunSuite {
       TestOracle.fold(ev.collect().toSeq, basePayload).size)
   }
 
+  test("changesSince delivers late batches whose LSNs precede the old watermark") {
+    // The replay contract allows out-of-order delivery: a batch can arrive
+    // whose LSNs are ALL below the already-committed watermark. A change
+    // feed filtered on `_op.l > hwm` (the previous design) silently drops
+    // exactly those rows; the snapshot-diff feed must deliver them.
+    val ev = Synth.events(spark, 2000, seed = 21)
+    val engine = newEngine(EngineConf(buckets = 8))
+    val late = ev.filter(col("commit_lsn") < 500)
+    val early = ev.filter(col("commit_lsn") >= 500) // delivered FIRST
+    engine.applyBatch(0, early)
+    val snap = engine.table.currentSnapshotId
+    engine.applyBatch(1, late) // late arrival, all lsns below the watermark
+    val feed = engine.changesSince(snap).collect()
+    val feedKeys = feed.map(r => (r.getString(0), r.getString(1))).toSet
+    def keysOf(df: DataFrame) =
+      df.select("repo", "path").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val lateKeys = keysOf(late)
+    val onlyLate = lateKeys -- keysOf(early)
+    assert(onlyLate.nonEmpty, "test needs keys written only by the late batch")
+    // every key the late batch created must be fed (old design: dropped) ...
+    assert(onlyLate.subsetOf(feedKeys),
+      s"late-only keys missing from feed: ${(onlyLate -- feedKeys).take(5)}")
+    // ... and nothing outside the late batch can have changed
+    assert(feedKeys.subsetOf(lateKeys))
+  }
+
+  test("merge-on-read: replay equals copy-on-write; deltas append; compaction folds") {
+    val ev = Synth.events(spark, N, seed = 22)
+    val dir = SparkTestBase.tmpDir("mor")
+    val morT = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = true)
+    val mor = new CdcEngine(spark, morT, EngineConf(buckets = 8))
+    val cow = newEngine(EngineConf(buckets = 8))
+    val bs = Synth.batches(ev, 4, N)
+    bs.zipWithIndex.foreach { case (b, i) => mor.applyBatch(i, b); cow.applyBatch(i, b) }
+    assertEquivalent(mor, ev)
+    // delta files ACCUMULATE per bucket (no copy-on-write rewrites)
+    val perBucket = mor.table.currentSnapshot.get.bucketFiles.values.map(_.size)
+    assert(perBucket.max >= 3, s"expected accumulated deltas, got $perBucket")
+    val before = mor.currentState().collect().map(_.toString).sorted
+    assert(cow.currentState().collect().map(_.toString).sorted === before)
+    mor.compact()
+    assert(mor.table.currentSnapshot.get.bucketFiles.values.forall(_.size == 1))
+    assert(mor.currentState().collect().map(_.toString).sorted === before)
+  }
+
+  test("merge-on-read: out-of-order + duplicate delivery converges; auto-compaction bounds deltas") {
+    val ev = Synth.events(spark, N, seed = 23, dupPct = 15)
+    val dir = SparkTestBase.tmpDir("mor2")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = true)
+    val engine = new CdcEngine(spark, t, EngineConf(buckets = 8, morCompactThreshold = 3))
+    val bs = Synth.batches(ev, 6, N, shuffleDelivery = true)
+    bs.zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
+    engine.applyBatch(100, bs(2)) // content re-delivery under a fresh epoch
+    assertEquivalent(engine, ev)
+    val perBucket = engine.table.currentSnapshot.get.bucketFiles.values.map(_.size)
+    assert(perBucket.max <= 3,
+      s"auto-compaction must bound per-bucket delta count, got $perBucket")
+  }
+
+  test("manifest LSN stats skip delta files for offset-range scans") {
+    val ev = Synth.events(spark, N, seed = 24)
+    val dir = SparkTestBase.tmpDir("mor3")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = true)
+    val engine = new CdcEngine(spark, t, EngineConf(buckets = 8))
+    // batches are contiguous LSN ranges -> each delta file has a tight range
+    Synth.batches(ev, 4, N).zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
+    val allFiles = engine.table.currentFiles().size
+    val hi = N / 4 - 1
+    val pruned = engine.prunedFilesForLsnRange(0, hi)
+    assert(pruned.size < allFiles,
+      s"expected manifest-level file skipping: $allFiles files, pruned to ${pruned.size}")
+    assert(pruned.size <= allFiles / 2, s"narrow range should skip ~3/4 of files")
+    val rows = engine.scanLsnRange(0, hi).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("_lsn")) <= hi))
+    // the batch-0 slice is exactly the fold of batch-0 events
+    assert(rows.length ===
+      TestOracle.fold(ev.filter(col("commit_lsn") <= hi).collect().toSeq, basePayload).size)
+  }
+
+  test("high watermark survives expiration onto a lineage-free compaction snapshot") {
+    val ev = Synth.events(spark, 1000, seed = 25)
+    val engine = newEngine(EngineConf(buckets = 4))
+    Synth.batches(ev, 2, 1000).zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
+    val hwmBefore = engine.highWatermark(engine.table.currentSnapshotId)
+    assert(hwmBefore === 999L)
+    engine.compact() // lineage-free snapshot on top
+    engine.table.expireSnapshots(keepLast = 1) // re-root ONTO the compaction
+    assert(engine.table.snapshotChain.size === 1)
+    assert(engine.table.snapshotChain.head.lineage.isEmpty)
+    assert(engine.highWatermark(engine.table.currentSnapshotId) === hwmBefore,
+      "watermark must be carried across the re-root, not collapse to -1")
+    // and the change feed from the current snapshot is empty, not the world
+    assert(engine.changesSince(engine.table.currentSnapshotId).count() === 0)
+  }
+
   test("reserved payload column names are rejected loudly") {
     val engine = newEngine(EngineConf(buckets = 4))
     val bad = Synth.events(spark, 10, seed = 15).withColumn("__b", col("commit_lsn"))

@@ -12,6 +12,9 @@ class IceliteSpec extends AnyFunSuite {
 
   val schemaA = StructType(Seq(StructField("x", LongType)))
 
+  /** manifest entry shorthand: stats-free DataFile for protocol tests */
+  def f(path: String, sid: Int = 0): Icelite.DataFile = Icelite.DataFile(path, sid, 1)
+
   test("empty table, create/load, pointer starts absent") {
     val t = mkTable()
     assert(t.currentSnapshotId === -1L)
@@ -25,15 +28,15 @@ class IceliteSpec extends AnyFunSuite {
   test("commit chain, bucket inheritance, manifest pruning") {
     val t = mkTable()
     val sid = t.ensureSchema(schemaA)
-    t.commit(0, sid, Map(1 -> List("f1.parquet"), 2 -> List("f2.parquet")),
+    t.commit(0, sid, Map(1 -> List(f("f1.parquet")), 2 -> List(f("f2.parquet"))),
       List(Icelite.BucketLineage(1, 0, 10, 5, 5)), 5)
-    t.commit(1, sid, Map(2 -> List("f2b.parquet")), Nil, 3)
+    t.commit(1, sid, Map(2 -> List(f("f2b.parquet"))), Nil, 3)
     val s = t.currentSnapshot.get
     assert(s.snapshotId === 1)
     assert(s.parentId === 0)
     // bucket 1 inherited, bucket 2 replaced
-    assert(s.bucketFiles("1") === List("f1.parquet"))
-    assert(s.bucketFiles("2") === List("f2b.parquet"))
+    assert(s.bucketFiles("1").map(_.path) === List("f1.parquet"))
+    assert(s.bucketFiles("2").map(_.path) === List("f2b.parquet"))
     // manifest-level pruning returns only requested buckets
     assert(t.currentFiles(Some(Set(1))).map(_.split('/').last) === Seq("f1.parquet"))
     assert(t.committedEpochs === Set(0L, 1L))
@@ -43,28 +46,28 @@ class IceliteSpec extends AnyFunSuite {
   test("epoch idempotency: re-commit of a seen epoch is a no-op") {
     val t = mkTable()
     val sid = t.ensureSchema(schemaA)
-    val s1 = t.commit(5, sid, Map(0 -> List("a.parquet")), Nil, 1)
-    val s2 = t.commit(5, sid, Map(0 -> List("b.parquet")), Nil, 1)
+    val s1 = t.commit(5, sid, Map(0 -> List(f("a.parquet"))), Nil, 1)
+    val s2 = t.commit(5, sid, Map(0 -> List(f("b.parquet"))), Nil, 1)
     assert(s2.snapshotId === s1.snapshotId)
-    assert(t.currentSnapshot.get.bucketFiles("0") === List("a.parquet"))
+    assert(t.currentSnapshot.get.bucketFiles("0").map(_.path) === List("a.parquet"))
   }
 
   test("crash between manifest write and pointer move: next commit recovers") {
     val t = mkTable()
     val sid = t.ensureSchema(schemaA)
-    t.commit(0, sid, Map(0 -> List("a.parquet")), Nil, 1)
+    t.commit(0, sid, Map(0 -> List(f("a.parquet"))), Nil, 1)
     // simulate a writer that died after writing snap-1.json but BEFORE the
     // pointer rename: the orphan manifest must be invisible and recoverable
     val orphan = t.root.resolve("metadata").resolve("snap-1.json")
     java.nio.file.Files.writeString(orphan, """{"snapshotId":1,"parentId":0,
-      "batchEpoch":99,"schemaId":0,"bucketFiles":{},"bucketSchemaIds":{},
+      "batchEpoch":99,"schemaId":0,"bucketFiles":{},
       "lineage":[],"totalRows":0,"commitMillis":0}""")
     assert(t.currentSnapshotId === 0) // pointer untouched -> old state visible
     assert(!t.committedEpochs.contains(99L)) // orphan epoch not committed
     // next commit takes snapshot id 1, overwriting the orphan atomically
-    val s = t.commit(1, sid, Map(0 -> List("b.parquet")), Nil, 1)
+    val s = t.commit(1, sid, Map(0 -> List(f("b.parquet"))), Nil, 1)
     assert(s.snapshotId === 1 && s.batchEpoch === 1)
-    assert(t.currentSnapshot.get.bucketFiles("0") === List("b.parquet"))
+    assert(t.currentSnapshot.get.bucketFiles("0").map(_.path) === List("b.parquet"))
     assert(t.committedEpochs === Set(0L, 1L))
   }
 
@@ -72,23 +75,103 @@ class IceliteSpec extends AnyFunSuite {
     val t = mkTable()
     val a = t.ensureSchema(schemaA)
     val wide = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
-    t.commit(0, a, Map(0 -> List("a.parquet")), Nil, 1)
+    t.commit(0, a, Map(0 -> List(f("a.parquet"))), Nil, 1)
     val b = t.ensureSchema(wide)
     assert(b !== a)
-    t.commit(1, b, Map(0 -> List("b.parquet")), Nil, 0)
+    t.commit(1, b, Map(0 -> List(f("b.parquet"))), Nil, 0)
     assert(t.ensureSchema(schemaA) === a) // identical schema reused
     assert(t.schema(a) === schemaA)
     assert(t.schema(b) === wide)
     assert(t.currentSnapshot.get.schemaId === b)
   }
 
-  test("bucketSchemaIds track the writer schema per bucket") {
+  test("append-mode commit extends bucket file lists (merge-on-read deltas)") {
+    val t = mkTable()
+    val sid = t.ensureSchema(schemaA)
+    t.commit(0, sid, Map(0 -> List(f("d0.parquet"))), Nil, 1, append = true)
+    t.commit(1, sid, Map(0 -> List(f("d1.parquet")), 1 -> List(f("e0.parquet"))),
+      Nil, 1, append = true)
+    val s = t.currentSnapshot.get
+    assert(s.bucketFiles("0").map(_.path) === List("d0.parquet", "d1.parquet"))
+    assert(s.bucketFiles("1").map(_.path) === List("e0.parquet"))
+    // a replace-commit (compaction) folds the list back
+    t.commit(-1L, sid, Map(0 -> List(f("c0.parquet"))), Nil, 0)
+    assert(t.currentSnapshot.get.bucketFiles("0").map(_.path) === List("c0.parquet"))
+  }
+
+  test("re-delivery of an epoch surviving only via carriedEpochs no-ops (post-expire)") {
+    val t = mkTable()
+    val sid = t.ensureSchema(schemaA)
+    (0 to 3).foreach(e => t.commit(e, sid, Map(0 -> List(f(s"f$e.parquet"))), Nil, 1))
+    t.expireSnapshots(keepLast = 1)
+    assert(t.snapshotChain.size === 1)
+    // epochs 0..2 survive only in carriedEpochs — re-delivering one must be
+    // a clean no-op returning the current snapshot, not a NoSuchElement crash
+    val s = t.commit(1, sid, Map(0 -> List(f("dup.parquet"))), Nil, 1)
+    assert(s.snapshotId === t.currentSnapshotId)
+    assert(t.currentSnapshot.get.bucketFiles("0").map(_.path) === List("f3.parquet"))
+  }
+
+  test("manifest lsn stats: file groups prune by range; stat-free files never skipped") {
+    val t = mkTable()
+    val sid = t.ensureSchema(schemaA)
+    t.commit(0, sid, Map(
+      0 -> List(Icelite.DataFile("a.parquet", sid, 10, 0, 99),
+        Icelite.DataFile("b.parquet", sid, 10, 100, 199),
+        f("nostats.parquet"))), Nil, 30)
+    def files(lo: Long, hi: Long) =
+      t.currentFileGroups(None, Some((lo, hi))).values.flatten.map(_.split('/').last).toSet
+    assert(files(0, 50) === Set("a.parquet", "nostats.parquet"))
+    assert(files(150, 160) === Set("b.parquet", "nostats.parquet"))
+    assert(files(500, 600) === Set("nostats.parquet"))
+    assert(files(99, 100) === Set("a.parquet", "b.parquet", "nostats.parquet"))
+  }
+
+  test("multi-writer optimistic commit: stale view conflicts, retry succeeds") {
+    val dir = SparkTestBase.tmpDir("ice") + "/t"
+    val a = IceliteTable.create(dir, Seq("repo", "path"), 8)
+    val b = IceliteTable.load(dir) // second writer, independent instance
+    val sid = a.ensureSchema(schemaA)
+    // both writers prepare against the empty table (parent -1)
+    val viewA = a.currentSnapshotId
+    val viewB = b.currentSnapshotId
+    a.commit(0, sid, Map(0 -> List(f("a0.parquet"))), Nil, 1,
+      append = true, expectedParentId = viewA)
+    // writer B's view is stale -> optimistic conflict, NOT a silent overwrite
+    val e = intercept[Icelite.CommitConflictException](
+      b.commit(1, sid, Map(1 -> List(f("b0.parquet"))), Nil, 1,
+        append = true, expectedParentId = viewB))
+    assert(e.getMessage.contains("advanced"))
+    // retry loop: re-read, re-issue (append-mode deltas need no re-prepare)
+    b.commit(1, sid, Map(1 -> List(f("b0.parquet"))), Nil, 1,
+      append = true, expectedParentId = b.currentSnapshotId)
+    // both writers' work is in the final table
+    val s = b.currentSnapshot.get
+    assert(s.bucketFiles("0").map(_.path) === List("a0.parquet"))
+    assert(s.bucketFiles("1").map(_.path) === List("b0.parquet"))
+    assert(b.committedEpochs === Set(0L, 1L))
+  }
+
+  test("vacuum grace period protects recently-written uncommitted files") {
+    val t = mkTable()
+    val sid = t.ensureSchema(schemaA)
+    // an in-flight writer's file: written, not yet committed
+    val inflight = t.root.resolve("data").resolve("pending").resolve("part-0.parquet")
+    java.nio.file.Files.createDirectories(inflight.getParent)
+    java.nio.file.Files.writeString(inflight, "data")
+    assert(t.vacuum(graceMillis = 60000).isEmpty, "fresh file must survive grace")
+    assert(java.nio.file.Files.exists(inflight))
+    assert(t.vacuum(graceMillis = 0).nonEmpty) // past the grace: collected
+    assert(!java.nio.file.Files.exists(inflight))
+  }
+
+  test("per-file schema ids group reads by writer schema") {
     val t = mkTable()
     val a = t.ensureSchema(schemaA)
-    t.commit(0, a, Map(0 -> List("a.parquet"), 1 -> List("b.parquet")), Nil, 2)
+    t.commit(0, a, Map(0 -> List(f("a.parquet", a)), 1 -> List(f("b.parquet", a))), Nil, 2)
     val wide = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
     val b = t.ensureSchema(wide)
-    t.commit(1, b, Map(1 -> List("c.parquet")), Nil, 0)
+    t.commit(1, b, Map(1 -> List(f("c.parquet", b))), Nil, 0)
     val groups = t.currentFileGroups(None)
     assert(groups(a).map(_.split('/').last) === Seq("a.parquet"))
     assert(groups(b).map(_.split('/').last) === Seq("c.parquet"))

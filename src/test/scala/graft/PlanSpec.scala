@@ -60,10 +60,10 @@ class PlanSpec extends AnyFunSuite {
     import graft.queries.Relational
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val frontier = Seq((1L, 0)).toDF("node", "hop").localCheckpoint(true)
-    val small = Relational.frontierExpand(frontier, edges, 1, threshold = 100L)
+    val small = Relational.frontierExpand(frontier, edges, threshold = 100L)
     assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "small frontier should broadcast")
-    val big = Relational.frontierExpand(frontier, edges, 1, threshold = 0L)
+    val big = Relational.frontierExpand(frontier, edges, threshold = 0L)
     val p = big.queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
       s"over-threshold frontier must not broadcast:\n$p")
