@@ -493,9 +493,12 @@ object CdcEngine {
 
   /** List parquet files written under `dir/__b=N/` as bucket -> manifest
     * entries, harvesting row count and `_op.l` (last-writer LSN) min/max
-    * from each parquet FOOTER. Driver-side metadata reads (~ms per file),
-    * NOT a Spark job — the same footer pass that produces the read-back row
-    * counts yields the file-skipping stats for free. */
+    * from each parquet FOOTER. Driver-side metadata reads, NOT a Spark job
+    * — the same footer pass that produces the read-back row counts yields
+    * the file-skipping stats for free. The per-file reads run on a small
+    * thread pool: sequential they cost ~10 ms x file count per commit, a
+    * SERIAL (Amdahl) term that visibly caps replay scaling efficiency at
+    * high parallelism. */
   private[engine] def collectBucketFiles(dir: Path, table: IceliteTable, schemaId: Int,
       hadoopConf: org.apache.hadoop.conf.Configuration): Map[Int, List[Icelite.DataFile]] = {
     val stream = Files.walk(dir)
@@ -504,32 +507,40 @@ object CdcEngine {
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .toList
       finally stream.close()
+    def statsOf(p: Path): Icelite.DataFile = {
+      val hp = new org.apache.hadoop.fs.Path(p.toString)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val rows = r.getRecordCount
+        val lsnStats = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == s"$OpCell.l")
+          .map(_.getStatistics)
+        val usable = lsnStats.nonEmpty &&
+          lsnStats.forall(s => s != null && !s.isEmpty && s.hasNonNullValue)
+        val (mn, mx) =
+          if (usable)
+            (lsnStats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+              lsnStats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+          else (Long.MinValue, Long.MaxValue) // unknown => never skipped
+        Icelite.DataFile(table.relativize(p), schemaId, rows, mn, mx)
+      } finally r.close()
+    }
+    val byPath: Map[Path, Icelite.DataFile] =
+      if (paths.size <= 1) paths.map(p => p -> statsOf(p)).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, paths.size))
+        try paths.map(p => p -> pool.submit(new java.util.concurrent.Callable[Icelite.DataFile] {
+            override def call(): Icelite.DataFile = statsOf(p)
+          })).map { case (p, f) => p -> f.get() }.toMap
+        finally pool.shutdown()
+      }
     paths
       .groupBy { p =>
         val seg = p.getParent.getFileName.toString // "__b=N"
         seg.stripPrefix("__b=").toInt
       }
-      .map { case (b, ps) =>
-        b -> ps.sortBy(_.toString).map { p =>
-          val hp = new org.apache.hadoop.fs.Path(p.toString)
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, hadoopConf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            val rows = r.getRecordCount
-            val lsnStats = r.getFooter.getBlocks.asScala
-              .flatMap(_.getColumns.asScala)
-              .filter(_.getPath.toDotString == s"$OpCell.l")
-              .map(_.getStatistics)
-            val usable = lsnStats.nonEmpty &&
-              lsnStats.forall(s => s != null && !s.isEmpty && s.hasNonNullValue)
-            val (mn, mx) =
-              if (usable)
-                (lsnStats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
-                  lsnStats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
-              else (Long.MinValue, Long.MaxValue) // unknown => never skipped
-            Icelite.DataFile(table.relativize(p), schemaId, rows, mn, mx)
-          } finally r.close()
-        }
-      }
+      .map { case (b, ps) => b -> ps.sortBy(_.toString).map(byPath) }
   }
 }

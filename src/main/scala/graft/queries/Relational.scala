@@ -499,6 +499,39 @@ object Relational {
       arrival
     }),
 
+    // Earliest-arrival WITH JOURNEY reconstruction — the reference's
+    // earliest_arrival returns the actual connection list, not just the
+    // arrival time (/root/reference/graph/earliest_arrival.py:171-205).
+    // Each arrival row carries its journey; every relaxation round reduces
+    // to ONE row per node by min(struct(arr_ts, journey)) — earliest
+    // arrival first, lexicographic journey as the deterministic tie-break —
+    // so the frontier stays bounded by node cardinality. The oracle
+    // replicates the same per-round greedy reduction (row_number over
+    // (arr_ts, journey)), making the tie-break engine-identical.
+    "q46_earliest_journey" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val conns = t(s, dir, "events")
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .withColumn("arr", lead(col("ts"), 1).over(w))
+        .filter(col("dst").isNotNull && col("arr") > col("ts"))
+        .select(col("event_type").as("src"), col("dst"), col("ts").as("dep"), col("arr"))
+        .distinct().cache()
+      var arrival = t(s, dir, "events").filter(col("event_type") === "click")
+        .agg(min(col("ts")).as("arr_ts"))
+        .select(lit("click").as("node"), col("arr_ts"), lit("click").as("journey"))
+      for (_ <- 1 to 3) {
+        val cand = broadcast(arrival).join(conns,
+            col("node") === col("src") && col("dep") >= col("arr_ts"))
+          .select(col("dst").as("node"), col("arr").as("arr_ts"),
+            concat(col("journey"), lit("->"), col("dst")).as("journey"))
+        arrival = arrival.unionByName(cand)
+          .groupBy(col("node"))
+          .agg(min(struct(col("arr_ts"), col("journey"))).as("m"))
+          .select(col("node"), col("m.arr_ts").as("arr_ts"), col("m.journey").as("journey"))
+      }
+      arrival
+    }),
+
     // F12: higher-order array functions — filter / transform / aggregate
     // over a token array (the reference's evaNumbers lambda filter,
     // /root/reference/spark_etl/spark_batched.py:165-171)
@@ -735,6 +768,40 @@ object Relational {
                   SELECT c.dst, c.arr FROM a2 JOIN conns c ON c.src = a2.node AND c.dep >= a2.arr_ts
                 ) GROUP BY 1)
          SELECT node, arr_ts FROM a3""",
+    "q46_earliest_journey" ->
+      """WITH legs AS (
+           SELECT event_type src, ts dep,
+                  lead(event_type) OVER w dst, lead(ts) OVER w arr
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         conns AS (SELECT DISTINCT src, dst, dep, arr FROM legs
+                   WHERE dst IS NOT NULL AND arr > dep),
+         a0 AS (SELECT 'click' AS node, min(ts) AS arr_ts, 'click' AS journey
+                FROM events WHERE event_type='click'),
+         a1 AS (SELECT node, arr_ts, journey FROM (
+                  SELECT node, arr_ts, journey,
+                         row_number() OVER (PARTITION BY node ORDER BY arr_ts, journey) rn
+                  FROM (SELECT node, arr_ts, journey FROM a0
+                        UNION ALL
+                        SELECT c.dst, c.arr, a0.journey || '->' || c.dst
+                        FROM a0 JOIN conns c ON c.src = a0.node AND c.dep >= a0.arr_ts))
+                WHERE rn = 1),
+         a2 AS (SELECT node, arr_ts, journey FROM (
+                  SELECT node, arr_ts, journey,
+                         row_number() OVER (PARTITION BY node ORDER BY arr_ts, journey) rn
+                  FROM (SELECT node, arr_ts, journey FROM a1
+                        UNION ALL
+                        SELECT c.dst, c.arr, a1.journey || '->' || c.dst
+                        FROM a1 JOIN conns c ON c.src = a1.node AND c.dep >= a1.arr_ts))
+                WHERE rn = 1),
+         a3 AS (SELECT node, arr_ts, journey FROM (
+                  SELECT node, arr_ts, journey,
+                         row_number() OVER (PARTITION BY node ORDER BY arr_ts, journey) rn
+                  FROM (SELECT node, arr_ts, journey FROM a2
+                        UNION ALL
+                        SELECT c.dst, c.arr, a2.journey || '->' || c.dst
+                        FROM a2 JOIN conns c ON c.src = a2.node AND c.dep >= a2.arr_ts))
+                WHERE rn = 1)
+         SELECT node, arr_ts, journey FROM a3""",
     "q39_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts

@@ -279,6 +279,43 @@ object TrainingData {
         .select(col("probe_id"), col("vec_id").as("nn_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // IVF-style ANN: coarse quantizer (16 deterministic centroid vectors) ->
+    // cell assignment by max cosine -> probes search only their nprobe=2
+    // nearest CELLS, never the whole corpus. The inverted-file counterpart
+    // to q28's hyperplane LSH: at 100 TB the cell assignment is one
+    // broadcast pass (centroid set is tiny and fixed), candidate lists are
+    // cell-local partitions, and recall is tuned by nprobe — the standard
+    // IVF trade. Centroids here are a deterministic id-sample of the corpus
+    // (a k-means fit would be a separate offline job; the QUERY path —
+    // assign, probe, rank — is identical and is what's exercised).
+    "q47_ann_ivf" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      // cell assignment: rank centroids per vector by cosine (desc, cid asc)
+      val scored = fan(e).crossJoin(broadcast(cents))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val ranked = scored.withColumn("crk", row_number().over(wAssign))
+      val assign = ranked.filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      // probes search their top-2 cells (nprobe=2)
+      val probes = ranked.filter(col("vec_id") < 10 && col("crk") <= 2)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"), col("cid").as("pcell"))
+      val cand = broadcast(probes).join(fan(assign),
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("cos", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
     // Language-ID heuristic: stopword-list voting (deterministic formula —
     // the oracle replicates the same heuristic)
     "q29_lang_id" -> ((s, dir) => {
@@ -458,6 +495,28 @@ object TrainingData {
                       row_number() OVER (PARTITION BY probe_id ORDER BY dot/(pn*nn) DESC, nb) rk
                FROM d)
          SELECT probe_id, nb AS nn_id, round(cos,6) AS cos FROM r WHERE rk = 1""",
+    "q47_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
+         pc AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c),
+         d AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
+               FROM pc GROUP BY 1,2),
+         r AS (SELECT vec_id, cid, dot/(nrm*cn) ccos,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(nrm*cn) DESC, cid) crk
+               FROM d),
+         assign AS (SELECT vec_id, cid cell FROM r WHERE crk = 1),
+         probes AS (SELECT vec_id probe_id, cid pcell FROM r WHERE vec_id < 10 AND crk <= 2),
+         candpairs AS (SELECT p.probe_id, a.vec_id nb FROM probes p
+                       JOIN assign a ON a.cell = p.pcell AND a.vec_id <> p.probe_id),
+         cd AS (SELECT probe_id, nb, unnest(ep.v) x, unnest(en.v) y
+                FROM candpairs JOIN e ep ON ep.vec_id = probe_id JOIN e en ON en.vec_id = nb),
+         dd AS (SELECT probe_id, nb, sum(x*y) dot, sqrt(sum(x*x)) pn, sqrt(sum(y*y)) nn
+                FROM cd GROUP BY 1,2),
+         rr AS (SELECT probe_id, nb, dot/(pn*nn) cos,
+                       row_number() OVER (PARTITION BY probe_id ORDER BY dot/(pn*nn) DESC, nb) rk
+                FROM dd)
+         SELECT probe_id, nb AS neighbor_id, CAST(rk AS INT) AS rk, round(cos,6) AS cos
+         FROM rr WHERE rk <= 3""",
     "q29_lang_id" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
          sc AS (SELECT doc_id,
