@@ -129,17 +129,11 @@ class CdcEngine(
       .select((keyColumns ++ envelope ++ cells): _*)
   }
 
-  /** Read current state (cell form) for some buckets, aligned (cast/null-fill)
-    * to the target payload schema. Groups files by their writer schema id so
-    * widened columns are up-cast explicitly — old data files are never
-    * rewritten on schema evolution. */
-  private def readStateCells(buckets: Option[Set[Int]], targetPayload: StructType,
-      asOfSnapshot: Option[Long] = None): DataFrame = {
-    val groups = asOfSnapshot match {
-      case Some(id) => table.fileGroupsAt(id, buckets)
-      case None => table.currentFileGroups(buckets)
-    }
-    val cellCols = Seq(OpCell, TsCell) ++ targetPayload.fieldNames
+  /** Read (sid -> files) groups in cell form, each group aligned
+    * (cast/null-fill) to the target payload schema — files are grouped by
+    * writer schema id so widened columns are up-cast explicitly and old
+    * data files are never rewritten on schema evolution. */
+  private def readAligned(groups: Map[Int, Seq[String]], targetPayload: StructType): DataFrame = {
     val target = stateSchema(targetPayload)
     val aligned = groups.toSeq.map { case (sid, files) =>
       val written = table.schema(sid)
@@ -150,9 +144,29 @@ class CdcEngine(
       }
       spark.read.schema(written).parquet(files: _*).select(cols: _*)
     }
-    val unioned = aligned.reduceOption(_ unionByName _).getOrElse {
+    aligned.reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
     }
+  }
+
+  /** Flatten merged cell rows to the feed shape: keys, payload values, and
+    * the (_op, _lsn, _seq, _ts) envelope. */
+  private def flattenCells(cells: DataFrame, payload: StructType): DataFrame = {
+    val flat = payload.fieldNames.toSeq.map(c => col(s"$c.v").as(c))
+    cells.select((keyColumns ++ flat ++ Seq(
+      col(s"$OpCell.v").as("_op"), col(s"$OpCell.l").as("_lsn"),
+      col(s"$OpCell.s").as("_seq"), col(s"$TsCell.v").as("_ts"))): _*)
+  }
+
+  /** Read current state (cell form) for some buckets, aligned to the target
+    * payload schema. */
+  private def readStateCells(buckets: Option[Set[Int]], targetPayload: StructType,
+      asOfSnapshot: Option[Long] = None): DataFrame = {
+    val groups = asOfSnapshot match {
+      case Some(id) => table.fileGroupsAt(id, buckets)
+      case None => table.currentFileGroups(buckets)
+    }
+    val unioned = readAligned(groups, targetPayload)
     // Merge-on-read tables: bucket file lists hold per-batch DELTA files,
     // so the visible state is the LWW cell merge across them — the same ACI
     // reduction the write path uses, applied at read time (Hudi/Iceberg MOR
@@ -307,12 +321,7 @@ class CdcEngine(
         StructField(f.name, f.dataType.asInstanceOf[StructType]("v").dataType, nullable = true)
     })
     val cells = readStateCells(buckets, payload, asOfSnapshot)
-    val flat = payload.fieldNames.toSeq.map(c => col(s"$c.v").as(c))
-    val base = cells
-      .filter(col(s"$OpCell.v") =!= lit("D"))
-      .select((keyColumns ++ flat ++ Seq(
-        col(s"$OpCell.v").as("_op"), col(s"$OpCell.l").as("_lsn"),
-        col(s"$OpCell.s").as("_seq"), col(s"$TsCell.v").as("_ts"))): _*)
+    val base = flattenCells(cells.filter(col(s"$OpCell.v") =!= lit("D")), payload)
     if (payload.fieldNames.contains("content"))
       base.withColumn("content_sha256", sha2(col("content"), 256))
     else base
@@ -387,10 +396,7 @@ class CdcEngine(
           cellCols.map(c => col(s"c.$c") <=> col(s"o.$c")).reduce(_ && _)
         cur.as("c").join(old.as("o"), cond, "left_anti")
       }
-    val flat = payload.fieldNames.toSeq.map(c => col(s"$c.v").as(c))
-    changed.select((keyColumns ++ flat ++ Seq(
-      col(s"$OpCell.v").as("_op"), col(s"$OpCell.l").as("_lsn"),
-      col(s"$OpCell.s").as("_seq"), col(s"$TsCell.v").as("_ts"))): _*)
+    flattenCells(changed, payload)
   }
 
   /** Offset-range audit scan: stored change rows whose last-writer LSN falls
@@ -402,34 +408,39 @@ class CdcEngine(
     * column for row-group pruning. */
   def scanLsnRange(lo: Long, hi: Long, buckets: Option[Set[Int]] = None): DataFrame = {
     val payload = tablePayload
-    val target = stateSchema(payload)
-    val groups = table.currentFileGroups(buckets, lsnRange = Some((lo, hi)))
-    val aligned = groups.toSeq.map { case (sid, files) =>
-      val written = table.schema(sid)
-      val writtenNames = written.fieldNames.toSet
-      val cols = target.fields.toSeq.map { f =>
-        if (writtenNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }
-      spark.read.schema(written).parquet(files: _*).select(cols: _*)
-    }
-    val unioned = aligned.reduceOption(_ unionByName _).getOrElse {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    }
+    val unioned = readAligned(table.currentFileGroups(buckets, lsnRange = Some((lo, hi))), payload)
     val cellCols = Seq(OpCell, TsCell) ++ payload.fieldNames
     val merged = if (table.meta.mergeOnRead) lwwAgg(unioned, cellCols) else unioned
-    val flat = payload.fieldNames.toSeq.map(c => col(s"$c.v").as(c))
-    merged
-      .filter(col(s"$OpCell.l").between(lo, hi))
-      .select((keyColumns ++ flat ++ Seq(
-        col(s"$OpCell.v").as("_op"), col(s"$OpCell.l").as("_lsn"),
-        col(s"$OpCell.s").as("_seq"), col(s"$TsCell.v").as("_ts"))): _*)
+    flattenCells(merged.filter(col(s"$OpCell.l").between(lo, hi)), payload)
   }
 
   /** Data files the current snapshot would read for an LSN-range scan after
     * manifest-level stats pruning (exposed for tests/inspection). */
   def prunedFilesForLsnRange(lo: Long, hi: Long): Seq[String] =
     table.currentFileGroups(None, lsnRange = Some((lo, hi))).values.flatten.toSeq
+
+  /** Incremental APPEND feed: the cell versions physically written after
+    * `sinceSnapshotId`, merged per key within that file set — reads ONLY the
+    * manifest-diff files (Iceberg's incremental read). On merge-on-read
+    * tables those are the intervening batches' delta files, so feed I/O is
+    * proportional to change volume, not table size; on copy-on-write they
+    * are whole rewritten buckets (use `changesSince` there — the value-level
+    * snapshot diff). Falls back to the full current state when `since` was
+    * expired. Unlike `changesSince`, a late event that LOSES the LWW merge
+    * against pre-existing state still appears here (it was written) — this
+    * is the physical change-log view, `changesSince` is the logical one. */
+  def appendedSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None): DataFrame = {
+    val payload = tablePayload
+    val groups = table.fileGroupsAddedSince(sinceSnapshotId, buckets)
+      .getOrElse(table.currentFileGroups(buckets))
+    val merged = lwwAgg(readAligned(groups, payload), Seq(OpCell, TsCell) ++ payload.fieldNames)
+    flattenCells(merged, payload)
+  }
+
+  /** Files `appendedSince(sinceSnapshotId)` would read (tests/inspection). */
+  def filesAddedSince(sinceSnapshotId: Long): Seq[String] =
+    table.fileGroupsAddedSince(sinceSnapshotId, None)
+      .getOrElse(table.currentFileGroups(None)).values.flatten.toSeq
 
   // ---------------------------------------------------------------- maintenance
 

@@ -200,6 +200,33 @@ class IceliteTable private (val root: Path) {
   def fileGroupsAt(snapshotId: Long, buckets: Option[Set[Int]] = None): Map[Int, Seq[String]] =
     fileGroupsOf(snapshot(snapshotId), buckets, None)
 
+  /** Manifest DIFF: data files in the current snapshot but not in
+    * `sinceSnapshotId` (by path — files are immutable, so path identity is
+    * content identity), grouped by writer schema id. This is the file set an
+    * incremental reader must scan: on merge-on-read tables it is exactly the
+    * delta files of the intervening batches (I/O proportional to CHANGE
+    * volume, not table size); on copy-on-write it is the rewritten buckets.
+    * Returns None when `since` was expired out of the chain (caller must
+    * fall back to a full read). */
+  def fileGroupsAddedSince(sinceSnapshotId: Long,
+      buckets: Option[Set[Int]] = None): Option[Map[Int, Seq[String]]] = {
+    if (sinceSnapshotId >= 0 &&
+      !Files.exists(metaDir.resolve(s"snap-$sinceSnapshotId.json"))) return None
+    val oldPaths: Set[String] =
+      if (sinceSnapshotId < 0) Set.empty
+      else snapshot(sinceSnapshotId).bucketFiles.valuesIterator.flatten.map(_.path).toSet
+    val groups = currentSnapshot.map { s =>
+      s.bucketFiles.iterator
+        .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
+        .flatMap { case (_, files) => files }
+        .filterNot(f => oldPaths.contains(f.path))
+        .toSeq
+        .groupBy(_.schemaId)
+        .map { case (sid, fs) => sid -> fs.map(f => root.resolve(f.path).toString) }
+    }.getOrElse(Map.empty)
+    Some(groups)
+  }
+
   private def fileGroupsOf(s: Snapshot, buckets: Option[Set[Int]],
       lsnRange: Option[(Long, Long)]): Map[Int, Seq[String]] =
     s.bucketFiles.iterator

@@ -395,6 +395,34 @@ class EngineSpec extends AnyFunSuite {
       TestOracle.fold(ev.filter(col("commit_lsn") <= hi).collect().toSeq, basePayload).size)
   }
 
+  test("appendedSince reads ONLY the manifest-diff delta files on merge-on-read") {
+    val ev = Synth.events(spark, N, seed = 26)
+    val dir = SparkTestBase.tmpDir("mor4")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = true)
+    val engine = new CdcEngine(spark, t, EngineConf(buckets = 8))
+    val bs = Synth.batches(ev, 4, N)
+    engine.applyBatch(0, bs(0))
+    engine.applyBatch(1, bs(1))
+    val snap = t.currentSnapshotId
+    val filesAtSnap = t.currentFiles().size
+    engine.applyBatch(2, bs(2))
+    engine.applyBatch(3, bs(3))
+    // file-level incrementality: the feed reads only the NEW delta files
+    val added = engine.filesAddedSince(snap)
+    assert(added.size === t.currentFiles().size - filesAtSnap,
+      "append feed must read exactly the manifest diff")
+    assert(added.size < t.currentFiles().size)
+    // content: the merged cell versions of batches 2+3 (physical change log)
+    val per = (N + 3) / 4
+    val oracle = TestOracle.fold(
+      ev.filter(col("commit_lsn") >= 2 * per).collect().toSeq, basePayload)
+    val feed = engine.appendedSince(snap).collect()
+    assert(feed.map(r => (r.getString(0), r.getString(1))).toSet === oracle.keySet)
+    // expired `since` falls back to the full current state
+    val full = engine.appendedSince(9999L).count()
+    assert(full === TestOracle.fold(ev.collect().toSeq, basePayload).size)
+  }
+
   test("high watermark survives expiration onto a lineage-free compaction snapshot") {
     val ev = Synth.events(spark, 1000, seed = 25)
     val engine = newEngine(EngineConf(buckets = 4))

@@ -50,4 +50,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(c === ks.cols.getOrElse("content", null).asInstanceOf[String], s"content at $k")
     }
   }
+
+  test("streaming into a merge-on-read table: same fold, delta appends, exactly-once") {
+    val work = SparkTestBase.tmpDir("streammor")
+    val input = s"$work/in"
+    val N = 3000L
+    val ev = Synth.events(spark, N, seed = 27, repos = 20, pathsPerRepo = 50)
+    ev.filter(s"commit_lsn < ${N / 2}").coalesce(1).write.mode("append").parquet(input)
+    ev.filter(s"commit_lsn >= ${N / 2}").coalesce(1).write.mode("append").parquet(input)
+    val table = IceliteTable.create(s"$work/t", Seq("repo", "path"), 8, mergeOnRead = true)
+    val engine = new CdcEngine(spark, table, EngineConf(buckets = 8))
+    CdcStream.runAvailableNow(spark, engine, input, s"$work/ckpt", maxFilesPerTrigger = 1)
+    // two streamed batches appended deltas (no bucket rewrites)
+    assert(table.currentSnapshot.get.bucketFiles.values.exists(_.size >= 2))
+    val before = table.currentSnapshotId
+    CdcStream.runAvailableNow(spark, engine, input, s"$work/ckpt")
+    assert(table.currentSnapshotId === before, "exactly-once violated on empty re-run")
+    val oracle = TestOracle.finalState(ev.collect().toSeq, Seq("commit", "lang", "content"))
+    val got = engine.currentState().collect().map { r =>
+      (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path"))) -> r
+    }.toMap
+    assert(got.keySet === oracle.keySet)
+    for ((k, ks) <- oracle)
+      assert(got(k).getLong(got(k).fieldIndex("_lsn")) === ks.lsn, s"lsn at $k")
+  }
 }
