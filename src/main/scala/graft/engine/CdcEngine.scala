@@ -264,7 +264,14 @@ class CdcEngine(
         toWrite.withColumn(SaltCol, pmod(xxhash64(col("path")), lit(conf.writeSaltPerBucket)))
           .repartition(writeTasks, col("__b"), col(SaltCol)).drop(SaltCol)
       else toWrite.repartition(writeTasks, col("__b"))
-    repartitioned.write.partitionBy("__b").parquet(outDir.toString)
+    // bloom filters on the key columns: point lookups prune to a bucket via
+    // the manifest, then the parquet reader's bloom check skips row groups
+    // inside multi-file/multi-group buckets (free at read: Spark consults
+    // blooms automatically for pushed-down equality predicates)
+    repartitioned.write
+      .option("parquet.bloom.filter.enabled#repo", "true")
+      .option("parquet.bloom.filter.enabled#path", "true")
+      .partitionBy("__b").parquet(outDir.toString)
     val mergeWriteMs = ms(tw0)
 
     // Manifest entries + per-bucket state row counts + file-level LSN
@@ -442,6 +449,22 @@ class CdcEngine(
     table.fileGroupsAddedSince(sinceSnapshotId, None)
       .getOrElse(table.currentFileGroups(None)).values.flatten.toSeq
 
+  /** Point read of ONE key: the manifest prunes to the key's hash bucket
+    * (computed driver-side with the same xxhash64 the write path uses — no
+    * Spark job), the equality predicates push down to the parquet scan, and
+    * the bloom filters written on the key columns skip non-matching row
+    * groups inside the bucket's files. Tombstoned keys return zero rows,
+    * like `currentState`. */
+  def pointLookup(repo: String, path: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, XxHash64}
+    // seed 42 = the fixed seed of the SQL xxhash64 function (bucketCol)
+    val h = XxHash64(Seq(CatLit.create(repo, StringType), CatLit.create(path, StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    val bucket = (((h % conf.buckets) + conf.buckets) % conf.buckets).toInt
+    currentState(Some(Set(bucket)))
+      .filter(col("repo") === repo && col("path") === path)
+  }
+
   // ---------------------------------------------------------------- maintenance
 
   /** Compaction: rewrite each selected bucket's file list into one file
@@ -462,7 +485,10 @@ class CdcEngine(
     val outDir = table.root.resolve("data").resolve(f"compact-${System.nanoTime()}%x")
     cells.withColumn("__b", bucketCol)
       .repartition(selected.size, col("__b"))
-      .write.partitionBy("__b").parquet(outDir.toString)
+      .write
+      .option("parquet.bloom.filter.enabled#repo", "true")
+      .option("parquet.bloom.filter.enabled#path", "true")
+      .partitionBy("__b").parquet(outDir.toString)
     val sid = table.ensureSchema(stateSchema(payload))
     val bucketFiles =
       collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
