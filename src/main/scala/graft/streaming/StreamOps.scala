@@ -21,6 +21,19 @@ object StreamOps {
       .groupBy(window(col("ts"), window_).getField("start").as("w_start"), col("op"))
       .agg(count(lit(1)).as("n"), approx_count_distinct("repo").as("n_repos"))
 
+  /** Streaming DEDUPLICATION with bounded state: drop re-deliveries of the
+    * same (commit_lsn, seq) event within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` evicts dedup state once the watermark
+    * passes an event's time, so state is O(events per horizon), not
+    * O(stream). The at-least-once upstream can re-send an event any time
+    * inside `lateness`; beyond it the sink's idempotent ACI merge (which
+    * needs no state at all) still absorbs the duplicate — the two layers
+    * compose, this one just saves the redundant work. */
+  def dedupWithinWatermark(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("commit_lsn", "seq")
+
   case class RepoStats(repo: String, events: Long, lastLsn: Long)
 
   /** Custom keyed streaming state: running per-repo event count + high-water

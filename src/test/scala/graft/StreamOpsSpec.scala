@@ -31,6 +31,24 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark suppresses re-delivered events across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.dedupWithinWatermark(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev("r1", 1, 60), ev("r1", 1, 60), ev("r1", 2, 70)) // in-batch dup
+      q.processAllAvailable()
+      in.addData(ev("r1", 1, 60), ev("r2", 3, 80)) // cross-batch re-delivery
+      q.processAllAvailable()
+      val lsns = spark.table("dedupstream").collect()
+        .map(r => r.getLong(r.fieldIndex("commit_lsn"))).sorted
+      assert(lsns.toSeq === Seq(1L, 2L, 3L), "each (lsn, seq) delivered exactly once")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-repo stats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
