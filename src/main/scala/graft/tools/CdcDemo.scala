@@ -65,6 +65,26 @@ object CdcDemo {
     println("== metrics.jsonl:")
     val m = table.root.resolve("metrics.jsonl")
     if (java.nio.file.Files.exists(m)) print(java.nio.file.Files.readString(m))
+
+    // ---- round-2 surface: merge-on-read + incremental feeds + point read
+    val morT = IceliteTable.createOrLoad(s"$work/mor", Seq("repo", "path"),
+      buckets = 16, mergeOnRead = true)
+    val mor = new CdcEngine(spark, morT, EngineConf(buckets = 16, morCompactThreshold = 8))
+    mor.applyBatch(0, ev.filter("commit_lsn < 10000"))
+    val snapA = morT.currentSnapshotId
+    mor.applyBatch(1, ev.filter("commit_lsn >= 10000"))
+    val deltaFiles = mor.filesAddedSince(snapA).size
+    println(s"== merge-on-read: ${morT.currentFiles().size} files total, " +
+      s"appendedSince(snap $snapA) reads only $deltaFiles delta files, " +
+      s"${mor.appendedSince(snapA).count()} changed rows")
+    println(s"== changesSince(snap $snapA): ${mor.changesSince(snapA).count()} rows (value-level diff)")
+    val k = mor.currentState().select("repo", "path").head()
+    println(s"== pointLookup(${k.getString(0)}, ${k.getString(1)}): " +
+      s"${mor.pointLookup(k.getString(0), k.getString(1)).count()} row (bucket-pruned)")
+    val preCompact = morT.currentFiles().size
+    mor.compact()
+    println(s"== compaction: $preCompact files -> ${morT.currentFiles().size} " +
+      s"(state rows=${mor.currentState().count()})")
     spark.stop()
   }
 }
