@@ -159,22 +159,40 @@ class CdcEngine(
   }
 
   /** Read current state (cell form) for some buckets, aligned to the target
-    * payload schema. */
+    * payload schema.
+    *
+    * Merge-on-read tables: bucket file lists hold per-batch DELTA files, so
+    * the visible state is the LWW cell merge across them — the same ACI
+    * reduction the write path uses, applied at read time (Hudi/Iceberg MOR
+    * semantics). The merge (a shuffle) is paid ONLY for buckets that
+    * actually hold more than one file: a single-file bucket is the output
+    * of one batch's reduction or of compaction, both key-unique, so it is
+    * read raw — after compaction a merge-on-read table reads exactly as
+    * cheaply as copy-on-write. */
   private def readStateCells(buckets: Option[Set[Int]], targetPayload: StructType,
       asOfSnapshot: Option[Long] = None): DataFrame = {
-    val groups = asOfSnapshot match {
-      case Some(id) => table.fileGroupsAt(id, buckets)
-      case None => table.currentFileGroups(buckets)
+    val snapOpt = asOfSnapshot.map(id => Some(table.snapshot(id)))
+      .getOrElse(table.currentSnapshot)
+    def groupsFor(sel: Option[Set[Int]]) = (asOfSnapshot, sel) match {
+      case (Some(id), s) => table.fileGroupsAt(id, s)
+      case (None, s) => table.currentFileGroups(s)
     }
-    val unioned = readAligned(groups, targetPayload)
-    // Merge-on-read tables: bucket file lists hold per-batch DELTA files,
-    // so the visible state is the LWW cell merge across them — the same ACI
-    // reduction the write path uses, applied at read time (Hudi/Iceberg MOR
-    // semantics). On compacted buckets the aggregation is a value-level
-    // no-op; compaction exists to keep this read tax low.
-    if (table.meta.mergeOnRead)
-      lwwAgg(unioned, Seq(OpCell, TsCell) ++ targetPayload.fieldNames)
-    else unioned
+    if (!table.meta.mergeOnRead) return readAligned(groupsFor(buckets), targetPayload)
+    val multiFile: Set[Int] = snapOpt.map(_.bucketFiles.collect {
+      case (b, files) if files.size > 1 && buckets.forall(_.contains(b.toInt)) => b.toInt
+    }.toSet).getOrElse(Set.empty)
+    val singleSel = buckets match {
+      case Some(bs) => Some(bs -- multiFile)
+      case None => snapOpt.map(_.bucketFiles.keySet.map(_.toInt) -- multiFile)
+        .orElse(Some(Set.empty[Int]))
+    }
+    val singles = readAligned(groupsFor(singleSel), targetPayload)
+    if (multiFile.isEmpty) singles
+    else {
+      val merged = lwwAgg(readAligned(groupsFor(Some(multiFile)), targetPayload),
+        Seq(OpCell, TsCell) ++ targetPayload.fieldNames)
+      singles.unionByName(merged)
+    }
   }
 
   /** The ACI last-writer-wins reduction: per key, per cell column, keep the

@@ -423,6 +423,24 @@ class EngineSpec extends AnyFunSuite {
     assert(full === TestOracle.fold(ev.collect().toSeq, basePayload).size)
   }
 
+  test("merge-on-read pays the merge shuffle only for multi-file buckets") {
+    val ev = Synth.events(spark, 2000, seed = 29)
+    val dir = SparkTestBase.tmpDir("mor5")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = true)
+    val engine = new CdcEngine(spark, t, EngineConf(buckets = 8))
+    Synth.batches(ev, 3, 2000).zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
+    // delta piles present -> the read plan must merge
+    val pre = engine.currentState().queryExecution.executedPlan.toString
+    assert(pre.contains("Aggregate"), "multi-file buckets need the LWW merge")
+    assertEquivalent(engine, ev)
+    engine.compact()
+    // fully compacted -> plain scan, no aggregate, same rows
+    val post = engine.currentState().queryExecution.executedPlan.toString
+    assert(!post.contains("Aggregate"),
+      s"compacted merge-on-read read must not shuffle:\n$post")
+    assertEquivalent(engine, ev)
+  }
+
   test("pointLookup prunes to one bucket; key blooms are written to parquet") {
     val ev = Synth.events(spark, 2000, seed = 28)
     val engine = newEngine(EngineConf(buckets = 16))
