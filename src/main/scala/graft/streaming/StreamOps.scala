@@ -34,6 +34,21 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("commit_lsn", "seq")
 
+  /** Event-time SESSION windows (gap-based, the streaming twin of the batch
+    * sessionization in q39): per (repo, session) event counts where a
+    * session closes after `gap` of event-time silence; the watermark both
+    * bounds state and decides when a session is final. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      // the session_window expression must BE the grouping column — wrapping
+      // it (e.g. .getField) hides it from the analyzer rule that merges
+      // adjacent sessions, silently degrading to per-event "sessions"
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("repo"))
+      .agg(count(lit(1)).as("n"), max(col("commit_lsn")).as("max_lsn"))
+      .select(col("sw.start").as("s_start"), col("repo"), col("n"), col("max_lsn"))
+
   case class RepoStats(repo: String, events: Long, lastLsn: Long)
 
   /** Custom keyed streaming state: running per-repo event count + high-water

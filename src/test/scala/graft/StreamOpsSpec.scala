@@ -31,6 +31,25 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: a gap of event-time silence closes the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.sessionCounts(in.toDF(), gap = "1 minute", lateness = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // r1: two events 30s apart (one session), then one 10 min later (new
+      // session); r2: a single event
+      in.addData(ev("r1", 1, 600), ev("r1", 2, 630), ev("r1", 3, 1230), ev("r2", 4, 600))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getString(r.fieldIndex("repo")),
+          r.getLong(r.fieldIndex("n")))).toSeq.sorted
+      assert(rows === Seq(("r1", 1L), ("r1", 2L), ("r2", 1L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
