@@ -62,6 +62,46 @@ class EnginePropertySpec extends AnyFunSuite {
       }
     }
 
+  // Property: the change feed equals the brute-force snapshot diff — for ANY
+  // random batching and delivery order (including late batches whose LSNs
+  // precede the cut's watermark), changesSince(cut) must return exactly the
+  // keys whose folded state differs between the cut and the end, with the
+  // final merged values. Runs in both write modes.
+  for (scenario <- 0 until 3)
+    test(s"changesSince equals the brute-force snapshot diff (scenario $scenario)") {
+      val rnd = new scala.util.Random(3000 + scenario)
+      val k = 2 + rnd.nextInt(4)
+      val assignSeed = rnd.nextLong()
+      val order = rnd.shuffle((0 until k).toList)
+      val cut = 1 + rnd.nextInt(k - 1) // snapshot after `cut` applied batches
+      val mor = scenario % 2 == 1
+      val dir = SparkTestBase.tmpDir("prop-feed")
+      val engine = new CdcEngine(spark,
+        IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = mor),
+        EngineConf(buckets = 8))
+      val batches = (0 until k).map(i =>
+        events.filter(pmod(xxhash64(lit(assignSeed), col("commit_lsn")), lit(k)) === lit(i)))
+      order.take(cut).zipWithIndex.foreach { case (i, e) => engine.applyBatch(e.toLong, batches(i)) }
+      val snapId = engine.table.currentSnapshotId
+      order.drop(cut).zipWithIndex.foreach { case (i, e) =>
+        engine.applyBatch((cut + e).toLong, batches(i)) }
+
+      val payload = Seq("commit", "lang", "content")
+      val atCut = TestOracle.fold(
+        order.take(cut).flatMap(i => batches(i).collect().toSeq), payload)
+      val atEnd = TestOracle.fold(
+        order.flatMap(i => batches(i).collect().toSeq), payload)
+      val expected = atEnd.filter { case (key, ks) => !atCut.get(key).contains(ks) }
+      val feed = engine.changesSince(snapId).collect().map { r =>
+        (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path"))) ->
+          ((r.getString(r.fieldIndex("_op")), r.getLong(r.fieldIndex("_lsn"))))
+      }.toMap
+      assert(feed.keySet === expected.keySet,
+        s"k=$k cut=$cut order=$order mor=$mor")
+      for ((key, ks) <- expected)
+        assert(feed(key) === ((ks.op, ks.lsn)), s"at $key (order=$order mor=$mor)")
+    }
+
   // the property must hold under BOTH write disciplines: copy-on-write
   // (merge at write) and merge-on-read (per-batch deltas, merge at read) —
   // same ACI reduction, applied at different times
