@@ -20,8 +20,9 @@ class EnginePropertySpec extends AnyFunSuite {
   lazy val events = Synth.events(spark, N, seed = 11, repos = 10, pathsPerRepo = 30).cache()
   lazy val oracle = TestOracle.finalState(events.collect().toSeq, Seq("commit", "lang", "content"))
 
-  for (scenario <- 0 until 3)
-    test(s"replay equivalence under random schema evolution + random order (scenario $scenario)") {
+  for (scenario <- 0 until 3; morEvo <- Seq(false, true))
+    test(s"replay equivalence under random schema evolution + random order " +
+        s"(scenario $scenario, ${if (morEvo) "merge-on-read" else "copy-on-write"})") {
       import org.apache.spark.sql.functions._
       val rnd = new scala.util.Random(2000 + scenario)
       val n = 600L
@@ -40,7 +41,8 @@ class EnginePropertySpec extends AnyFunSuite {
       }
       val dir = SparkTestBase.tmpDir("prop-evo")
       val engine = new CdcEngine(spark,
-        IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+        IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = morEvo),
+        EngineConf(buckets = 8))
       val order = rnd.shuffle(batches.indices.toList)
       order.zipWithIndex.foreach { case (i, epoch) => engine.applyBatch(epoch.toLong, batches(i)) }
 
