@@ -31,7 +31,14 @@ case class EngineConf(
     mergeShufflePartitions: Int = 0,
     // merge-on-read tables only: auto-compact a bucket back to one file
     // once its delta-file count reaches this (0 = manual compaction only)
-    morCompactThreshold: Int = 0)
+    morCompactThreshold: Int = 0,
+    // snapshot retention: once the chain exceeds 2x this, expire down to
+    // this many (0 = keep all history). Bounds manifest accumulation over
+    // long replays (10^5 micro-batches must not mean 10^5 manifest files);
+    // exactly-once bookkeeping and the high watermark survive expiration
+    // via carriedEpochs/carriedWatermark. The 2x hysteresis keeps the
+    // re-rooting write amortized O(1) per batch.
+    retainSnapshots: Int = 0)
 
 case class CommitResult(
     epoch: Long,
@@ -316,6 +323,7 @@ class CdcEngine(
       }.toSet
       if (over.nonEmpty) compact(Some(over))
     }
+    maybeExpire(newSnapshots = if (mor && conf.morCompactThreshold > 0) 2 else 1)
     val totalMs = ms(t0)
     appendMetrics(epoch, snap.snapshotId, events, affected.size, totalMs,
       s""","lineageMs":$lineageMs,"mergeWriteMs":$mergeWriteMs,"manifestMs":$manifestMs""")
@@ -484,6 +492,24 @@ class CdcEngine(
   }
 
   // ---------------------------------------------------------------- maintenance
+
+  // Maintained chain-length estimate for auto-retention: walking the chain
+  // per batch would be O(chain) manifest reads — the exact serial cost the
+  // committed-epoch cache eliminated. Initialized with one walk, then
+  // incremented per commit; reset to the retained count after each expiry.
+  // (Conservative: commits this engine instance did not see only DELAY the
+  // next expiry by that many batches — the bound stays amortized.)
+  private var chainLenEstimate: Long = -1L
+
+  private def maybeExpire(newSnapshots: Int): Unit = {
+    if (conf.retainSnapshots <= 0) return
+    if (chainLenEstimate < 0) chainLenEstimate = table.snapshotChain.size.toLong
+    else chainLenEstimate += newSnapshots
+    if (chainLenEstimate > 2L * conf.retainSnapshots) {
+      table.expireSnapshots(conf.retainSnapshots)
+      chainLenEstimate = conf.retainSnapshots.toLong
+    }
+  }
 
   /** Compaction: rewrite each selected bucket's file list into one file
     * (Iceberg's rewrite_data_files). The MERGE is copy-on-write per bucket,

@@ -495,6 +495,23 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.changesSince(engine.table.currentSnapshotId).count() === 0)
   }
 
+  test("auto-retention bounds the snapshot chain over a long replay") {
+    val ev = Synth.events(spark, 3000, seed = 30)
+    val dir = SparkTestBase.tmpDir("retain")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
+    val engine = new CdcEngine(spark, t, EngineConf(buckets = 8, retainSnapshots = 3))
+    val bs = Synth.batches(ev, 12, 3000)
+    bs.zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
+    // chain stays bounded by the hysteresis band, never the full history
+    assert(t.snapshotChain.size <= 7,
+      s"expected a bounded chain, got ${t.snapshotChain.size}")
+    // exactly-once bookkeeping survives every expiry: ALL epochs still no-op
+    bs.indices.foreach(i => assert(engine.applyBatch(i, bs(i)).skipped, s"epoch $i"))
+    // state and watermark are those of the full replay
+    assertEquivalent(engine, ev)
+    assert(engine.highWatermark(t.currentSnapshotId) === 2999L)
+  }
+
   test("reserved payload column names are rejected loudly") {
     val engine = newEngine(EngineConf(buckets = 4))
     val bad = Synth.events(spark, 10, seed = 15).withColumn("__b", col("commit_lsn"))
