@@ -55,6 +55,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
   }
 
+  test("q47 IVF: centroid set and probe set are broadcast, corpus never sort-merged") {
+    val p = plan("q47_ann_ivf")
+    assert(p.contains("Broadcast"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must join against broadcast centroids/probes, not sort-merge")
+  }
+
+  test("q44 resolve audit: the supplier side of the levenshtein theta-join is broadcast") {
+    val p = plan("q44_resolve_audit")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      s"expected a broadcast cross join in:\n$p")
+  }
+
   test("BFS frontierExpand: broadcast under the guard, shuffle join above it") {
     import spark.implicits._
     import graft.queries.Relational
