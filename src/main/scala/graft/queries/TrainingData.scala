@@ -403,6 +403,32 @@ object TrainingData {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // MIXTURE REBALANCING: sample the corpus down to target per-class
+    // proportions (the "data mixing" step of training-corpus construction).
+    // Given integer weights per language, the largest corpus honoring the
+    // proportions is N = min_l floor(n_l * W / w_l); each class keeps its
+    // a_l = floor(w_l * N / W) docs of smallest (content-hash, doc_id) —
+    // deterministic, integer-only math (exact cross-engine parity, no
+    // float thresholds), one count pass + one per-class top-a_l. At scale
+    // the rank is a window per class; classes are few, docs are many, and
+    // the window partitions by class — no global sort.
+    "q48_mixture_sample" -> ((s, dir) => {
+      val w = Map("en" -> 50L, "de" -> 30L, "es" -> 10L, "fr" -> 10L)
+      val wTot = w.values.sum
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val weights = { import s.implicits._; w.toSeq.toDF("lang", "wt") }
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .join(broadcast(weights), "lang")
+      val nTarget = counts.agg(min(expr(s"(n * $wTot) DIV wt")).as("nt"))
+      val quotas = counts.crossJoin(broadcast(nTarget))
+        .select(col("lang"), expr(s"(wt * nt) DIV $wTot").as("quota"))
+      val rk = Window.partitionBy(col("lang")).orderBy(hash64(col("text")), col("doc_id"))
+      d.withColumn("rk", row_number().over(rk))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Near-dup CLUSTERS: banded SimHash pairs -> CONVERGED connected
     // components (min-label propagation to fixpoint, see
     // connectedComponents) — the step that turns pairwise candidates into
@@ -574,6 +600,18 @@ object TrainingData {
                       (('0x' || substr(md5(tks[i]),1,15))::BIGINT) % 1000003 th
                FROM p)
          SELECT doc_id, CAST(sum(w * th) % 2147483647 AS BIGINT) AS fp FROM x GROUP BY 1""",
+    "q48_mixture_sample" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 50), ('de', 30), ('es', 10), ('fr', 10)),
+         counts AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+         cw AS (SELECT c.lang, n, wt FROM counts c JOIN w ON c.lang = w.lang),
+         nt AS (SELECT min((n * 100) // wt) nt FROM cw),
+         quotas AS (SELECT lang, (wt * nt) // 100 quota FROM cw, nt),
+         ranked AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(text),1,15))::BIGINT, doc_id) rk
+               FROM documents)
+         SELECT doc_id, ranked.lang FROM ranked JOIN quotas ON ranked.lang = quotas.lang
+         WHERE rk <= quota""",
     "q41_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(text),1,15))::BIGINT % 100 <
