@@ -403,6 +403,31 @@ object TrainingData {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // DECONTAMINATION: remove training documents that share any long
+    // character n-gram with the evaluation set (the standard train/test
+    // overlap scrub). Eval sets are small, so their distinct 13-gram hash
+    // set broadcasts; contamination detection is one broadcast semi-join —
+    // never a train-side self-join — and the output keeps clean docs with
+    // a per-doc contaminated-gram count for audit. doc_id < 20 plays the
+    // eval set on the test tables.
+    "q49_decontaminate" -> ((s, dir) => {
+      def grams13(d: DataFrame): DataFrame =
+        fan(d.select(col("doc_id"), col("text")))
+          .withColumn("i", explode(sequence(lit(1), greatest(length(col("text")) - 12, lit(1)))))
+          .select(col("doc_id"), xxhash64(expr("substring(text, i, 13)")).as("g"))
+          .distinct()
+      val docs = t(s, dir, "documents")
+      val evalG = grams13(docs.filter(col("doc_id") < 20)).select(col("g")).distinct()
+      val trainG = grams13(docs.filter(col("doc_id") >= 20))
+      val contaminated = trainG.join(broadcast(evalG), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      docs.filter(col("doc_id") >= 20).select(col("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("n_shared"), lit(0L)) === 0L).toDF("doc_id", "n_shared", "keep")
+    }),
+
     // MIXTURE REBALANCING: sample the corpus down to target per-class
     // proportions (the "data mixing" step of training-corpus construction).
     // Given integer weights per language, the largest corpus honoring the
@@ -600,6 +625,19 @@ object TrainingData {
                       (('0x' || substr(md5(tks[i]),1,15))::BIGINT) % 1000003 th
                FROM p)
          SELECT doc_id, CAST(sum(w * th) % 2147483647 AS BIGINT) AS fp FROM x GROUP BY 1""",
+    // oracle joins on the gram STRINGS; the Spark side joins on 64-bit gram
+    // hashes — hashes only mediate equality, so the counts agree (collision
+    // odds negligible, as with the shingle hashing)
+    "q49_decontaminate" ->
+      """WITH ev AS (SELECT DISTINCT substr(text, i, 13) g FROM
+           (SELECT text, unnest(generate_series(1, greatest(len(text)-12, 1))) i
+            FROM documents WHERE doc_id < 20)),
+         tr AS (SELECT DISTINCT doc_id, substr(text, i, 13) g FROM
+           (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-12, 1))) i
+            FROM documents WHERE doc_id >= 20)),
+         cont AS (SELECT doc_id, count(*) n FROM tr JOIN ev USING (g) GROUP BY 1)
+         SELECT d.doc_id, coalesce(n, 0) AS n_shared, coalesce(n, 0) = 0 AS keep
+         FROM documents d LEFT JOIN cont USING (doc_id) WHERE d.doc_id >= 20""",
     "q48_mixture_sample" ->
       """WITH w(lang, wt) AS (VALUES ('en', 50), ('de', 30), ('es', 10), ('fr', 10)),
          counts AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
