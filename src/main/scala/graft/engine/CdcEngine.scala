@@ -79,6 +79,15 @@ class CdcEngine(
 
   import CdcEngine._
 
+  // The bucket count is PHYSICAL table layout: every manifest prune, point
+  // lookup and write partition derives from it. An engine configured with a
+  // different count than the table was created with would write rows into
+  // the wrong buckets and prune reads incorrectly — fail construction loudly
+  // instead of corrupting silently.
+  require(table.meta.buckets == conf.buckets,
+    s"engine buckets (${conf.buckets}) != table buckets (${table.meta.buckets}) " +
+      s"for table ${table.root}")
+
   private val keyCols = ChangeEvent.keyCols
   private def keyColumns: Seq[Column] = keyCols.map(col)
 

@@ -403,6 +403,22 @@ object TrainingData {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // REPETITION-RATIO quality filter (the Gopher-rules duplicate-n-gram
+    // signal): fraction of a doc's character trigram OCCURRENCES that are
+    // repeats of an earlier trigram in the same doc — boilerplate/spam text
+    // scores high. One explode + one two-aggregate groupBy per doc; no
+    // cross-doc work at all, so it scales embarrassingly.
+    "q50_repetition_filter" -> ((s, dir) => {
+      fan(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .withColumn("i", explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1)))))
+        .select(col("doc_id"), expr("substring(text, i, 3)").as("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("t"), countDistinct(col("g")).as("d"))
+        .select(col("doc_id"),
+          round(lit(1.0) - col("d") * 1.0 / col("t"), 4).as("dup_ratio"),
+          (round(lit(1.0) - col("d") * 1.0 / col("t"), 4) <= 0.5).as("keep"))
+    }),
+
     // DECONTAMINATION: remove training documents that share any long
     // character n-gram with the evaluation set (the standard train/test
     // overlap scrub). Eval sets are small, so their distinct 13-gram hash
@@ -625,6 +641,14 @@ object TrainingData {
                       (('0x' || substr(md5(tks[i]),1,15))::BIGINT) % 1000003 th
                FROM p)
          SELECT doc_id, CAST(sum(w * th) % 2147483647 AS BIGINT) AS fp FROM x GROUP BY 1""",
+    "q50_repetition_filter" ->
+      """WITH g AS (SELECT doc_id, substr(text, i, 3) g FROM
+           (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-2, 1))) i
+            FROM documents)),
+         st AS (SELECT doc_id, count(*) t, count(DISTINCT g) d FROM g GROUP BY 1)
+         SELECT doc_id, round(1.0 - d*1.0/t, 4) AS dup_ratio,
+                round(1.0 - d*1.0/t, 4) <= 0.5 AS keep
+         FROM st""",
     // oracle joins on the gram STRINGS; the Spark side joins on 64-bit gram
     // hashes — hashes only mediate equality, so the counts agree (collision
     // odds negligible, as with the shingle hashing)

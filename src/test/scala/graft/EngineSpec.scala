@@ -512,6 +512,14 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.highWatermark(t.currentSnapshotId) === 2999L)
   }
 
+  test("engine/table bucket-count mismatch is rejected at construction") {
+    val dir = SparkTestBase.tmpDir("buckets")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 16)
+    val e = intercept[IllegalArgumentException](
+      new CdcEngine(spark, t, EngineConf(buckets = 8)))
+    assert(e.getMessage.contains("buckets"))
+  }
+
   test("reserved payload column names are rejected loudly") {
     val engine = newEngine(EngineConf(buckets = 4))
     val bad = Synth.events(spark, 10, seed = 15).withColumn("__b", col("commit_lsn"))
