@@ -30,17 +30,30 @@ object Bench {
     // SPARK_GRAFT_TRIALS > 1: best-of-N per query (single-run noise on this
     // VM swings multi-x; the driver's per-round run stays at 1 for speed)
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "1").toInt
+    // each trial is Either[error, seconds]: a failed trial's wall time must
+    // never compete in the best-of-N min (a crash is usually FAST) — a query
+    // that never succeeds is reported under "errors", not as a plausible time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to trials).map { _ =>
+      val outcomes: Seq[Either[String, Double]] = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+        // per-query caches (banded dedup, trigram gram sets, BFS edges) are
+        // dropped between queries/trials: a long bench session must not
+        // accumulate executor storage or re-cache-warn on later trials
+        spark.sharedState.cacheManager.clearCache()
+        r
       }
-      name -> times.min
+      val ok = outcomes.collect { case Right(t) => t }
+      name -> (if (ok.nonEmpty) Right(ok.min) else Left(outcomes.head.swap.getOrElse("?")))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errs = results.collect { case (k, Left(m)) => "\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
 
     // CDC replay throughput (events/sec): 4 micro-batches, generation
     // excluded (events pre-written to parquet), one warmup replay first so
@@ -72,6 +85,7 @@ object Bench {
     val eps = n / cdcSec
 
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,""" +
       s""""cdc_events":$n,"cdc_sec":${f"$cdcSec%.3f"},"cdc_events_per_sec":${f"$eps%.0f"},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

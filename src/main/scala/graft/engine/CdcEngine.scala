@@ -244,13 +244,24 @@ class CdcEngine(
     * payload columns may be a superset/widening of the table schema
     * (schema evolution) or a subset (old producers). */
   def applyBatch(epoch: Long, batchRaw: DataFrame): CommitResult = {
-    val t0 = System.nanoTime()
-    def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
     if (table.committedEpochs.contains(epoch)) {
       return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
     }
-    if (conf.mergeShufflePartitions > 0)
-      spark.conf.set("spark.sql.shuffle.partitions", conf.mergeShufflePartitions)
+    if (conf.mergeShufflePartitions <= 0) return applyBatchInner(epoch, batchRaw)
+    // merge-width override is scoped to this batch: leaking it into the
+    // shared session would silently re-plan every later query on it
+    val saved = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", conf.mergeShufflePartitions)
+    try applyBatchInner(epoch, batchRaw)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+      case None => spark.conf.unset("spark.sql.shuffle.partitions")
+    }
+  }
+
+  private def applyBatchInner(epoch: Long, batchRaw: DataFrame): CommitResult = {
+    val t0 = System.nanoTime()
+    def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
 
     val targetPayload = SchemaEvolve.reconcile(tablePayload, payloadOf(batchRaw))
     val cellCols = Seq(OpCell, TsCell) ++ targetPayload.fieldNames
@@ -389,19 +400,27 @@ class CdcEngine(
   }
 
   /** Buckets whose values may have changed after `sinceSnapshotId`, from the
-    * lineage of the chain segment (since, current]; None when the chain was
-    * re-rooted past `since` (expired — every bucket must be assumed
-    * changed). Compaction snapshots carry no lineage and rewrite values
-    * 1:1, so they add nothing to the set. */
+    * lineage of the chain segment (since, current]; None when the set cannot
+    * be proven complete — the chain was re-rooted past `since` (expired), OR
+    * the walk ran to a root that carries expired history (carriedEpochs /
+    * carriedWatermark): buckets written only by the expired commits are
+    * absent from the surviving lineage, so a bootstrap walk
+    * (sinceSnapshotId < 0) over such a chain would silently under-prune.
+    * Compaction snapshots carry no lineage and rewrite values 1:1, so they
+    * add nothing to the set. */
   private def bucketsTouchedSince(sinceSnapshotId: Long): Option[Set[Int]] = {
     var id = table.currentSnapshotId
     val b = Set.newBuilder[Int]
+    var rootCarries = false
     while (id >= 0 && id != sinceSnapshotId) {
       val s = table.snapshot(id)
       b ++= s.lineage.map(_.bucket)
+      if (s.parentId < 0) rootCarries = s.carriedEpochs.nonEmpty || s.carriedWatermark >= 0
       id = s.parentId
     }
-    if (id == sinceSnapshotId || sinceSnapshotId < 0) Some(b.result()) else None
+    if (id >= 0 && id == sinceSnapshotId) Some(b.result()) // reached `since`: segment complete
+    else if (sinceSnapshotId < 0 && !rootCarries) Some(b.result()) // full-chain walk, no expired history
+    else None // `since` expired, or bootstrap over a re-rooted chain
   }
 
   /** Incremental change feed as a SNAPSHOT DIFF: every row whose visible

@@ -210,8 +210,11 @@ class IceliteTable private (val root: Path) {
     * fall back to a full read). */
   def fileGroupsAddedSince(sinceSnapshotId: Long,
       buckets: Option[Set[Int]] = None): Option[Map[Int, Seq[String]]] = {
-    if (sinceSnapshotId >= 0 &&
-      !Files.exists(metaDir.resolve(s"snap-$sinceSnapshotId.json"))) return None
+    // validate `since` by ANCESTRY (walking parent pointers from the current
+    // snapshot), not by manifest-file existence: a crash-orphaned manifest —
+    // written but never pointer-committed — exists on disk yet is not an
+    // ancestor, and a diff against it would yield a wrong incremental set
+    if (sinceSnapshotId >= 0 && !isAncestor(sinceSnapshotId)) return None
     val oldPaths: Set[String] =
       if (sinceSnapshotId < 0) Set.empty
       else snapshot(sinceSnapshotId).bucketFiles.valuesIterator.flatten.map(_.path).toSet
@@ -225,6 +228,16 @@ class IceliteTable private (val root: Path) {
         .map { case (sid, fs) => sid -> fs.map(f => root.resolve(f.path).toString) }
     }.getOrElse(Map.empty)
     Some(groups)
+  }
+
+  /** Is `id` an ancestor of (or equal to) the current snapshot? */
+  def isAncestor(id: Long): Boolean = {
+    var cur = currentSnapshotId
+    while (cur >= 0) {
+      if (cur == id) return true
+      cur = snapshot(cur).parentId
+    }
+    false
   }
 
   private def fileGroupsOf(s: Snapshot, buckets: Option[Set[Int]],

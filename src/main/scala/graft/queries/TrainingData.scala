@@ -123,7 +123,12 @@ object TrainingData {
       .distinct().localCheckpoint(true)
     var labels = nodes.select(col("n").as("doc_id"), col("n").as("cluster"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+    // sum() over zero rows is NULL: coalesce so an empty edge set (no pair
+    // survived the candidate filter) converges to an empty result instead
+    // of NPE-ing on getLong
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -138,7 +143,7 @@ object TrainingData {
           .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
           .select(col("a").as("doc_id"), col("cluster"))
       next = next.localCheckpoint(true)
-      val sumNow = next.agg(sum(col("cluster"))).head().getLong(0)
+      val sumNow = labelSum(next)
       converged = sumNow == prevSum
       prevSum = sumNow
       labels = next

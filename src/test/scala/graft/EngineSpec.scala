@@ -548,6 +548,39 @@ class EngineSpec extends AnyFunSuite {
     assert(snap.lineage.map(_.events).sum === 1) // only the valid row counted
   }
 
+  test("bootstrap feed (changesSince(-1)) is complete after snapshot expiration") {
+    // Buckets written ONLY by expired commits vanish from the surviving
+    // chain's lineage. A bootstrap feed that prunes by that lineage silently
+    // drops their rows (the ADVICE round-2 defect) — after a re-root the
+    // feed must fall back to an unpruned read.
+    val engine = newEngine(EngineConf(buckets = 16))
+    val ts = lit("2026-01-01 00:00:00").cast("timestamp")
+    def batch(repo: String, n: Int) = spark.range(n)
+      .select(lit(repo).as("repo"), concat(lit("p"), col("id")).as("path"),
+        lit("c").as("commit"), lit("scala").as("lang"), concat(lit("v"), col("id")).as("content"),
+        lit("I").as("op"), col("id").as("commit_lsn"), lit(0).as("seq"), ts.as("ts"))
+    engine.applyBatch(0, batch("old-repo", 40)) // keys only this commit writes
+    engine.applyBatch(1, batch("new-repo", 40))
+    val total = engine.changesSince(-1L).count()
+    assert(total === 80)
+    engine.table.expireSnapshots(keepLast = 1) // re-root: epoch 0 survives only via carriedEpochs
+    val boot = engine.changesSince(-1L)
+    assert(boot.count() === 80,
+      "bootstrap feed lost rows from buckets whose lineage was expired")
+    assert(boot.filter(col("repo") === "old-repo").count() === 40)
+  }
+
+  test("applyBatch's merge shuffle-partition override does not leak into the session") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val engine = newEngine(EngineConf(buckets = 4, mergeShufflePartitions = 7))
+    engine.applyBatch(0, Synth.events(spark, 200, seed = 44))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "session shuffle.partitions must round-trip across applyBatch")
+    // and the override is applied again (and restored again) on the next batch
+    engine.applyBatch(1, Synth.events(spark, 200, seed = 45))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
   test("lineage records source offset ranges per bucket") {
     val ev = Synth.events(spark, 500, seed = 6)
     val engine = newEngine(EngineConf(buckets = 4))

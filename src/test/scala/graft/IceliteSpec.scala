@@ -71,6 +71,25 @@ class IceliteSpec extends AnyFunSuite {
     assert(t.committedEpochs === Set(0L, 1L))
   }
 
+  test("incremental diff refuses a crash-orphaned (non-ancestor) since-snapshot") {
+    val t = mkTable()
+    val sid = t.ensureSchema(schemaA)
+    t.commit(0, sid, Map(0 -> List(f("a.parquet"))), Nil, 1)
+    // snap-5.json exists on disk but was never pointer-committed: it is NOT
+    // an ancestor of current, so a manifest diff against it would be wrong
+    java.nio.file.Files.writeString(
+      t.root.resolve("metadata").resolve("snap-5.json"),
+      """{"snapshotId":5,"parentId":0,"batchEpoch":99,"schemaId":0,
+         "bucketFiles":{"0":[{"path":"ghost.parquet","schemaId":0,"rows":1}]},
+         "lineage":[],"totalRows":0,"commitMillis":0}""")
+    assert(t.fileGroupsAddedSince(5L).isEmpty,
+      "file-existence validation accepted a non-ancestor snapshot")
+    // a real ancestor still diffs fine
+    t.commit(1, sid, Map(1 -> List(f("b.parquet"))), Nil, 1)
+    val diff = t.fileGroupsAddedSince(0L)
+    assert(diff.nonEmpty && diff.get.values.flatten.toSeq.exists(_.endsWith("b.parquet")))
+  }
+
   test("schema registry is append-only and deduplicating") {
     val t = mkTable()
     val a = t.ensureSchema(schemaA)

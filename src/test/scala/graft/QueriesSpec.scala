@@ -26,6 +26,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("connectedComponents of an empty edge set is empty (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.queries.TrainingData.connectedComponents(empty).count() === 0)
+  }
+
   test("q06 latest_per_key picks the (ts, event_id)-max row per user") {
     val got = SparkEntry.queries("q06_latest_per_key")(spark, sf)
     val ev = spark.read.parquet(s"$sf/events.parquet")
