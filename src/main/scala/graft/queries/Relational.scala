@@ -34,6 +34,29 @@ object Relational {
     f.join(edges, col("node") === col("src"))
   }
 
+  /** Single-deletion variants of a name column: the name itself (i = 0) and
+    * the name with character i removed, i = 1..len. DISTINCT per key so
+    * repeated characters do not duplicate candidates. */
+  private def deletionVariants(df: DataFrame, key: String, nm: String): DataFrame =
+    df.withColumn("i", explode(sequence(lit(0), length(col(nm)))))
+      .select(col(key), col(nm),
+        when(col("i") === 0, col(nm))
+          .otherwise(concat(expr(s"substring($nm, 1, i - 1)"), expr(s"substring($nm, i + 1)")))
+          .as("v"))
+      .distinct()
+
+  /** Deletion-neighborhood candidate pairs (FastSS / SymSpell blocking):
+    * pairs of (customer, supplier) names sharing a single-deletion variant.
+    * Complete for levenshtein <= 1 (see q14); every candidate has lev <= 2
+    * (each side deleted at most one character to meet at the variant).
+    * The join is a plain equi-join on the variant string — candidate volume
+    * follows near-match density, never |C| x |S|. */
+  private def deletionCandidates(c: DataFrame, sup: DataFrame): DataFrame =
+    deletionVariants(c, "c_custkey", "cn")
+      .join(deletionVariants(sup, "s_suppkey", "sn"), "v")
+      .select(col("c_custkey"), col("cn"), col("s_suppkey"), col("sn"))
+      .distinct()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-A4, P1: multi-aggregate group-by rollup (TPC-H Q1 shape;
@@ -187,18 +210,24 @@ object Relational {
         .select("p_partkey", "p_name", "dist")
     }),
 
-    // J2/F2/F4: similarity theta-join — normalized names, levenshtein filter
-    // (reference fuzzy crossJoin spark_etl/spark_batched.py:356-395)
+    // J2/F2/F4: similarity join — normalized names, levenshtein <= 1 —
+    // via DELETION-NEIGHBORHOOD blocking (FastSS / SymSpell): each name
+    // emits itself plus every single-character-deletion variant; two names
+    // within one edit PROVABLY share a variant (substitution: delete the
+    // differing position on both sides; insert/delete: the shorter string
+    // IS a variant of the longer), so the variant equi-join is a lossless
+    // candidate generator and levenshtein runs on candidates only. The
+    // reference computes this as a full crossJoin + filter
+    // (spark_etl/spark_batched.py:356-395) — the O(C x S) theta-join that
+    // cannot run at 100x; here candidate volume tracks actual near-match
+    // density (~L variants per name, equi-join, no broadcast nested loop).
     "q14_fuzzy_match" -> ((s, dir) => {
-      // repartition: the single-row-group scan is one task, and the
-      // levenshtein theta-join cost lives on the stream side of the
-      // broadcast nested-loop join
       val c = t(s, dir, "customer")
         .select(col("c_custkey"), regexp_replace(col("c_name"), "Customer#", "").as("cn"))
         .repartition(s.sparkContext.defaultParallelism * 2)
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey"), regexp_replace(col("s_name"), "Supplier#", "").as("sn"))
-      c.crossJoin(broadcast(sup))
+      deletionCandidates(c, sup)
         .withColumn("lev", levenshtein(col("cn"), col("sn")))
         .filter(col("lev") <= 1)
         .select("c_custkey", "s_suppkey", "lev")
@@ -213,6 +242,16 @@ object Relational {
     // unresolved, fact_planned.py:186-193). The first question a user of a
     // fuzzy join asks is "which keys failed to match, and how close were
     // they" — this is that table.
+    // BLOCKED resolve: candidates come from the same deletion-neighborhood
+    // equi-join as q14 (the reference likewise restricts fuzzy candidates
+    // before scoring — its core-token regex gate, README.md "Core-token
+    // filtering" / etl/fact_planned.py:151-173 — rather than scoring every
+    // pair); the tier ladder runs on block candidates and every candidate-
+    // less key still gets an audit row via the left join back
+    // (tier=unresolved, null best), so no key is silently dropped. A shared
+    // delete-1 variant bounds candidate lev at 2, so the `fallback` tier
+    // (lev in (2,3]) is best-effort within the block — the documented trade
+    // that removes the reference's O(C x S) crossJoin from the plan.
     "q44_resolve_audit" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .select(col("c_custkey"), regexp_replace(col("c_name"), "Customer#", "").as("cn"))
@@ -220,17 +259,20 @@ object Relational {
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey"), regexp_replace(col("s_name"), "Supplier#", "").as("sn"))
       val w = Window.partitionBy(col("c_custkey")).orderBy(col("lev"), col("s_suppkey"))
-      c.crossJoin(broadcast(sup))
+      val best = deletionCandidates(c, sup)
         .withColumn("lev", levenshtein(col("cn"), col("sn")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
+        .select(col("c_custkey"), col("s_suppkey"), col("lev"))
+      c.select(col("c_custkey")).join(best, Seq("c_custkey"), "left")
         .select(
           col("c_custkey"),
           when(col("lev") <= 3, col("s_suppkey")).as("best_suppkey"),
           col("lev").as("best_lev"),
-          when(col("lev") === 0, "exact").when(col("lev") <= 1, "fuzzy")
+          when(col("lev").isNull, "unresolved")
+            .when(col("lev") === 0, "exact").when(col("lev") <= 1, "fuzzy")
             .when(col("lev") <= 3, "fallback").otherwise("unresolved").as("tier"),
-          (col("lev") <= 3).as("resolved"))
+          coalesce(col("lev") <= 3, lit(false)).as("resolved"))
     }),
 
     // O1-O3: global top-k (TakeOrderedAndProject — no full sort)
@@ -700,19 +742,31 @@ object Relational {
            UNION ALL
            SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hop < 3)
          SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""",
+    // replicates the deletion-neighborhood block (candidates = names sharing
+    // a single-deletion variant), then the same tier ladder + left join back
     "q44_resolve_audit" ->
-      """WITH sc AS (SELECT c_custkey, s_suppkey,
-             levenshtein(replace(c_name,'Customer#',''), replace(s_name,'Supplier#','')) lev
-           FROM customer, supplier),
-         best AS (SELECT c_custkey, s_suppkey, lev,
-             row_number() OVER (PARTITION BY c_custkey ORDER BY lev, s_suppkey) rk FROM sc)
-         SELECT c_custkey,
+      """WITH cnm AS (SELECT c_custkey, replace(c_name,'Customer#','') cn FROM customer),
+         snm AS (SELECT s_suppkey, replace(s_name,'Supplier#','') sn FROM supplier),
+         cv AS (SELECT DISTINCT c_custkey, cn,
+                  CASE WHEN i = 0 THEN cn ELSE substr(cn,1,i-1) || substr(cn,i+1) END v
+                FROM (SELECT c_custkey, cn, unnest(generate_series(0, len(cn))) i FROM cnm)),
+         sv AS (SELECT DISTINCT s_suppkey, sn,
+                  CASE WHEN i = 0 THEN sn ELSE substr(sn,1,i-1) || substr(sn,i+1) END v
+                FROM (SELECT s_suppkey, sn, unnest(generate_series(0, len(sn))) i FROM snm)),
+         cand AS (SELECT DISTINCT c_custkey, cn, s_suppkey, sn FROM cv JOIN sv USING (v)),
+         best AS (SELECT c_custkey, s_suppkey, lev FROM (
+                    SELECT c_custkey, s_suppkey, levenshtein(cn, sn) lev,
+                           row_number() OVER (PARTITION BY c_custkey
+                             ORDER BY levenshtein(cn, sn), s_suppkey) rk
+                    FROM cand) WHERE rk = 1)
+         SELECT c.c_custkey,
            CASE WHEN lev <= 3 THEN s_suppkey END AS best_suppkey,
            CAST(lev AS INT) AS best_lev,
-           CASE WHEN lev = 0 THEN 'exact' WHEN lev <= 1 THEN 'fuzzy'
-                WHEN lev <= 3 THEN 'fallback' ELSE 'unresolved' END AS tier,
-           lev <= 3 AS resolved
-         FROM best WHERE rk = 1""",
+           CASE WHEN lev IS NULL THEN 'unresolved' WHEN lev = 0 THEN 'exact'
+                WHEN lev <= 1 THEN 'fuzzy' WHEN lev <= 3 THEN 'fallback'
+                ELSE 'unresolved' END AS tier,
+           coalesce(lev <= 3, false) AS resolved
+         FROM customer c LEFT JOIN best ON best.c_custkey = c.c_custkey""",
     "q45_bfs_paths" ->
       """WITH d AS (
            SELECT l_orderkey, l_partkey, lead(l_partkey) OVER (PARTITION BY l_orderkey

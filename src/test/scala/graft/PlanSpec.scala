@@ -62,10 +62,15 @@ class PlanSpec extends AnyFunSuite {
       "the corpus must join against broadcast centroids/probes, not sort-merge")
   }
 
-  test("q44 resolve audit: the supplier side of the levenshtein theta-join is broadcast") {
-    val p = plan("q44_resolve_audit")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
-      s"expected a broadcast cross join in:\n$p")
+  test("q14/q44 fuzzy resolve: deletion-neighborhood equi-join, never a theta-join") {
+    // the scale property: candidates come from an equi-join on deletion
+    // variants — an all-pairs BroadcastNestedLoopJoin/CartesianProduct
+    // (the reference's crossJoin shape) must not appear anywhere
+    for (q <- Seq("q14_fuzzy_match", "q44_resolve_audit")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans an all-pairs join:\n$p")
+    }
   }
 
   test("BFS frontierExpand: broadcast under the guard, shuffle join above it") {
