@@ -62,6 +62,12 @@ class PlanSpec extends AnyFunSuite {
       "the corpus must join against broadcast centroids/probes, not sort-merge")
   }
 
+  test("q26 embed near-dup: banded candidates, no all-pairs join, no corpus broadcast") {
+    val p = plan("q26_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q26 plans an all-pairs join:\n$p")
+  }
+
   test("q14/q44 fuzzy resolve: deletion-neighborhood equi-join, never a theta-join") {
     // the scale property: candidates come from an equi-join on deletion
     // variants — an all-pairs BroadcastNestedLoopJoin/CartesianProduct
