@@ -57,6 +57,21 @@ object Relational {
       .select(col("c_custkey"), col("cn"), col("s_suppkey"), col("sn"))
       .distinct()
 
+  /** q51 input construction — IDENTICAL SQL text in Spark and the DuckDB
+    * oracle (the derived station-like strings must match byte-for-byte).
+    * Variants cycle by key so every normalization rule is exercised,
+    * including the lookbehind cases (word-final hbf/bf/str) and folding. */
+  private val NormalizeInputCase: String =
+    """CASE CAST(p_partkey % 8 AS INT)
+         WHEN 0 THEN 'Berlin ' || frag || ' Hbf.'
+         WHEN 1 THEN frag || 'hbf'
+         WHEN 2 THEN frag || ' Bf.'
+         WHEN 3 THEN frag || 'bf'
+         WHEN 4 THEN frag || ' Str.'
+         WHEN 5 THEN frag || 'str'
+         WHEN 6 THEN 'Groß-' || frag || '_süd (Berlin)'
+         ELSE 'Ää Öö Üü ß ' || frag END"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-A4, P1: multi-aggregate group-by rollup (TPC-H Q1 shape;
@@ -367,6 +382,40 @@ object Relational {
         " +", " "))
       t(s, dir, "part")
         .select(col("p_partkey"), norm.as("norm_name"))
+    }),
+
+    // F1 COMPLETE: the reference's full custom normalization including the
+    // abbreviation-expansion tier (/root/reference/spark_etl/
+    // spark_batched.py:107-129, worked examples README.md:452-475):
+    // folding, underscore-in-word removal, hbf/bf/str expansions (with the
+    // "bf not preceded by h" exclusion and the "<word> strase" joining
+    // rule), the `berlin` token drop, punctuation -> space, collapse. All
+    // as a native regexp_replace chain — codegen'd, no UDF. The reference's
+    // lookbehind forms ((?<=\w), (?<!h)) are expressed as capture-group
+    // rewrites — equivalent on inputs without adjacent underscores and,
+    // unlike lookbehind, expressible in BOTH engines (DuckDB's RE2 has no
+    // lookaround), so the oracle replicates the chain verbatim. Inputs are
+    // derived deterministically from `part` to exercise every rule:
+    // standalone/word-final hbf, bf, str (with trailing dots), the strase
+    // join, umlaut/ß folding, in-word underscores, and the berlin drop.
+    "q51_normalize_full" -> ((s, dir) => {
+      def rr(c: Column, pat: String, rep: String) = regexp_replace(c, pat, rep)
+      val src = t(s, dir, "part")
+        .withColumn("frag", expr("replace(substring(p_name, 1, 10), ' ', '')"))
+        .withColumn("raw", expr(NormalizeInputCase))
+      var x = translate(lower(trim(col("raw"))), "ßäöü", "saou")
+      x = rr(x, """(\w)_(\w)""", "$1$2")
+      x = rr(x, """\bhbf\b\.?""", " hauptbahnhof ")
+      x = rr(x, """(\w)hbf\b\.?""", "$1hauptbahnhof")
+      x = rr(x, """\bbf\b\.?""", " bahnhof ")
+      x = rr(x, """([a-gi-z0-9_])bf\b\.?""", "$1bahnhof")
+      x = rr(x, """\bstr\b\.?""", " strase ")
+      x = rr(x, """(\w)str\b\.?""", "$1strase")
+      x = rr(x, """\b(\w+)\s+strase\b""", "$1strase")
+      x = rr(x, """\bberlin\b""", " ")
+      x = rr(x, """[^a-z0-9\s]""", " ")
+      x = trim(rr(x, """\s+""", " "))
+      src.select(col("p_partkey"), x.as("search_name"))
     }),
 
     // F5: trigram (3-gram) set similarity — the pg_trgm analog
@@ -711,6 +760,30 @@ object Relational {
              translate(lower(p_name), 'ßäöü', 'saou'), '[^a-z0-9]+', ' ', 'g'),
              ' +', ' ', 'g')) AS norm_name
          FROM part""",
+    // replicates the exact chain (RE2 'g' flag = Java replace-all; \N vs $N
+    // backreference syntax is the only divergence)
+    "q51_normalize_full" -> {
+      val steps: Seq[(String, String)] = Seq(
+        ("""(\w)_(\w)""", """\1\2"""),
+        ("""\bhbf\b\.?""", " hauptbahnhof "),
+        ("""(\w)hbf\b\.?""", """\1hauptbahnhof"""),
+        ("""\bbf\b\.?""", " bahnhof "),
+        ("""([a-gi-z0-9_])bf\b\.?""", """\1bahnhof"""),
+        ("""\bstr\b\.?""", " strase "),
+        ("""(\w)str\b\.?""", """\1strase"""),
+        ("""\b(\w+)\s+strase\b""", """\1strase"""),
+        ("""\bberlin\b""", " "),
+        ("""[^a-z0-9\s]""", " "),
+        ("""\s+""", " "))
+      val chained = steps.foldLeft("translate(lower(trim(raw)), 'ßäöü', 'saou')") {
+        case (acc, (pat, rep)) => s"regexp_replace($acc, '$pat', '$rep', 'g')"
+      }
+      s"""WITH src AS (
+            SELECT p_partkey, $NormalizeInputCase AS raw
+            FROM (SELECT p_partkey, replace(substring(p_name, 1, 10), ' ', '') AS frag
+                  FROM part))
+          SELECT p_partkey, trim($chained) AS search_name FROM src"""
+    },
     "q36_trigram_similarity" ->
       """WITH cn AS (SELECT c_custkey, lower(c_name) nm FROM customer WHERE c_mktsegment='BUILDING'),
          sn AS (SELECT s_suppkey, lower(s_name) nm FROM supplier),
