@@ -546,6 +546,54 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
+    // SKETCH TWIN of q43 — the 100 TB stat path made real: approx_percentile
+    // (GK/KLL summary, mergeable, bounded memory) instead of the exact
+    // sort-based percentile, with its documented error envelope ASSERTED in
+    // the result. The sketch guarantees the returned element's rank is
+    // within eps*n of the target (eps = 1/accuracy = 1e-4 here); the query
+    // verifies rank-wise: #[x < approx]/n <= q + eps' and
+    // #[x <= approx]/n >= q - eps' (eps' = 0.001, 10x slack over the
+    // guarantee). The oracle pins the assertion columns to TRUE plus the
+    // exact group counts — a sketch drifting out of its envelope flips the
+    // hash compare red. Deterministic: the summary depends only on the data
+    // and the guarantee holds under any merge order.
+    "q52_approx_percentile" -> ((s, dir) => {
+      val eps = 0.001
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val ap = li.groupBy(col("l_returnflag")).agg(
+        expr("approx_percentile(x, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(x, 0.95, 10000)").as("a95"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("x") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("x") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("x") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("x") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+        .select(col("l_returnflag"), col("n"),
+          (col("lt50") <= (lit(0.5) + eps) * col("n") &&
+            col("le50") >= (lit(0.5) - eps) * col("n")).as("ok50"),
+          (col("lt95") <= (lit(0.95) + eps) * col("n") &&
+            col("le95") >= (lit(0.95) - eps) * col("n")).as("ok95"))
+    }),
+
+    // SKETCH TWIN of q11/q12's count-distinct — approx_count_distinct
+    // (HyperLogLog++, rsd 0.02) with the error asserted against the exact
+    // count in-query. HLL is deterministic for fixed data (register maxima
+    // are order-independent), so the boolean is stable; the bound uses 3x
+    // the configured rsd. The exact count rides along so the oracle also
+    // re-verifies it.
+    "q53_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("n_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx").cast("double") / col("n_exact") - 1.0) <= 0.06).as("within_3rsd"))
+    }),
+
     // Gap-based sessionization: lag -> new-session flag -> running sum =
     // session id (single window partitioning, two passes, no self-join).
     // The batch analog of streaming session windows.
@@ -870,6 +918,15 @@ object Relational {
     "q43_percentiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    // the oracle pins the error-envelope assertions TRUE (and re-checks the
+    // exact counts): the green row certifies the sketch stayed in bounds
+    "q52_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n, true AS ok50, true AS ok95
+         FROM lineitem GROUP BY 1""",
+    "q53_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+                true AS within_3rsd
          FROM lineitem GROUP BY 1""",
     "q40_earliest_arrival" ->
       """WITH legs AS (

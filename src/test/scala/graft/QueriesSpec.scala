@@ -26,6 +26,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("sketch twins stay inside their documented error envelopes") {
+    val p = SparkEntry.queries("q52_approx_percentile")(spark, sf).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("ok50")), s"p50 sketch out of rank envelope: $r")
+      assert(r.getBoolean(r.fieldIndex("ok95")), s"p95 sketch out of rank envelope: $r")
+    }
+    val d = SparkEntry.queries("q53_approx_distinct")(spark, sf).collect()
+    assert(d.nonEmpty)
+    d.foreach(r => assert(r.getBoolean(r.fieldIndex("within_3rsd")),
+      s"HLL estimate outside 3x rsd: $r"))
+  }
+
   test("connectedComponents of an empty edge set is empty (no NPE)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
