@@ -186,6 +186,43 @@ object TrainingData {
     labels
   }
 
+  /** Spherical k-means fit for the IVF coarse quantizer (q47): Lloyd
+    * iterations expressed as DataFrame aggregations — no driver-side math,
+    * no RDDs. Per round: (1) assign each vector to its max-cosine centroid
+    * (codegen'd vec_dot against the broadcast centroid set, cosine rounded
+    * to 8dp so cross-engine ulp noise cannot flip an assignment — ties
+    * break on cid), (2) new centroid = per-dimension mean of its members
+    * (rounded to 6dp), reassembled into an array ordered by dimension;
+    * cells that lose every member keep their previous centroid. Seeded from
+    * the deterministic id-sample, fixed round count — byte-reproducible,
+    * which the DuckDB oracle replicates CTE-for-CTE. Returns
+    * (cid, cv: array<double>, cn: norm). */
+  private def fitCentroids(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def withNorm(c: DataFrame) = c.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), transform(col("v"), x => x.cast("double")).as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assign = fan(e).crossJoin(broadcast(withNorm(cents)))
+        .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 8))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val means = fan(e).join(assign, "vec_id")
+        .select(col("cell").as("cid"),
+          posexplode(transform(col("v"), x => x.cast("double"))).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d")).agg(round(avg(col("x")), 6).as("x"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("x")))).as("a"))
+        .select(col("cid"), expr("transform(a, p -> p.x)").as("cv"))
+      cents = cents.as("p").join(means.as("m"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("m.cv"), col("p.cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    withNorm(cents)
+  }
+
   /** exact-jaccard verification of candidate (da, db) pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -363,25 +400,28 @@ object TrainingData {
         .select(col("probe_id"), col("vec_id").as("nn_id"), round(col("cos"), 6).as("cos"))
     }),
 
-    // IVF-style ANN: coarse quantizer (16 deterministic centroid vectors) ->
-    // cell assignment by max cosine -> probes search only their nprobe=2
-    // nearest CELLS, never the whole corpus. The inverted-file counterpart
-    // to q28's hyperplane LSH: at 100 TB the cell assignment is one
-    // broadcast pass (centroid set is tiny and fixed), candidate lists are
-    // cell-local partitions, and recall is tuned by nprobe — the standard
-    // IVF trade. Centroids here are a deterministic id-sample of the corpus
-    // (a k-means fit would be a separate offline job; the QUERY path —
-    // assign, probe, rank — is identical and is what's exercised).
+    // IVF-style ANN with a FITTED coarse quantizer: spherical k-means
+    // (2 Lloyd rounds as DataFrame aggregations — assign by max cosine,
+    // update = per-dimension mean; cosine ordering is scale-invariant so
+    // means need no renormalization) seeded from a deterministic id-sample,
+    // then cell assignment -> probes search only their nprobe=2 nearest
+    // CELLS, never the whole corpus. The inverted-file counterpart to q28's
+    // hyperplane LSH: at 100 TB the fit touches each vector rounds x k
+    // times against a broadcast centroid set (the standard offline IVF
+    // build), candidate lists are cell-local, recall is tuned by nprobe.
+    // Determinism for the cross-engine oracle: centroid components round to
+    // 6dp after each mean, assignment cosine rounds to 8dp before ranking
+    // (ties then break on cid identically in both engines), so unordered
+    // float summation can never flip an assignment.
     "q47_ann_ivf" -> ((s, dir) => {
       graft.functions.VecOps.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      val cents = fitCentroids(e, k = 16, rounds = 2)
       // cell assignment: rank centroids per vector by cosine (desc, cid asc)
       val scored = fan(e).crossJoin(broadcast(cents))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 8))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
       val ranked = scored.withColumn("crk", row_number().over(wAssign))
       val assign = ranked.filter(col("crk") === 1)
@@ -650,14 +690,40 @@ object TrainingData {
                       row_number() OVER (PARTITION BY probe_id ORDER BY dot/(pn*nn) DESC, nb) rk
                FROM d)
          SELECT probe_id, nb AS nn_id, round(cos,6) AS cos FROM r WHERE rk = 1""",
+    // replicates the 2-round spherical k-means fit (same 6dp centroid /
+    // 8dp cosine rounding, same cid tie-break), then the probe path over
+    // the fitted centroids
     "q47_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         c AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
-         pc AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c),
+         c0 AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
+         p1 AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c0 c),
+         d1 AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
+                FROM p1 GROUP BY 1,2),
+         a1 AS (SELECT vec_id, cid cell FROM (
+                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY round(dot/(nrm*cn),8) DESC, cid) rk FROM d1) WHERE rk = 1),
+         m1 AS (SELECT cell cid, d, round(avg(x),6) x FROM
+                 (SELECT a1.cell, i d, v[i] x FROM a1 JOIN e USING (vec_id),
+                   (SELECT unnest(generate_series(1,64)) i)) GROUP BY 1,2),
+         l1 AS (SELECT cid, list(x ORDER BY d) cv FROM m1 GROUP BY 1),
+         c1 AS (SELECT c0.cid, coalesce(l1.cv, c0.cv) cv FROM c0 LEFT JOIN l1 USING (cid)),
+         p2 AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c1 c),
+         d2 AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
+                FROM p2 GROUP BY 1,2),
+         a2 AS (SELECT vec_id, cid cell FROM (
+                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY round(dot/(nrm*cn),8) DESC, cid) rk FROM d2) WHERE rk = 1),
+         m2 AS (SELECT cell cid, d, round(avg(x),6) x FROM
+                 (SELECT a2.cell, i d, v[i] x FROM a2 JOIN e USING (vec_id),
+                   (SELECT unnest(generate_series(1,64)) i)) GROUP BY 1,2),
+         l2 AS (SELECT cid, list(x ORDER BY d) cv FROM m2 GROUP BY 1),
+         c2 AS (SELECT c1.cid, coalesce(l2.cv, c1.cv) cv FROM c1 LEFT JOIN l2 USING (cid)),
+         pc AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c2 c),
          d AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
                FROM pc GROUP BY 1,2),
-         r AS (SELECT vec_id, cid, dot/(nrm*cn) ccos,
-                      row_number() OVER (PARTITION BY vec_id ORDER BY dot/(nrm*cn) DESC, cid) crk
+         r AS (SELECT vec_id, cid, round(dot/(nrm*cn),8) ccos,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY round(dot/(nrm*cn),8) DESC, cid) crk
                FROM d),
          assign AS (SELECT vec_id, cid cell FROM r WHERE crk = 1),
          probes AS (SELECT vec_id probe_id, cid pcell FROM r WHERE vec_id < 10 AND crk <= 2),
