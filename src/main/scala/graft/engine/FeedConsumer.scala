@@ -1,0 +1,61 @@
+package graft.engine
+
+import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+import org.apache.spark.sql.functions._
+
+/** Downstream consumer of a table's logical change feed — the analog of the
+  * reference's warehouse loader tailing the ETL's upserts
+  * (/root/reference/etl/fact_changed.py:821-875): pulls `changesSince(last
+  * synced snapshot)` from a SOURCE engine and applies it to a MIRROR table
+  * through the same MERGE path, so any icelite table can be replicated by
+  * feed alone.
+  *
+  * Correctness contract (spec-verified, COW and MOR, including late
+  * batches): after every `sync()` the mirror's VISIBLE state — keys,
+  * payload values, op, ts, content sha — equals the source's. The feed
+  * emits one merged-state row per changed key, so each sync is applied as
+  * one event per key stamped with a per-sync LSN = the source snapshot id:
+  * strictly increasing across syncs, which makes re-delivered rows
+  * overwrite (never tie with) the previous sync's cells. Source per-COLUMN
+  * lsn provenance is intentionally not replicated — the feed is a state
+  * stream, not the original event stream — which is why the stamp must be
+  * the sync ordinal, not the row's original `_lsn` (a late source batch can
+  * CHANGE a value without raising the row's visible `_lsn`; re-stamping by
+  * `_lsn` would tie with the previous sync's cell and lose the update).
+  *
+  * Exactly-once: the applied epoch IS the source snapshot id, so a crashed/
+  * re-run sync re-applies idempotently; the checkpoint file is only a fast
+  * path (like MicroBatchRunner's).
+  */
+class FeedConsumer(val source: CdcEngine, val mirror: CdcEngine) {
+
+  private val ckpt = mirror.table.root.resolve("feed-checkpoint.txt")
+
+  def lastSynced: Long =
+    if (Files.exists(ckpt)) Files.readString(ckpt).trim.toLong else -1L
+
+  /** Pull the feed up to the source's current snapshot and apply it.
+    * Returns the number of changed rows applied (0 = already in sync). */
+  def sync(): Long = {
+    val upTo = source.table.currentSnapshotId
+    val since = lastSynced
+    if (upTo < 0 || upTo == since) return 0L
+    val feed = source.changesSince(since)
+    val envelope = Set("_op", "_lsn", "_seq", "_ts", "content_sha256")
+    val payload = feed.columns.filterNot(c =>
+      envelope.contains(c) || c == "repo" || c == "path")
+    val batch = feed.select(
+      Seq(col("repo"), col("path")) ++ payload.map(col) ++ Seq(
+        col("_op").as("op"),
+        lit(upTo).as("commit_lsn"), // per-sync stamp: see class doc
+        lit(0).as("seq"),
+        col("_ts").as("ts")): _*)
+    val applied = mirror.applyBatch(upTo, batch)
+    val tmp = ckpt.resolveSibling("feed-checkpoint.txt.tmp")
+    Files.writeString(tmp, upTo.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, ckpt, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    applied.events
+  }
+}

@@ -85,6 +85,24 @@ object CdcDemo {
     mor.compact()
     println(s"== compaction: $preCompact files -> ${morT.currentFiles().size} " +
       s"(state rows=${mor.currentState().count()})")
+
+    // ---- round-3 surface: change-feed consumer — a mirror table built
+    // ONLY from changesSince feeds must equal the source's visible state
+    val mirror = new CdcEngine(spark,
+      IceliteTable.createOrLoad(s"$work/mirror", Seq("repo", "path"), buckets = 16),
+      EngineConf(buckets = 16))
+    val consumer = new graft.engine.FeedConsumer(engine, mirror)
+    val applied = consumer.sync()
+    def visibleRows(e: CdcEngine) = {
+      val df = e.currentState()
+      val cols = df.columns.filterNot(c => c == "_lsn" || c == "_seq").sorted
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val inSync = visibleRows(mirror) == visibleRows(engine)
+    println(s"== feed consumer: applied $applied rows; mirror " +
+      (if (inSync) "MATCHES source visible state" else "DIVERGED (BUG!)") +
+      s"; re-sync applies ${consumer.sync()} rows (idempotent)")
     spark.stop()
   }
 }

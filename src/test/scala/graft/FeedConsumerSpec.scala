@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{CdcEngine, EngineConf, FeedConsumer}
+import graft.icelite.IceliteTable
+import graft.synth.Synth
+
+/** End-to-end change-feed consumption: a mirror table built ONLY from
+  * `changesSince` feeds must reproduce the source's visible state — the
+  * downstream-warehouse contract. Covered: copy-on-write and merge-on-read
+  * sources, multi-sync incremental pulls, late (below-watermark) batch
+  * delivery, tombstones, idempotent re-sync, and bootstrap (-1) sync. */
+class FeedConsumerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def mkPair(name: String, mor: Boolean): (CdcEngine, CdcEngine, FeedConsumer) = {
+    val dir = SparkTestBase.tmpDir(name)
+    val src = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/src", Seq("repo", "path"), 8, mergeOnRead = mor),
+      EngineConf(buckets = 8))
+    val mir = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/mirror", Seq("repo", "path"), 8),
+      EngineConf(buckets = 8))
+    (src, mir, new FeedConsumer(src, mir))
+  }
+
+  /** Visible-state equality: everything except the per-column lsn/seq
+    * provenance the feed intentionally re-stamps (see FeedConsumer doc). */
+  private def visible(e: CdcEngine): Seq[String] = {
+    val df = e.currentState()
+    val cols = df.columns.filterNot(c => c == "_lsn" || c == "_seq").sorted
+    df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def assertMirrored(src: CdcEngine, mir: CdcEngine): Unit =
+    assert(visible(mir) === visible(src), "mirror diverged from source")
+
+  for (mor <- Seq(false, true)) {
+    val label = if (mor) "merge-on-read" else "copy-on-write"
+
+    test(s"$label source: incremental feed replication equals direct replay") {
+      val (src, mir, consumer) = mkPair(s"feed-$mor", mor)
+      val ev = Synth.events(spark, 3000, seed = 31)
+      val bs = Synth.batches(ev, 3, 3000)
+      // batch 0 then sync (bootstrap from -1), then 1..2 with a sync each
+      bs.zipWithIndex.foreach { case (b, i) =>
+        src.applyBatch(i, b)
+        assert(consumer.sync() >= 0)
+        assertMirrored(src, mir)
+      }
+      // tombstones exist in the stream and are invisible in both states
+      assert(ev.filter(col("op") === "D").count() > 0)
+      // idempotent re-sync: no changes -> no rows, no new mirror snapshot
+      val snapBefore = mir.table.currentSnapshotId
+      assert(consumer.sync() === 0L)
+      assert(mir.table.currentSnapshotId === snapBefore)
+    }
+
+    test(s"$label source: late below-watermark batch flows through the feed") {
+      val (src, mir, consumer) = mkPair(s"feedlate-$mor", mor)
+      val ev = Synth.events(spark, 2000, seed = 32)
+      val late = ev.filter(col("commit_lsn") < 500)
+      val early = ev.filter(col("commit_lsn") >= 500)
+      src.applyBatch(0, early)
+      consumer.sync()
+      assertMirrored(src, mir)
+      // late delivery: all LSNs precede the applied watermark; some keys
+      // change VALUE without raising their visible _lsn — the per-sync
+      // stamp must still overwrite the mirror's previous cells
+      src.applyBatch(1, late)
+      consumer.sync()
+      assertMirrored(src, mir)
+    }
+  }
+
+  test("multi-batch sync in one pull + sha invariant carried to the mirror") {
+    val (src, mir, consumer) = mkPair("feedmulti", mor = false)
+    val ev = Synth.events(spark, 2000, seed = 33)
+    val bs = Synth.batches(ev, 4, 2000)
+    bs.zipWithIndex.foreach { case (b, i) => src.applyBatch(i, b) } // no sync between
+    consumer.sync() // one pull covering 4 source snapshots
+    assertMirrored(src, mir)
+    // the north-rule invariant holds on the mirror: sha256(content) matches
+    val bad = mir.currentState()
+      .filter(col("content").isNotNull &&
+        col("content_sha256") =!= sha2(col("content"), 256))
+      .count()
+    assert(bad === 0)
+  }
+}
