@@ -223,6 +223,74 @@ object TrainingData {
     withNorm(cents)
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * O(log n)-round scale path next to `connectedComponents`' min-label
+    * propagation, whose round count grows with component DIAMETER: a 10^6-
+    * node chain needs ~10^6 label rounds but ~20 star rounds.
+    *
+    * Invariants: after the first large-star every edge is oriented
+    * (node, root-candidate) with node > candidate; both operations preserve
+    * connectivity and monotonically shrink a potential, so the fixpoint is
+    * a forest of stars rooted at each component's minimum id. Per round:
+    *   large-star: per node u over its SYMMETRIC neighborhood,
+    *     m = min(neighbors ∪ u); emit (v, m) for neighbors v > u.
+    *   small-star: per node u over smaller neighbors N (all < u),
+    *     m = min(N); emit (v, m) for v ∈ N ∪ {u}, v != m.
+    * Convergence = edge-set fixpoint, detected by an order-insensitive
+    * (count, bit_xor of edge hashes) signature — one cheap aggregate per
+    * round, like connectedComponents' label-sum check, and XOR cannot
+    * overflow under ANSI arithmetic. Output: (doc_id, cluster) for
+    * every endpoint, cluster = component minimum — identical contract to
+    * `connectedComponents`, so the two are interchangeable (and q54 proves
+    * it against q42's recursive-closure oracle). */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val s = pairs.sparkSession
+    var edges = pairs.select(col("a").as("n"), col("b").as("r"))
+      .filter(col("n") =!= col("r"))
+      .select(greatest(col("n"), col("r")).as("n"), least(col("n"), col("r")).as("r"))
+      .distinct().localCheckpoint(true)
+    if (edges.isEmpty) return edges.select(col("n").as("doc_id"), col("r").as("cluster"))
+    def signature(e: DataFrame): (Long, Long) = {
+      val row = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(n, r))"), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric closure
+      val sym = edges.unionAll(edges.select(col("r").as("n"), col("n").as("r")))
+      val mLarge = sym.groupBy(col("n")).agg(min(col("r")).as("mn"))
+        .select(col("n").as("u"), least(col("mn"), col("n")).as("m"))
+      val afterLarge = sym.join(mLarge, col("n") === col("u"))
+        .filter(col("r") > col("n"))
+        .select(col("r").as("n"), col("m").as("r"))
+        .distinct().localCheckpoint(true)
+      // small-star over the (node > root-candidate) orientation
+      val mSmall = afterLarge.groupBy(col("n")).agg(min(col("r")).as("m"))
+        .select(col("n").as("u"), col("m"))
+      val afterSmall = afterLarge.join(mSmall, col("n") === col("u"))
+        .filter(col("r") =!= col("m"))
+        .select(col("r").as("n"), col("m").as("r"))
+        .unionAll(mSmall.select(col("u").as("n"), col("m").as("r")))
+        .filter(col("n") =!= col("r"))
+        .distinct().localCheckpoint(true)
+      val sigNow = signature(afterSmall)
+      converged = sigNow == sig
+      sig = sigNow
+      edges = afterSmall
+      round += 1
+    }
+    require(converged, s"star contraction did not converge within $maxRounds rounds")
+    // fixpoint is a star forest: every edge is (node, component-min);
+    // roots label themselves
+    edges.select(col("n").as("doc_id"), col("r").as("cluster"))
+      .unionAll(edges.select(col("r").as("doc_id"), col("r").as("cluster")).distinct())
+      .distinct()
+  }
+
   /** exact-jaccard verification of candidate (da, db) pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -585,6 +653,18 @@ object TrainingData {
       connectedComponents(pairs)
     }),
 
+    // Near-dup clusters via LARGE-STAR/SMALL-STAR contraction — the
+    // O(log n)-round twin of q42 (label propagation needs rounds ~ the
+    // component DIAMETER; star contraction doesn't, which is what survives
+    // a 100 TB corpus whose dup chains can be arbitrarily long). Same
+    // pairs, same output contract, same recursive-closure oracle: the
+    // green row proves the two algorithms reach the identical fixpoint.
+    "q54_cc_bigstar" -> ((s, dir) => {
+      val pairs = simhashPairs(t(s, dir, "documents"))
+        .select(col("da").as("a"), col("db").as("b")).cache()
+      connectedComponentsStar(pairs)
+    }),
+
     // Multimodal plumbing: opaque binary column + deterministic metadata
     // extraction (decode itself is stubbed — no image/audio libs in the
     // sandbox; see Multimodal.scala for the mapPartitions batch path)
@@ -597,6 +677,24 @@ object TrainingData {
         sha2(blob, 256).as("blob_sha"))
     })
   )
+
+  /** Shared oracle for q42/q54: SimHash pairs -> full transitive closure. */
+  private val CcClosureOracle: String =
+    """WITH RECURSIVE tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+       th AS (SELECT doc_id, tkn, ('0x' || substr(md5(tkn),1,15))::BIGINT h FROM tk),
+       bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) sj
+                FROM th, (SELECT unnest(generate_series(0,59)) j) GROUP BY 1,2),
+       fp AS (SELECT doc_id, CAST(sum(CASE WHEN sj >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) fp
+              FROM bits GROUP BY 1),
+       pairs AS (SELECT a.doc_id a, b.doc_id b FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       nodes AS (SELECT DISTINCT n FROM (SELECT a n FROM pairs UNION ALL SELECT b FROM pairs)),
+       e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       reach(doc_id, cl) AS (
+         SELECT n, n FROM nodes
+         UNION
+         SELECT e.a, reach.cl FROM e JOIN reach ON e.b = reach.doc_id)
+       SELECT doc_id, min(cl) AS "cluster" FROM reach GROUP BY 1"""
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -814,22 +912,11 @@ object TrainingData {
     // full transitive-closure components (recursive CTE) — the Spark side's
     // converged label propagation must reach the same fixpoint for ANY
     // component diameter, unlike a fixed-round unrolling
-    "q42_dedup_clusters" ->
-      """WITH RECURSIVE tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
-         th AS (SELECT doc_id, tkn, ('0x' || substr(md5(tkn),1,15))::BIGINT h FROM tk),
-         bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) sj
-                  FROM th, (SELECT unnest(generate_series(0,59)) j) GROUP BY 1,2),
-         fp AS (SELECT doc_id, CAST(sum(CASE WHEN sj >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) fp
-                FROM bits GROUP BY 1),
-         pairs AS (SELECT a.doc_id a, b.doc_id b FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-                   WHERE bit_count(xor(a.fp, b.fp)) <= 3),
-         nodes AS (SELECT DISTINCT n FROM (SELECT a n FROM pairs UNION ALL SELECT b FROM pairs)),
-         e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-         reach(doc_id, cl) AS (
-           SELECT n, n FROM nodes
-           UNION
-           SELECT e.a, reach.cl FROM e JOIN reach ON e.b = reach.doc_id)
-         SELECT doc_id, min(cl) AS "cluster" FROM reach GROUP BY 1""",
+    "q42_dedup_clusters" -> CcClosureOracle,
+    // IDENTICAL oracle: large-star/small-star contraction must land on the
+    // exact same components as label propagation (q42) — one closure, two
+    // algorithms, the green pair is the interchangeability proof
+    "q54_cc_bigstar" -> CcClosureOracle,
     "q33_multimodal_stub" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 lower(substr(hex(encode(text)), 1, 16)) AS head_hex,

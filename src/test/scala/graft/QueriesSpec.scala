@@ -43,6 +43,30 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(graft.queries.TrainingData.connectedComponents(empty).count() === 0)
+    assert(graft.queries.TrainingData.connectedComponentsStar(empty).count() === 0)
+  }
+
+  test("star-contraction CC equals label-propagation CC on adversarial graphs") {
+    import spark.implicits._
+    import graft.queries.TrainingData.{connectedComponents, connectedComponentsStar}
+    def labels(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // long chain (diameter 12), a star, a triangle with a pendant, two
+    // 2-cliques, duplicate + reversed edges mixed in
+    val edges = (
+      (100L to 111L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 1L)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L)) ++
+      Seq((50L, 51L), (60L, 61L), (51L, 50L))
+    ).toDF("a", "b")
+    val expected = labels(connectedComponents(edges))
+    assert(labels(connectedComponentsStar(edges)) === expected)
+    // and on a random graph (seeded): same fixpoint
+    val rnd = new scala.util.Random(7)
+    val randomEdges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    assert(labels(connectedComponentsStar(randomEdges)) ===
+      labels(connectedComponents(randomEdges)))
   }
 
   test("q06 latest_per_key picks the (ts, event_id)-max row per user") {
