@@ -453,9 +453,27 @@ class CdcEngine(
       if (sinceSnapshotId < 0 || touched.isEmpty) cur
       else {
         val old = readStateCells(bsel, payload, Some(sinceSnapshotId))
+        // Merge-on-read: files are append-only, so any key whose merged
+        // value changed after `since` MUST appear in a file added after
+        // `since` (delta or compaction). Reading JUST those files' keys
+        // (change-proportional I/O) and semi-joining both sides shrinks
+        // the diff from bucket-size to change-size — the key-level
+        // refinement of the bucket-level lineage pruning above. (Not
+        // applied on copy-on-write, where added files are whole rewritten
+        // buckets and the semi-join would prune nothing.)
+        val (curSel, oldSel) =
+          if (!table.meta.mergeOnRead) (cur, old)
+          else table.fileGroupsAddedSince(sinceSnapshotId, bsel) match {
+            case Some(groups) =>
+              val deltaKeys = readAligned(groups, payload)
+                .select(keyColumns: _*).distinct()
+              (cur.join(deltaKeys, keyCols, "left_semi"),
+                old.join(deltaKeys, keyCols, "left_semi"))
+            case None => (cur, old)
+          }
         val cond = keyCols.map(k => col(s"c.$k") === col(s"o.$k")).reduce(_ && _) &&
           cellCols.map(c => col(s"c.$c") <=> col(s"o.$c")).reduce(_ && _)
-        cur.as("c").join(old.as("o"), cond, "left_anti")
+        curSel.as("c").join(oldSel.as("o"), cond, "left_anti")
       }
     flattenCells(changed, payload)
   }

@@ -548,6 +548,28 @@ class EngineSpec extends AnyFunSuite {
     assert(snap.lineage.map(_.events).sum === 1) // only the valid row counted
   }
 
+  test("merge-on-read changesSince (delta-key-restricted) equals copy-on-write changesSince") {
+    // the MOR path semi-joins the diff to keys found in added delta files;
+    // the COW path diffs whole touched buckets — same logical feed
+    val ev = Synth.events(spark, 3000, seed = 47)
+    val dir = SparkTestBase.tmpDir("feedeq")
+    val cow = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/cow", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    val mor = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/mor", Seq("repo", "path"), 8, mergeOnRead = true),
+      EngineConf(buckets = 8))
+    val bs = Synth.batches(ev, 3, 3000)
+    cow.applyBatch(0, bs(0)); mor.applyBatch(0, bs(0))
+    val snapCow = cow.table.currentSnapshotId
+    val snapMor = mor.table.currentSnapshotId
+    cow.applyBatch(1, bs(1)); mor.applyBatch(1, bs(1))
+    cow.applyBatch(2, bs(2)); mor.applyBatch(2, bs(2))
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(mor.changesSince(snapMor)) === rows(cow.changesSince(snapCow)))
+    // an empty segment yields an empty feed on both
+    assert(mor.changesSince(mor.table.currentSnapshotId).count() === 0)
+  }
+
   test("bootstrap feed (changesSince(-1)) is complete after snapshot expiration") {
     // Buckets written ONLY by expired commits vanish from the surviving
     // chain's lineage. A bootstrap feed that prunes by that lineage silently
