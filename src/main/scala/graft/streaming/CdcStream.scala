@@ -22,13 +22,21 @@ import graft.model.ChangeEvent
   */
 object CdcStream {
 
-  /** Run until no more input files (Trigger.AvailableNow), then return. */
+  /** Run until no more input files (Trigger.AvailableNow), then return.
+    *
+    * `mirror`: optional downstream FeedConsumer synced INSIDE each
+    * micro-batch, chaining the full CDC pipeline — binlog tail -> MERGE ->
+    * snapshot commit -> logical change feed -> replicated table — per
+    * trigger. Exactly-once composes transitively: the sink epoch is the
+    * streaming batchId and the mirror epoch is the source snapshot id,
+    * both idempotent, so a crash anywhere in the chain replays as no-ops. */
   def runAvailableNow(
       spark: SparkSession,
       engine: CdcEngine,
       inputDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 0): Unit = {
+      maxFilesPerTrigger: Int = 0,
+      mirror: Option[graft.engine.FeedConsumer] = None): Unit = {
     var reader = spark.readStream.schema(ChangeEvent.schema)
     if (maxFilesPerTrigger > 0)
       reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -37,7 +45,8 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        engine.applyBatch(batchId, df): Unit
+        engine.applyBatch(batchId, df)
+        mirror.foreach(_.sync()): Unit
       }
       .start()
     q.awaitTermination()

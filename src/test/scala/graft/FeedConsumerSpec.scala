@@ -76,6 +76,29 @@ class FeedConsumerSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming pipeline: file tail -> MERGE -> feed -> mirror, per trigger") {
+    val dir = SparkTestBase.tmpDir("streammirror")
+    val input = s"$dir/in"
+    val ev = Synth.events(spark, 2000, seed = 34, repos = 20, pathsPerRepo = 50)
+    ev.filter(col("commit_lsn") < 1000).coalesce(1).write.mode("append").parquet(input)
+    ev.filter(col("commit_lsn") >= 1000).coalesce(1).write.mode("append").parquet(input)
+    val src = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/src", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    val mir = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/mirror", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    val consumer = new FeedConsumer(src, mir)
+    graft.streaming.CdcStream.runAvailableNow(spark, src, input, s"$dir/ckpt",
+      maxFilesPerTrigger = 1, mirror = Some(consumer))
+    assertMirrored(src, mir)
+    // the mirror advanced once per micro-batch, not once at the end
+    assert(mir.table.snapshotChain.count(_.batchEpoch >= 0) >= 2)
+    // empty re-run: neither table moves (exactly-once through the chain)
+    val (s0, m0) = (src.table.currentSnapshotId, mir.table.currentSnapshotId)
+    graft.streaming.CdcStream.runAvailableNow(spark, src, input, s"$dir/ckpt",
+      mirror = Some(consumer))
+    assert(src.table.currentSnapshotId === s0 && mir.table.currentSnapshotId === m0)
+  }
+
   test("multi-batch sync in one pull + sha invariant carried to the mirror") {
     val (src, mir, consumer) = mkPair("feedmulti", mor = false)
     val ev = Synth.events(spark, 2000, seed = 33)
