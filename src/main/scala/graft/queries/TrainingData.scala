@@ -264,10 +264,15 @@ object TrainingData {
       val sym = edges.unionAll(edges.select(col("r").as("n"), col("n").as("r")))
       val mLarge = sym.groupBy(col("n")).agg(min(col("r")).as("mn"))
         .select(col("n").as("u"), least(col("mn"), col("n")).as("m"))
+      // lazily cached, not eagerly checkpointed: afterLarge feeds two
+      // consumers (mSmall's agg and the join) but lives only within this
+      // round — lineage stays flat because afterSmall IS checkpointed.
+      // Saves one eager materialization job per round; the per-round serial
+      // driver round-trips are the whole cost at small scale (cf. q42).
       val afterLarge = sym.join(mLarge, col("n") === col("u"))
         .filter(col("r") > col("n"))
         .select(col("r").as("n"), col("m").as("r"))
-        .distinct().localCheckpoint(true)
+        .distinct().persist()
       // small-star over the (node > root-candidate) orientation
       val mSmall = afterLarge.groupBy(col("n")).agg(min(col("r")).as("m"))
         .select(col("n").as("u"), col("m"))
@@ -277,6 +282,7 @@ object TrainingData {
         .unionAll(mSmall.select(col("u").as("n"), col("m").as("r")))
         .filter(col("n") =!= col("r"))
         .distinct().localCheckpoint(true)
+      afterLarge.unpersist()
       val sigNow = signature(afterSmall)
       converged = sigNow == sig
       sig = sigNow

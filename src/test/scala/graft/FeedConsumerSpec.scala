@@ -76,6 +76,35 @@ class FeedConsumerSpec extends AnyFunSuite {
     }
   }
 
+  // PROPERTY: for ANY partition of the log into batches, ANY delivery order
+  // (including below-watermark late batches) and ANY sync schedule (sync
+  // after random subsets of commits, including doubled syncs), the mirror's
+  // visible state equals the source's at every sync point. Scenarios are
+  // drawn from a seeded RNG so failures replay deterministically.
+  for (scenario <- 0 until 3) {
+    val mor = scenario % 2 == 1
+    test(s"property: random batching x random sync schedule keeps the mirror " +
+        s"in sync (scenario $scenario, ${if (mor) "merge-on-read" else "copy-on-write"})") {
+      val rnd = new scala.util.Random(4000 + scenario)
+      val n = 1200L
+      val ev = Synth.events(spark, n, seed = 40 + scenario, repos = 8, pathsPerRepo = 20)
+      val k = 3 + rnd.nextInt(3)
+      val batches = Synth.batches(ev, k, n)
+      val (src, mir, consumer) = mkPair(s"feedprop-$scenario", mor)
+      val order = rnd.shuffle(batches.indices.toList)
+      order.zipWithIndex.foreach { case (i, epoch) =>
+        src.applyBatch(epoch.toLong, batches(i))
+        if (rnd.nextBoolean()) {
+          consumer.sync()
+          if (rnd.nextInt(4) == 0) consumer.sync() // doubled sync: must no-op
+          assertMirrored(src, mir)
+        }
+      }
+      consumer.sync()
+      assertMirrored(src, mir)
+    }
+  }
+
   test("streaming pipeline: file tail -> MERGE -> feed -> mirror, per trigger") {
     val dir = SparkTestBase.tmpDir("streammirror")
     val input = s"$dir/in"
