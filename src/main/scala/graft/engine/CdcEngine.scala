@@ -30,7 +30,13 @@ case class EngineConf(
     writeSaltPerBucket: Int = 1,
     mergeShufflePartitions: Int = 0,
     // merge-on-read tables only: auto-compact a bucket back to one file
-    // once its delta-file count reaches this (0 = manual compaction only)
+    // once its delta-file count reaches this (0 = manual compaction only).
+    // Write-mode guidance for sustained ingest: on a GROWING table (new
+    // keys keep arriving) copy-on-write rewrites O(state) per batch —
+    // quadratic over a long replay — while merge-on-read writes O(batch)
+    // plus amortized compaction; measured 64M-event curves are in
+    // BENCH.md's sustained-ingest section. COW fits update-heavy tables
+    // with a bounded key set and read-hot workloads.
     morCompactThreshold: Int = 0,
     // snapshot retention: once the chain exceeds 2x this, expire down to
     // this many (0 = keep all history). Bounds manifest accumulation over

@@ -86,9 +86,23 @@ object ScalingBench {
     * driver-side recompile of every stage on every batch (~seconds/batch,
     * identical at any core count — an Amdahl serial term that caps scaling).
     * Identical per-directory plans hit the codegen cache instead. */
+  /** Table write mode for the replay: default copy-on-write;
+    * SPARK_GRAFT_MOR=1 switches to merge-on-read (per-batch delta appends,
+    * write work O(batch) instead of O(state)) with optional auto-compaction
+    * via SPARK_GRAFT_MOR_COMPACT=N. On a GROWING table (the generator's
+    * ~40M-key space means sustained ingest keeps adding keys) COW per-batch
+    * cost grows linearly with accumulated state — quadratic over a long
+    * replay — while MOR stays flat; see the sustained-ingest section of
+    * BENCH.md for the measured curves. */
+  private def morMode: Boolean = sys.env.contains("SPARK_GRAFT_MOR")
+  private def morCompact: Int =
+    sys.env.get("SPARK_GRAFT_MOR_COMPACT").map(_.toInt).getOrElse(0)
+
   def replay(spark: SparkSession, inputDir: String, tableDir: String, k: Int): Double = {
-    val table = IceliteTable.create(tableDir, Seq("repo", "path"), buckets = 64)
-    val engine = new CdcEngine(spark, table, EngineConf(buckets = 64))
+    val table = IceliteTable.create(tableDir, Seq("repo", "path"), buckets = 64,
+      mergeOnRead = morMode)
+    val engine = new CdcEngine(spark, table,
+      EngineConf(buckets = 64, morCompactThreshold = if (morMode) morCompact else 0))
     val batches = (0 until k).map { i =>
       (i.toLong, spark.read.schema(graft.model.ChangeEvent.schema)
         .parquet(s"$inputDir/__batch=$i"))
@@ -161,7 +175,7 @@ object ScalingBench {
     println(json)
     val md =
       s"""
-         |## CDC replay scaling (north rule) — measured ${java.time.LocalDate.now()}
+         |## CDC replay scaling (north rule) — measured ${java.time.LocalDate.now()}${if (morMode) s" — MERGE-ON-READ (auto-compact at $morCompact deltas)" else ""}
          |
          |Same deterministic event log (seed=42, ${n / 1000000.0}M events, $k micro-batch
          |directories = binlog offset ranges, 30% hot-repo skew) replayed into a
@@ -186,7 +200,10 @@ object ScalingBench {
          |""".stripMargin
     Files.writeString(Paths.get(outMd), md,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    deleteRecursively(Paths.get(work)) // tmpfs is RAM — always sweep
+    // tmpfs is RAM — always sweep. SPARK_GRAFT_KEEP_WORK=1 keeps the work
+    // dir for forensics (per-batch metrics.jsonl curves); sweep it yourself.
+    if (sys.env.contains("SPARK_GRAFT_KEEP_WORK")) println(s"work dir kept: $work")
+    else deleteRecursively(Paths.get(work))
   }
 
   private def log(s: String): Unit = println(s)

@@ -62,6 +62,14 @@ class PlanSpec extends AnyFunSuite {
       "the corpus must join against broadcast centroids/probes, not sort-merge")
   }
 
+  test("q51 normalization chain stays native: codegen projection, no UDF eval") {
+    val p = plan("q51_normalize_full")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"expected codegen span in:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+      s"normalization must be a native expression chain:\n$p")
+  }
+
   test("q26 embed near-dup: banded candidates, no all-pairs join, no corpus broadcast") {
     val p = plan("q26_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
