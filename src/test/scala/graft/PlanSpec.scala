@@ -62,6 +62,31 @@ class PlanSpec extends AnyFunSuite {
       "the corpus must join against broadcast centroids/probes, not sort-merge")
   }
 
+  test("GLOBAL: no CartesianProduct anywhere; nested-loop joins only on O(1)-small broadcast sides") {
+    // The one plan family that cannot run at 100x is an unbounded
+    // nested-loop/cartesian pair join. Invariant over the ENTIRE library:
+    // no CartesianProduct at all, and BroadcastNestedLoopJoin only where
+    // the broadcast side is constant-size by construction:
+    //   q09 day x event-type scaffold (|days| x |types|),
+    //   q27 ten probe vectors against the partitioned corpus,
+    //   q40/q46 the per-round arrival frontier (<= |node types|),
+    //   q47 sixteen centroids / ten probes,
+    //   q48 the single-row global-quota scalar.
+    // Any new query joining two data-sized inputs without an equi-key
+    // fails here before it ever reaches a cluster.
+    val allowedBnlj = Set("q09_scaffold_zerofill", "q27_ann_topk",
+      "q40_earliest_arrival", "q46_earliest_journey", "q47_ann_ivf",
+      "q48_mixture_sample")
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!allowedBnlj.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the documented allowlist")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("q51 normalization chain stays native: codegen projection, no UDF eval") {
     val p = plan("q51_normalize_full")
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
