@@ -44,7 +44,16 @@ case class EngineConf(
     // exactly-once bookkeeping and the high watermark survive expiration
     // via carriedEpochs/carriedWatermark. The 2x hysteresis keeps the
     // re-rooting write amortized O(1) per batch.
-    retainSnapshots: Int = 0)
+    retainSnapshots: Int = 0,
+    // pair every auto-expiry with a vacuum (Iceberg's expire_snapshots +
+    // remove_orphan_files): without it a long replay's superseded data
+    // files — every compaction and copy-on-write rewrite leaves a full
+    // older copy on disk — accumulate without bound (measured: a
+    // 1000-micro-batch merge-on-read replay with periodic compaction
+    // filled 73 GB of superseded files; see BENCH.md). Grace excludes
+    // recently-written uncommitted files (in-flight writers).
+    vacuumAfterExpire: Boolean = false,
+    vacuumGraceMillis: Long = 3600000L)
 
 case class CommitResult(
     epoch: Long,
@@ -559,6 +568,7 @@ class CdcEngine(
     else chainLenEstimate += newSnapshots
     if (chainLenEstimate > 2L * conf.retainSnapshots) {
       table.expireSnapshots(conf.retainSnapshots)
+      if (conf.vacuumAfterExpire) table.vacuum(conf.vacuumGraceMillis)
       chainLenEstimate = conf.retainSnapshots.toLong
     }
   }

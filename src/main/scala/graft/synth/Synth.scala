@@ -68,7 +68,15 @@ object Synth {
 
   /** Split an event DataFrame into `k` micro-batches. `shuffleDelivery=true`
     * assigns events to batches by hash instead of lsn range, so batches
-    * arrive out of commit order (late data across batches). */
+    * arrive out of commit order (late data across batches).
+    *
+    * PERFORMANCE TRAP (tests only — do not use on a bench hot path): each
+    * returned frame embeds per-batch LITERALS into the fused
+    * whole-stage-codegen source, so replaying many of them recompiles every
+    * stage per batch — a serial driver cost (~seconds/batch) that caps
+    * scaling. Benches must deliver batches as separate parquet DIRECTORIES
+    * (`events/__batch=N`, identical plan per batch → janino cache hit), as
+    * Bench/ScalingBench/MorBench do. */
   def batches(df: DataFrame, k: Int, n: Long, seed: Long = 42L,
       shuffleDelivery: Boolean = false): Seq[DataFrame] = {
     if (k <= 1) Seq(df)

@@ -63,11 +63,17 @@ object MorBench {
       .write.partitionBy("__batch").parquet(s"$work/events")
     val batchDirs = (0 to sparseBatches).map(i => s"$work/events/__batch=$i")
 
+    // SPARK_GRAFT_MOR_RETAIN=N: auto-expire to N snapshots and vacuum after
+    // each expiry — the long-replay configuration (without it superseded
+    // compaction copies accumulate ~linearly in batches; see BENCH.md)
+    val retain = sys.env.get("SPARK_GRAFT_MOR_RETAIN").map(_.toInt).getOrElse(0)
     def run(mor: Boolean, dirs: Seq[String], tag: String): (Double, Long, Seq[Long]) = {
       val dir = s"$work/$tag"
       val table = IceliteTable.create(dir, Seq("repo", "path"), 64, mergeOnRead = mor)
       val engine = new CdcEngine(spark, table,
-        EngineConf(buckets = 64, morCompactThreshold = if (mor) 16 else 0))
+        EngineConf(buckets = 64, morCompactThreshold = if (mor) 16 else 0,
+          retainSnapshots = retain, vacuumAfterExpire = retain > 0,
+          vacuumGraceMillis = 0L))
       val batches = dirs.zipWithIndex.map { case (d, i) =>
         (i.toLong, spark.read.schema(graft.model.ChangeEvent.schema).parquet(d))
       }
@@ -80,7 +86,12 @@ object MorBench {
     }
 
     run(mor = false, batchDirs.take(2), "warmup") // JIT/codegen warmup, discarded
-    val (cowSec, cowBytes, cowMs) = run(mor = false, batchDirs, "cow")
+    // SPARK_GRAFT_MOR_SKIP_COW=1 skips the copy-on-write leg: at high batch
+    // counts COW is quadratic by construction (see BENCH.md sustained-ingest)
+    // and the long-replay run only needs the MOR commit-flatness curve
+    val skipCow = sys.env.contains("SPARK_GRAFT_MOR_SKIP_COW")
+    val (cowSec, cowBytes, cowMs) =
+      if (skipCow) (0.0, 1L, Seq.empty[Long]) else run(mor = false, batchDirs, "cow")
     val (morSec, morBytes, morMs) = run(mor = true, batchDirs, "mor")
 
     def mean(xs: Seq[Long]): Double = if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
@@ -98,5 +109,15 @@ object MorBench {
       s""""cow_commit_ms_last_quarter":${f"${mean(cowMs.takeRight(q))}%.0f"}}"""
     println(json)
     spark.stop()
+    // sweep the work dir (bench artifacts measurably skew later disk-bound
+    // runs — see BENCH.md round-2 disk-pressure caveat); SPARK_GRAFT_KEEP_WORK
+    // keeps it for per-batch metrics forensics
+    if (sys.env.contains("SPARK_GRAFT_KEEP_WORK")) println(s"work dir kept: $work")
+    else {
+      val s = Files.walk(java.nio.file.Paths.get(work))
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
   }
 }

@@ -512,6 +512,34 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.highWatermark(t.currentSnapshotId) === 2999L)
   }
 
+  test("auto-retention + auto-vacuum bound DISK over a long replay, state intact") {
+    val ev = Synth.events(spark, 3000, seed = 52)
+    val dir = SparkTestBase.tmpDir("retainvac")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = true)
+    val engine = new CdcEngine(spark, t, EngineConf(buckets = 8,
+      morCompactThreshold = 4, retainSnapshots = 3,
+      vacuumAfterExpire = true, vacuumGraceMillis = 0L))
+    val bs = Synth.batches(ev, 12, 3000)
+    bs.zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
+    // every data file on disk is referenced by the retained chain — no
+    // superseded compaction/delta garbage survives
+    val referenced = t.snapshotChain
+      .flatMap(_.bucketFiles.valuesIterator.flatten.map(_.path)).toSet
+    val onDisk = {
+      val s = java.nio.file.Files.walk(t.root.resolve("data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(t.relativize).toSet
+      } finally s.close()
+    }
+    assert(onDisk === referenced,
+      s"unreferenced files on disk: ${(onDisk -- referenced).take(3)}")
+    // exactly-once and state survive the expiry+vacuum cycles
+    bs.indices.foreach(i => assert(engine.applyBatch(i, bs(i)).skipped, s"epoch $i"))
+    assertEquivalent(engine, ev)
+  }
+
   test("engine/table bucket-count mismatch is rejected at construction") {
     val dir = SparkTestBase.tmpDir("buckets")
     val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 16)
