@@ -671,6 +671,22 @@ object TrainingData {
       connectedComponentsStar(pairs)
     }),
 
+    // DEDUP APPLY — the step that turns cluster labels into a cleaned
+    // corpus: keep every unclustered doc plus each cluster's canonical
+    // (minimum-id) representative, drop the rest. One left join + filter
+    // over the star-contraction labels; the standard final stage of a
+    // near-dup pipeline (cluster -> pick representative -> filter), fully
+    // key-local after the labeling.
+    "q55_dedup_apply" -> ((s, dir) => {
+      val pairs = simhashPairs(t(s, dir, "documents"))
+        .select(col("da").as("a"), col("db").as("b")).cache()
+      val labels = connectedComponentsStar(pairs)
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select(col("doc_id"), col("cluster").isNotNull.as("was_clustered"))
+    }),
+
     // Multimodal plumbing: opaque binary column + deterministic metadata
     // extraction (decode itself is stubbed — no image/audio libs in the
     // sandbox; see Multimodal.scala for the mapPartitions batch path)
@@ -684,8 +700,9 @@ object TrainingData {
     })
   )
 
-  /** Shared oracle for q42/q54: SimHash pairs -> full transitive closure. */
-  private val CcClosureOracle: String =
+  /** Shared closure CTEs for q42/q54/q55: SimHash pairs -> transitive
+    * closure as `cc(doc_id, cluster)`. */
+  private val CcClosureCtes: String =
     """WITH RECURSIVE tk AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
        th AS (SELECT doc_id, tkn, ('0x' || substr(md5(tkn),1,15))::BIGINT h FROM tk),
        bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) sj
@@ -699,8 +716,11 @@ object TrainingData {
        reach(doc_id, cl) AS (
          SELECT n, n FROM nodes
          UNION
-         SELECT e.a, reach.cl FROM e JOIN reach ON e.b = reach.doc_id)
-       SELECT doc_id, min(cl) AS "cluster" FROM reach GROUP BY 1"""
+         SELECT e.a, reach.cl FROM e JOIN reach ON e.b = reach.doc_id),
+       cc AS (SELECT doc_id, min(cl) AS cl FROM reach GROUP BY 1)"""
+
+  private val CcClosureOracle: String =
+    CcClosureCtes + """ SELECT doc_id, cl AS "cluster" FROM cc"""
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -923,6 +943,11 @@ object TrainingData {
     // exact same components as label propagation (q42) — one closure, two
     // algorithms, the green pair is the interchangeability proof
     "q54_cc_bigstar" -> CcClosureOracle,
+    // survivors = unclustered docs + cluster minima, on the same closure
+    "q55_dedup_apply" -> (CcClosureCtes +
+      """ SELECT d.doc_id, cc.doc_id IS NOT NULL AS was_clustered
+          FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+          WHERE cc.cl IS NULL OR cc.cl = d.doc_id"""),
     "q33_multimodal_stub" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 lower(substr(hex(encode(text)), 1, 16)) AS head_hex,

@@ -128,6 +128,26 @@ class FeedConsumerSpec extends AnyFunSuite {
     assert(src.table.currentSnapshotId === s0 && mir.table.currentSnapshotId === m0)
   }
 
+  test("mid-stream schema evolution flows through the feed into the mirror") {
+    val (src, mir, consumer) = mkPair("feedevo", mor = false)
+    val ev = Synth.events(spark, 1000, seed = 35)
+    src.applyBatch(0, ev.filter(col("commit_lsn") < 500))
+    consumer.sync()
+    assertMirrored(src, mir)
+    // source evolves: later batch adds a `size` column (new payload field)
+    val evolved = ev.filter(col("commit_lsn") >= 500)
+      .withColumn("size", pmod(xxhash64(col("commit_lsn")), lit(1000)).cast("long"))
+    src.applyBatch(1, evolved)
+    consumer.sync()
+    // the mirror's applyBatch reconciles the widened feed schema itself
+    assert(mir.currentState().columns.contains("size"),
+      "mirror did not pick up the evolved column")
+    assertMirrored(src, mir)
+    // pre-evolution keys carry null size on both sides (checked by
+    // assertMirrored); spot-check a post-evolution key has a value
+    assert(mir.currentState().filter(col("size").isNotNull).count() > 0)
+  }
+
   test("multi-batch sync in one pull + sha invariant carried to the mirror") {
     val (src, mir, consumer) = mkPair("feedmulti", mor = false)
     val ev = Synth.events(spark, 2000, seed = 33)
