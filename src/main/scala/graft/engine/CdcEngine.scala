@@ -127,14 +127,15 @@ class CdcEngine(
     StructType(df.schema.fields.filterNot(f => ChangeEvent.envelopeCols.contains(f.name)))
   }
 
-  /** Payload fields recorded in the table's current (cell-form) schema. */
-  private def tablePayload: StructType = table.currentSchema match {
-    case None => StructType(Nil)
-    case Some(st) => StructType(st.fields.collect {
+  /** Payload fields of a (cell-form) table schema. */
+  private def payloadOfSchema(schema: Option[StructType]): StructType =
+    StructType(schema.map(_.fields).getOrElse(Array.empty[StructField]).collect {
       case f if !keyCols.contains(f.name) && f.name != OpCell && f.name != TsCell =>
         StructField(f.name, f.dataType.asInstanceOf[StructType]("v").dataType, nullable = true)
     })
-  }
+
+  /** Payload fields recorded in the table's current (cell-form) schema. */
+  private def tablePayload: StructType = payloadOfSchema(table.currentSchema)
 
   // ---------------------------------------------------------------- cells
 
@@ -384,10 +385,7 @@ class CdcEngine(
       case Some(id) => Some(table.schema(table.snapshot(id).schemaId))
       case None => table.currentSchema
     }
-    val payload = StructType(schemaAt.map(_.fields).getOrElse(Array.empty).collect {
-      case f if !keyCols.contains(f.name) && f.name != OpCell && f.name != TsCell =>
-        StructField(f.name, f.dataType.asInstanceOf[StructType]("v").dataType, nullable = true)
-    })
+    val payload = payloadOfSchema(schemaAt)
     val cells = readStateCells(buckets, payload, asOfSnapshot)
     val base = flattenCells(cells.filter(col(s"$OpCell.v") =!= lit("D")), payload)
     if (payload.fieldNames.contains("content"))
@@ -423,8 +421,9 @@ class CdcEngine(
     * (sinceSnapshotId < 0) over such a chain would silently under-prune.
     * Compaction snapshots carry no lineage and rewrite values 1:1, so they
     * add nothing to the set. */
-  private def bucketsTouchedSince(sinceSnapshotId: Long): Option[Set[Int]] = {
-    var id = table.currentSnapshotId
+  private def bucketsTouchedSince(sinceSnapshotId: Long,
+      toSnapshotId: Long): Option[Set[Int]] = {
+    var id = toSnapshotId
     val b = Set.newBuilder[Int]
     var rootCarries = false
     while (id >= 0 && id != sinceSnapshotId) {
@@ -435,7 +434,7 @@ class CdcEngine(
     }
     if (id >= 0 && id == sinceSnapshotId) Some(b.result()) // reached `since`: segment complete
     else if (sinceSnapshotId < 0 && !rootCarries) Some(b.result()) // full-chain walk, no expired history
-    else None // `since` expired, or bootstrap over a re-rooted chain
+    else None // `since` expired / not an ancestor, or bootstrap over a re-rooted chain
   }
 
   /** Incremental change feed as a SNAPSHOT DIFF: every row whose visible
@@ -454,16 +453,26 @@ class CdcEngine(
     * plans as a hash join on the key+cell tuple. If `since` was expired the
     * whole current state is conservatively re-delivered (Iceberg's
     * incremental read makes the same call). */
-  def changesSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None): DataFrame = {
-    val touched = bucketsTouchedSince(sinceSnapshotId)
+  def changesSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None,
+      toSnapshotId: Long = -1L): DataFrame = {
+    // window end: current by default, or any chain snapshot (Iceberg's
+    // incremental scan (from, to]) — feeds become replayable history steps
+    // and a consumer can pin `to` to the snapshot it observed, making the
+    // read race-free against concurrent commits
+    val toId = if (toSnapshotId >= 0) toSnapshotId else table.currentSnapshotId
+    val touched = bucketsTouchedSince(sinceSnapshotId, toId)
     val bsel = (touched, buckets) match {
       case (Some(t), Some(u)) => Some(t intersect u)
       case (Some(t), None) => Some(t)
       case (None, u) => u
     }
-    val payload = tablePayload
+    // payload schema is the one pinned by the window END, not the current
+    // one — a windowed feed to a pre-evolution snapshot has no later columns
+    val payload = payloadOfSchema(
+      if (toId >= 0) Some(table.schema(table.snapshot(toId).schemaId)) else None)
     val cellCols = Seq(OpCell, TsCell) ++ payload.fieldNames
-    val cur = readStateCells(bsel, payload)
+    val cur = readStateCells(bsel, payload,
+      if (toId >= 0) Some(toId) else None)
     val changed =
       if (sinceSnapshotId < 0 || touched.isEmpty) cur
       else {
@@ -478,7 +487,7 @@ class CdcEngine(
         // buckets and the semi-join would prune nothing.)
         val (curSel, oldSel) =
           if (!table.meta.mergeOnRead) (cur, old)
-          else table.fileGroupsAddedSince(sinceSnapshotId, bsel) match {
+          else table.fileGroupsAddedSince(sinceSnapshotId, bsel, toId) match {
             case Some(groups) =>
               val deltaKeys = readAligned(groups, payload)
                 .select(keyColumns: _*).distinct()
@@ -523,9 +532,10 @@ class CdcEngine(
     * expired. Unlike `changesSince`, a late event that LOSES the LWW merge
     * against pre-existing state still appears here (it was written) — this
     * is the physical change-log view, `changesSince` is the logical one. */
-  def appendedSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None): DataFrame = {
+  def appendedSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None,
+      toSnapshotId: Long = -1L): DataFrame = {
     val payload = tablePayload
-    val groups = table.fileGroupsAddedSince(sinceSnapshotId, buckets)
+    val groups = table.fileGroupsAddedSince(sinceSnapshotId, buckets, toSnapshotId)
       .getOrElse(table.currentFileGroups(buckets))
     val merged = lwwAgg(readAligned(groups, payload), Seq(OpCell, TsCell) ++ payload.fieldNames)
     flattenCells(merged, payload)

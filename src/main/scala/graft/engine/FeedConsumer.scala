@@ -40,7 +40,10 @@ class FeedConsumer(val source: CdcEngine, val mirror: CdcEngine) {
     val upTo = source.table.currentSnapshotId
     val since = lastSynced
     if (upTo < 0 || upTo == since) return 0L
-    val feed = source.changesSince(since)
+    // window pinned to the snapshot observed above: a source commit landing
+    // between the read and the apply cannot leak into this sync (it is
+    // delivered, completely, by the next one)
+    val feed = source.changesSince(since, toSnapshotId = upTo)
     val envelope = Set("_op", "_lsn", "_seq", "_ts", "content_sha256")
     val payload = feed.columns.filterNot(c =>
       envelope.contains(c) || c == "repo" || c == "path")

@@ -209,30 +209,37 @@ class IceliteTable private (val root: Path) {
     * Returns None when `since` was expired out of the chain (caller must
     * fall back to a full read). */
   def fileGroupsAddedSince(sinceSnapshotId: Long,
-      buckets: Option[Set[Int]] = None): Option[Map[Int, Seq[String]]] = {
-    // validate `since` by ANCESTRY (walking parent pointers from the current
-    // snapshot), not by manifest-file existence: a crash-orphaned manifest —
-    // written but never pointer-committed — exists on disk yet is not an
-    // ancestor, and a diff against it would yield a wrong incremental set
-    if (sinceSnapshotId >= 0 && !isAncestor(sinceSnapshotId)) return None
+      buckets: Option[Set[Int]] = None,
+      toSnapshotId: Long = -1L): Option[Map[Int, Seq[String]]] = {
+    // validate by ANCESTRY (walking parent pointers), not manifest-file
+    // existence: a crash-orphaned manifest — written but never
+    // pointer-committed — exists on disk yet is not an ancestor, and a
+    // diff against it would yield a wrong incremental set. The window end
+    // `to` (default: current) must itself be in the chain, and `since`
+    // must be an ancestor of `to`.
+    val toId = if (toSnapshotId >= 0) toSnapshotId else currentSnapshotId
+    if (toId < 0) return Some(Map.empty)
+    if (!isAncestor(toId)) return None
+    if (sinceSnapshotId >= 0 && !isAncestorFrom(sinceSnapshotId, toId)) return None
     val oldPaths: Set[String] =
       if (sinceSnapshotId < 0) Set.empty
       else snapshot(sinceSnapshotId).bucketFiles.valuesIterator.flatten.map(_.path).toSet
-    val groups = currentSnapshot.map { s =>
-      s.bucketFiles.iterator
-        .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
-        .flatMap { case (_, files) => files }
-        .filterNot(f => oldPaths.contains(f.path))
-        .toSeq
-        .groupBy(_.schemaId)
-        .map { case (sid, fs) => sid -> fs.map(f => root.resolve(f.path).toString) }
-    }.getOrElse(Map.empty)
+    val groups = snapshot(toId).bucketFiles.iterator
+      .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
+      .flatMap { case (_, files) => files }
+      .filterNot(f => oldPaths.contains(f.path))
+      .toSeq
+      .groupBy(_.schemaId)
+      .map { case (sid, fs) => sid -> fs.map(f => root.resolve(f.path).toString) }
     Some(groups)
   }
 
   /** Is `id` an ancestor of (or equal to) the current snapshot? */
-  def isAncestor(id: Long): Boolean = {
-    var cur = currentSnapshotId
+  def isAncestor(id: Long): Boolean = isAncestorFrom(id, currentSnapshotId)
+
+  /** Is `id` an ancestor of (or equal to) `from`? */
+  def isAncestorFrom(id: Long, from: Long): Boolean = {
+    var cur = from
     while (cur >= 0) {
       if (cur == id) return true
       cur = snapshot(cur).parentId

@@ -576,6 +576,39 @@ class EngineSpec extends AnyFunSuite {
     assert(snap.lineage.map(_.events).sum === 1) // only the valid row counted
   }
 
+  test("windowed changesSince(since, to) replays any historical feed step exactly") {
+    for (mor <- Seq(false, true)) {
+      val dir = SparkTestBase.tmpDir(s"window-$mor")
+      val engine = new CdcEngine(spark,
+        IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = mor),
+        EngineConf(buckets = 8))
+      val ev = Synth.events(spark, 3000, seed = 55)
+      val bs = Synth.batches(ev, 3, 3000)
+      engine.applyBatch(0, bs(0))
+      val s0 = engine.table.currentSnapshotId
+      engine.applyBatch(1, bs(1))
+      val s1 = engine.table.currentSnapshotId
+      // capture the live feed NOW, then commit more on top
+      val live = engine.changesSince(s0).collect().map(_.toString).sorted.toSeq
+      engine.applyBatch(2, bs(2).withColumn("size", col("commit_lsn") % 7)) // + schema evolution
+      // the windowed read reproduces the historical feed byte-for-byte,
+      // including the pre-evolution schema (no `size` column)
+      val windowed = engine.changesSince(s0, toSnapshotId = s1)
+      assert(!windowed.columns.contains("size"),
+        "windowed feed leaked a column that did not exist at the window end")
+      assert(windowed.collect().map(_.toString).sorted.toSeq === live)
+      // stepwise windows tile the full feed's key set
+      def keys(df: DataFrame) = df.select("repo", "path").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val s2 = engine.table.currentSnapshotId
+      assert(keys(engine.changesSince(s0, toSnapshotId = s1)) ++
+        keys(engine.changesSince(s1, toSnapshotId = s2)) ==
+        keys(engine.changesSince(s0)) ++ keys(engine.changesSince(s1)))
+      // a non-ancestor `to` is rejected
+      assertThrows[Exception](engine.changesSince(s0, toSnapshotId = 99L).collect())
+    }
+  }
+
   test("merge-on-read changesSince (delta-key-restricted) equals copy-on-write changesSince") {
     // the MOR path semi-joins the diff to keys found in added delta files;
     // the COW path diffs whole touched buckets — same logical feed
