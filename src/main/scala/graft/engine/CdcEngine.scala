@@ -460,6 +460,14 @@ class CdcEngine(
     // and a consumer can pin `to` to the snapshot it observed, making the
     // read race-free against concurrent commits
     val toId = if (toSnapshotId >= 0) toSnapshotId else table.currentSnapshotId
+    // a reversed window (live `since` that is NOT an ancestor of `to`)
+    // would silently diff in the wrong direction — fail loudly instead;
+    // an EXPIRED `since` stays legal (conservative full redelivery below)
+    if (sinceSnapshotId >= 0 && toSnapshotId >= 0)
+      require(table.isAncestorFrom(sinceSnapshotId, toId) ||
+          !table.isAncestor(sinceSnapshotId),
+        s"changesSince window is reversed or crosses branches: " +
+          s"snapshot $sinceSnapshotId is not an ancestor of $toSnapshotId")
     val touched = bucketsTouchedSince(sinceSnapshotId, toId)
     val bsel = (touched, buckets) match {
       case (Some(t), Some(u)) => Some(t intersect u)

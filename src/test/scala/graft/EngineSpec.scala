@@ -604,8 +604,11 @@ class EngineSpec extends AnyFunSuite {
       assert(keys(engine.changesSince(s0, toSnapshotId = s1)) ++
         keys(engine.changesSince(s1, toSnapshotId = s2)) ==
         keys(engine.changesSince(s0)) ++ keys(engine.changesSince(s1)))
-      // a non-ancestor `to` is rejected
+      // a non-ancestor `to` is rejected, and so is a REVERSED window
       assertThrows[Exception](engine.changesSince(s0, toSnapshotId = 99L).collect())
+      val e2 = intercept[IllegalArgumentException](
+        engine.changesSince(s1, toSnapshotId = s0))
+      assert(e2.getMessage.contains("reversed"))
     }
   }
 
