@@ -539,7 +539,10 @@ class CdcEngine(
     * snapshot diff). Falls back to the full current state when `since` was
     * expired. Unlike `changesSince`, a late event that LOSES the LWW merge
     * against pre-existing state still appears here (it was written) — this
-    * is the physical change-log view, `changesSince` is the logical one. */
+    * is the physical change-log view, `changesSince` is the logical one.
+    * `toSnapshotId` bounds the window like `changesSince`'s; being the
+    * physical view, columns stay aligned to the CURRENT schema (old files
+    * up-cast) rather than pinned to the window end. */
   def appendedSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None,
       toSnapshotId: Long = -1L): DataFrame = {
     val payload = tablePayload
