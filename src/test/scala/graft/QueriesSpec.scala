@@ -46,6 +46,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(graft.queries.TrainingData.connectedComponentsStar(empty).count() === 0)
   }
 
+  test("q26 banded candidates recall every brute-force near-dup pair") {
+    // the banded plan must reproduce the exact all-pairs result (the
+    // driver's oracle proves this at sf0.01 each round; this pins it in CI
+    // at sf0.001) — a banding-parameter regression fails here first
+    graft.functions.VecOps.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VecOps.dot(col("v"), col("v"))))
+    val brute = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", graft.functions.VecOps.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SparkEntry.queries("q26_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute, s"banded recall broke: missing ${brute -- banded}")
+  }
+
   test("star-contraction CC equals label-propagation CC on adversarial graphs") {
     import spark.implicits._
     import graft.queries.TrainingData.{connectedComponents, connectedComponentsStar}
