@@ -347,8 +347,11 @@ object TrainingData {
       // raw shingle rows feed BOTH branches: the signature build takes them
       // un-deduplicated (min is duplicate-insensitive — skipping the
       // distinct saves a full shuffle of the widest dataset in the query),
-      // the exact-Jaccard verify takes the hashed distinct set
-      val raw = shingleRows(t(s, dir, "documents")).cache()
+      // the exact-Jaccard verify takes the hashed distinct set. Deliberately
+      // NOT cached: re-running the cheap substring explode twice measures
+      // 1-2 s faster at sf0.1 than materializing 1.5M string rows into
+      // executor storage (cache write + read beats only expensive lineage)
+      val raw = shingleRows(t(s, dir, "documents"))
       val sh = hashShingles(raw).cache()
       // 12 independent hash functions from TWO md5 digests: h_i = the i-th
       // disjoint 5-hex-char (20-bit) slice. Disjoint bit slices of a digest
