@@ -690,6 +690,92 @@ object TrainingData {
         .select(col("doc_id"), col("cluster").isNotNull.as("was_clustered"))
     }),
 
+    // SEQUENCE PACKING (training-batch construction): concatenate documents
+    // in deterministic order within hash shards and cut the token stream
+    // into fixed-capacity bins — the GPT-style "concat and split" layout
+    // where a document may straddle bin boundaries (`spans` counts the bins
+    // it touches, `bin`/`start_tok` place it). The only ordered operation
+    // is a cumulative sum WINDOWED PER SHARD, so there is no global sort:
+    // shards pack independently and scale out with the cluster; capacity
+    // 256 tokens stands in for a real context length.
+    "q56_pack_sequences" -> ((s, dir) => {
+      val cap = 256
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(32)).cast("int").as("shard"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("toks"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("start_tok", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("toks"), col("start_tok"),
+          expr(s"start_tok DIV $cap").as("bin"),
+          (expr(s"(start_tok + toks - 1) DIV $cap") - expr(s"start_tok DIV $cap") + lit(1L)).as("spans"))
+    }),
+
+    // PII SCRUB: redact emails / URLs / IPv4s / phone numbers with a native
+    // regexp_replace chain (codegen'd — no UDF) and report per-type match
+    // counts plus the sha256 of the scrubbed text. The synthetic corpus
+    // contains no PII, so the query splices in DETERMINISTIC doc_id-derived
+    // PII spans first (presence varies per doc, including PII-free docs the
+    // scrub must pass through bit-identically) — the operator under test is
+    // the scrub chain, which is embarrassingly parallel at any scale. The
+    // patterns avoid lookaround so the very same regexes run in the DuckDB
+    // (RE2) oracle.
+    "q57_pii_scrub" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val url = "https?://[^ ]+"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+\\d{2}-\\d{2,4}-\\d{4,9}"
+      def str(c: Column) = c.cast("string")
+      val id = col("doc_id")
+      val enriched = concat(col("text"),
+        when(pmod(id, lit(3)) =!= 0, concat(lit(" contact user"), str(id),
+          lit("@mail"), str(pmod(id, lit(7))), lit(".org"))).otherwise(lit("")),
+        when(pmod(id, lit(4)) =!= 0, concat(lit(" see https://site"), str(pmod(id, lit(5))),
+          lit(".example/p/"), str(id))).otherwise(lit("")),
+        when(pmod(id, lit(5)) =!= 0, concat(lit(" from 10."), str(pmod(id, lit(256))),
+          lit(".0."), str(pmod(id, lit(100))))).otherwise(lit("")),
+        when(pmod(id, lit(6)) =!= 0, concat(lit(" call +49-30-"),
+          str(lit(1000L) + pmod(id, lit(9000))))).otherwise(lit("")))
+      fan(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .withColumn("t", enriched)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("t"), lit(url), lit(0))).as("n_url"),
+          size(regexp_extract_all(col("t"), lit(ip), lit(0))).as("n_ip"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phone"),
+          sha2(regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), url, "<URL>"), ip, "<IP>"), phone, "<PHONE>"), 256)
+            .as("scrubbed_sha"))
+    }),
+
+    // PARAGRAPH/BLOCK-LEVEL exact dedup (the line-dedup stage of web
+    // pipelines — CCNet/RefinedWeb-style — expressed over delimiter-free
+    // test text as fixed 25-token blocks): the first corpus-wide occurrence
+    // of each distinct block survives, later copies are dropped, and each
+    // doc reports kept/total block counts plus the sha256 of its re-joined
+    // surviving text. One groupBy-on-block-value shuffle decides keepers —
+    // no pairwise work anywhere; the per-block-value window ranks only the
+    // duplicate set of that one value, so skew is bounded by the hottest
+    // boilerplate block, not the corpus.
+    "q58_block_dedup" -> ((s, dir) => {
+      val tk = fan(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as(Seq("p", "tkn")))
+      val blocks = tk.withColumn("blk", expr("p DIV 25"))
+        .groupBy(col("doc_id"), col("blk"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("tkn")))),
+          x => x.getField("tkn")), " ").as("btext"))
+      val w = Window.partitionBy(col("btext")).orderBy(col("doc_id"), col("blk"))
+      blocks.withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sha2(array_join(transform(array_sort(collect_list(
+            when(col("rk") === 1, struct(col("blk"), col("btext"))))),
+            x => x.getField("btext")), " "), 256).as("kept_sha"))
+    }),
+
     // Multimodal plumbing: opaque binary column + deterministic metadata
     // extraction (decode itself is stubbed — no image/audio libs in the
     // sandbox; see Multimodal.scala for the mapPartitions batch path)
@@ -951,6 +1037,60 @@ object TrainingData {
       """ SELECT d.doc_id, cc.doc_id IS NOT NULL AS was_clustered
           FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
           WHERE cc.cl IS NULL OR cc.cl = d.doc_id"""),
+    // DuckDB `//` is floor division vs Spark DIV's truncation — identical
+    // here because every operand is non-negative (min tokens/doc is 10)
+    "q56_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+                      CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS toks
+               FROM documents),
+         c AS (SELECT doc_id, shard, toks,
+                      CAST(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+               FROM d)
+         SELECT doc_id, shard, toks, start_tok,
+                start_tok // 256 AS bin,
+                (start_tok + toks - 1) // 256 - start_tok // 256 + 1 AS spans
+         FROM c""",
+    // same regexes verbatim (no lookaround, so Java regex == RE2); DuckDB
+    // needs the 'g' flag to replace every occurrence like Spark does
+    "q57_pii_scrub" ->
+      """WITH en AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END ||
+           CASE WHEN doc_id % 4 <> 0 THEN ' see https://site' || CAST(doc_id % 5 AS VARCHAR) ||
+                '.example/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+           CASE WHEN doc_id % 5 <> 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+           CASE WHEN doc_id % 6 <> 0 THEN ' call +49-30-' ||
+                CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS INT) AS n_url,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(t, '\+\d{2}-\d{2,4}-\d{4,9}')) AS INT) AS n_phone,
+           sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{2}-\d{2,4}-\d{4,9}', '<PHONE>', 'g')) AS scrubbed_sha
+         FROM en""",
+    // string_agg skips the NULLs the CASE injects (= collect_list's null
+    // drop); coalesce('') matches Spark's sha of the empty join on docs
+    // whose every block is a later duplicate
+    "q58_block_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') tks FROM documents),
+         p AS (SELECT doc_id, unnest(generate_series(1, len(tks))) i, tks FROM d),
+         b AS (SELECT doc_id, (i - 1) // 25 AS blk,
+                      string_agg(tks[i], ' ' ORDER BY i) AS btext
+               FROM p GROUP BY 1, 2),
+         r AS (SELECT doc_id, blk, btext,
+                      row_number() OVER (PARTITION BY btext ORDER BY doc_id, blk) rk
+               FROM b)
+         SELECT doc_id, count(*) AS n_blocks,
+                CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                sha256(coalesce(string_agg(CASE WHEN rk = 1 THEN btext END, ' ' ORDER BY blk), '')) AS kept_sha
+         FROM r GROUP BY 1""",
     "q33_multimodal_stub" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 lower(substr(hex(encode(text)), 1, 16)) AS head_hex,

@@ -138,4 +138,79 @@ class QueriesSpec extends AnyFunSuite {
     assert(a.length === docs)
     assert(a.forall(_.getInt(2) > 0)) // n_bytes populated
   }
+
+  test("q56 packing: shard-contiguous token stream, spans = bins touched") {
+    val rows = SparkEntry.queries("q56_pack_sequences")(spark, sf)
+      .select("doc_id", "shard", "toks", "start_tok", "bin", "spans").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    for ((_, byShard) <- rows.groupBy(_._2)) {
+      // per shard: starts form the exact running sum in doc_id order
+      // (no gap, no overlap — the concatenated stream is contiguous)
+      var expect = 0L
+      for ((_, _, toks, start, bin, spans) <- byShard.sortBy(_._1)) {
+        assert(start === expect, "packing gap/overlap")
+        expect += toks
+        assert(bin === start / 256)
+        assert(spans === (start + toks - 1) / 256 - start / 256 + 1)
+      }
+    }
+  }
+
+  test("q57 scrub: zero residual PII matches after the replace chain") {
+    import org.apache.spark.sql.Column
+    // recompute the scrubbed TEXT (the query emits only its sha) with the
+    // same enrichment + chain, then count residual pattern hits: must be 0
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val url = "https?://[^ ]+"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d{2}-\\d{2,4}-\\d{4,9}"
+    def str(c: Column) = c.cast("string")
+    val id = col("doc_id")
+    val enriched = concat(col("text"),
+      when(pmod(id, lit(3)) =!= 0, concat(lit(" contact user"), str(id),
+        lit("@mail"), str(pmod(id, lit(7))), lit(".org"))).otherwise(lit("")),
+      when(pmod(id, lit(4)) =!= 0, concat(lit(" see https://site"), str(pmod(id, lit(5))),
+        lit(".example/p/"), str(id))).otherwise(lit("")),
+      when(pmod(id, lit(5)) =!= 0, concat(lit(" from 10."), str(pmod(id, lit(256))),
+        lit(".0."), str(pmod(id, lit(100))))).otherwise(lit("")),
+      when(pmod(id, lit(6)) =!= 0, concat(lit(" call +49-30-"),
+        str(lit(1000L) + pmod(id, lit(9000))))).otherwise(lit("")))
+    val scrubbed = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("t", enriched)
+      .withColumn("s", regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        col("t"), email, "<EMAIL>"), url, "<URL>"), ip, "<IP>"), phone, "<PHONE>"))
+    val residual = scrubbed.select(
+      sum(size(regexp_extract_all(col("s"), lit(email), lit(0)))) +
+      sum(size(regexp_extract_all(col("s"), lit(ip), lit(0)))) +
+      sum(size(regexp_extract_all(col("s"), lit(phone), lit(0))))).head.getLong(0)
+    assert(residual === 0L, "PII survived the scrub chain")
+    // and the query's counts see the injected spans where the splice fires
+    val counts = SparkEntry.queries("q57_pii_scrub")(spark, sf).collect()
+    counts.foreach { r =>
+      val d = r.getLong(r.fieldIndex("doc_id"))
+      if (d % 3 != 0) assert(r.getInt(r.fieldIndex("n_email")) >= 1, s"doc $d email")
+      if (d % 6 != 0) assert(r.getInt(r.fieldIndex("n_phone")) >= 1, s"doc $d phone")
+    }
+  }
+
+  test("q58 block dedup: keepers are exactly the distinct block values") {
+    val df = SparkEntry.queries("q58_block_dedup")(spark, sf).cache()
+    try {
+      val (kept, total) = df.select(sum("n_kept"), sum("n_blocks")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).head
+      // sum of per-doc keepers == number of globally distinct block texts
+      val distinctBlocks = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as(Seq("p", "tkn")))
+        .withColumn("blk", expr("p DIV 25"))
+        .groupBy("doc_id", "blk")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("tkn")))),
+          x => x.getField("tkn")), " ").as("btext"))
+        .select("btext").distinct().count()
+      assert(kept === distinctBlocks)
+      assert(kept <= total)
+      assert(df.filter(col("n_kept") > col("n_blocks")).count() === 0)
+    } finally df.unpersist()
+  }
 }
