@@ -421,7 +421,7 @@ class CdcEngine(
     * (sinceSnapshotId < 0) over such a chain would silently under-prune.
     * Compaction snapshots carry no lineage and rewrite values 1:1, so they
     * add nothing to the set. */
-  private def bucketsTouchedSince(sinceSnapshotId: Long,
+  private[engine] def bucketsTouchedSince(sinceSnapshotId: Long,
       toSnapshotId: Long): Option[Set[Int]] = {
     var id = toSnapshotId
     val b = Set.newBuilder[Int]
