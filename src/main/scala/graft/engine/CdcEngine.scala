@@ -437,6 +437,19 @@ class CdcEngine(
     else None // `since` expired / not an ancestor, or bootstrap over a re-rooted chain
   }
 
+  /** Does the chain segment (since, to] contain a RESTORE commit? Restores
+    * change visible values while adding no data files, which suspends two
+    * shortcuts `changesSince` otherwise relies on (see there). */
+  private def windowHasRestore(sinceSnapshotId: Long, toSnapshotId: Long): Boolean = {
+    var id = toSnapshotId
+    while (id >= 0 && id != sinceSnapshotId) {
+      val s = table.snapshot(id)
+      if (s.restoreOf >= 0) return true
+      id = s.parentId
+    }
+    false
+  }
+
   /** Incremental change feed as a SNAPSHOT DIFF: every row whose visible
     * merged cells differ between `sinceSnapshotId` and now — inserts,
     * updates (any cell, not just the op cell) and tombstones (`_op = "D"`
@@ -452,7 +465,15 @@ class CdcEngine(
     * ONE anti-join on (key, all cells) — null-safe struct equality, so it
     * plans as a hash join on the key+cell tuple. If `since` was expired the
     * whole current state is conservatively re-delivered (Iceberg's
-    * incremental read makes the same call). */
+    * incremental read makes the same call).
+    *
+    * Windows crossing a RESTORE (rollbackTo) additionally emit synthetic
+    * `_op = "D"` rows for keys the restore removed (inserted inside the
+    * rolled-back span — no tombstone cell exists for them), so a feed
+    * consumer's mirror follows the rollback. Caveat: if `since` was ALSO
+    * expired, the conservative full redelivery cannot express removals — a
+    * consumer whose checkpoint predates the retained chain must rebuild its
+    * mirror after a restore. */
   def changesSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None,
       toSnapshotId: Long = -1L): DataFrame = {
     // window end: current by default, or any chain snapshot (Iceberg's
@@ -485,6 +506,12 @@ class CdcEngine(
       if (sinceSnapshotId < 0 || touched.isEmpty) cur
       else {
         val old = readStateCells(bsel, payload, Some(sinceSnapshotId))
+        // A restore in the window suspends two invariants of normal CDC
+        // operation: changed keys need NOT appear in any added file (a
+        // restore reverts values while adding none), and keys CAN vanish
+        // outright (inserted in the rolled-back window — no tombstone cell
+        // exists for them, so one is synthesized below).
+        val hasRestore = windowHasRestore(sinceSnapshotId, toId)
         // Merge-on-read: files are append-only, so any key whose merged
         // value changed after `since` MUST appear in a file added after
         // `since` (delta or compaction). Reading JUST those files' keys
@@ -494,7 +521,7 @@ class CdcEngine(
         // applied on copy-on-write, where added files are whole rewritten
         // buckets and the semi-join would prune nothing.)
         val (curSel, oldSel) =
-          if (!table.meta.mergeOnRead) (cur, old)
+          if (!table.meta.mergeOnRead || hasRestore) (cur, old)
           else table.fileGroupsAddedSince(sinceSnapshotId, bsel, toId) match {
             case Some(groups) =>
               val deltaKeys = readAligned(groups, payload)
@@ -505,7 +532,17 @@ class CdcEngine(
           }
         val cond = keyCols.map(k => col(s"c.$k") === col(s"o.$k")).reduce(_ && _) &&
           cellCols.map(c => col(s"c.$c") <=> col(s"o.$c")).reduce(_ && _)
-        curSel.as("c").join(oldSel.as("o"), cond, "left_anti")
+        val diff = curSel.as("c").join(oldSel.as("o"), cond, "left_anti")
+        if (!hasRestore) diff
+        else {
+          // synthetic tombstones for vanished keys: their old payload cells
+          // ride along (a delete is an op-cell overwrite), only _op flips
+          val vanished = old
+            .join(cur.select(keyColumns: _*), keyCols, "left_anti")
+            .withColumn(OpCell, struct(col(s"$OpCell.l").as("l"),
+              col(s"$OpCell.s").as("s"), lit("D").as("v")))
+          diff.unionByName(vanished)
+        }
       }
     flattenCells(changed, payload)
   }

@@ -80,7 +80,14 @@ object Icelite {
       // max applied source LSN of the expired prefix (re-rooted chains must
       // not understate the high watermark — a change-feed consumer would be
       // re-sent data it has already seen)
-      carriedWatermark: Long = -1L)
+      carriedWatermark: Long = -1L,
+      // >= 0 marks a RESTORE commit: this snapshot re-lists the file set of
+      // ancestor `restoreOf` (rollbackTo). Incremental readers must know —
+      // a restore changes visible VALUES while adding no files, so the
+      // merge-on-read "changed keys appear in added files" refinement does
+      // not hold across it, and keys inserted in the rolled-back window
+      // vanish without tombstone cells (changesSince synthesizes them)
+      restoreOf: Long = -1L)
 
   /** `mergeOnRead` = the table's write discipline: false = copy-on-write
     * (each commit rewrites affected buckets, reads are plain scans), true =
@@ -257,6 +264,47 @@ class IceliteTable private (val root: Path) {
       .groupBy(_.schemaId)
       .map { case (sid, fs) => sid -> fs.map(f => root.resolve(f.path).toString) }
 
+  /** RESTORE (Delta `RESTORE TABLE ... TO VERSION`, Iceberg
+    * rollback-as-new-commit): commit a NEW snapshot whose visible file set
+    * equals ancestor `snapshotId` — metadata-only (no data rewritten, no
+    * files added), instant at any table size, and history-preserving: the
+    * rolled-back snapshots stay in the chain for time travel and keep their
+    * data files referenced until expired+vacuumed. Moving the POINTER back
+    * instead would orphan snapshot ids the next commit reuses.
+    *
+    * Exactly-once interaction: the rolled-back batches' epochs remain
+    * committed (their snapshots are still ancestors), so re-delivering the
+    * SAME bad batch stays a no-op — a correction must arrive as a NEW epoch
+    * (with its own LSNs; the discarded cells no longer compete in LWW).
+    *
+    * Every bucket whose file list differs from the current snapshot gets a
+    * synthetic lineage row (lsn range -1, 0 events): a restore CHANGES those
+    * buckets' visible values, and incremental readers prove their bucket
+    * pruning complete from lineage. `restoreOf` marks the snapshot so
+    * change feeds drop the merge-on-read added-file key refinement and
+    * synthesize tombstones for keys the restore removed. */
+  def rollbackTo(snapshotId: Long): Snapshot = synchronized {
+    require(snapshotId >= 0 && isAncestor(snapshotId),
+      s"rollback target $snapshotId is not an ancestor of the current snapshot")
+    val cur = currentSnapshot.get
+    if (snapshotId == cur.snapshotId) return cur
+    val target = snapshot(snapshotId)
+    val changed = (cur.bucketFiles.keySet ++ target.bucketFiles.keySet).filter { b =>
+      cur.bucketFiles.getOrElse(b, Nil).map(_.path) !=
+        target.bucketFiles.getOrElse(b, Nil).map(_.path)
+    }
+    commit(
+      batchEpoch = -1L,
+      schemaId = target.schemaId,
+      newBucketFiles = changed.map(b =>
+        b.toInt -> target.bucketFiles.getOrElse(b, Nil)).toMap,
+      lineage = changed.toList.sorted.map(b =>
+        BucketLineage(b.toInt, lsnMin = -1L, lsnMax = -1L, events = 0L, rows = 0L)),
+      rowDelta = target.totalRows - cur.totalRows,
+      expectedParentId = cur.snapshotId,
+      restoreOf = snapshotId)
+  }
+
   /** Expire history: truncate the snapshot chain to the most recent
     * `keepLast` snapshots (Iceberg's expire_snapshots). The oldest kept
     * snapshot is re-rooted (parentId -1); expired snapshot manifests are
@@ -377,7 +425,8 @@ class IceliteTable private (val root: Path) {
       // prepared its files against (-2 = single-writer mode, use current).
       // A mismatch raises CommitConflictException; the writer re-reads and
       // retries (its data files stay on disk, covered by the vacuum grace).
-      expectedParentId: Long = -2L): Snapshot = synchronized {
+      expectedParentId: Long = -2L,
+      restoreOf: Long = -1L): Snapshot = synchronized {
     val parent = currentSnapshot
     if (batchEpoch >= 0 && committedEpochs.contains(batchEpoch)) {
       // already applied — exactly-once via idempotent no-op
@@ -399,7 +448,8 @@ class IceliteTable private (val root: Path) {
       schemaId = schemaId, bucketFiles = bf,
       lineage = lineage, totalRows = parent.map(_.totalRows).getOrElse(0L) + rowDelta,
       commitMillis = System.currentTimeMillis(),
-      carriedWatermark = parent.map(_.carriedWatermark).getOrElse(-1L))
+      carriedWatermark = parent.map(_.carriedWatermark).getOrElse(-1L),
+      restoreOf = restoreOf)
     write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
     if (currentSnapshotId != parentId)
       throw new IllegalStateException(

@@ -86,6 +86,17 @@ object CdcDemo {
     println(s"== compaction: $preCompact files -> ${morT.currentFiles().size} " +
       s"(state rows=${mor.currentState().count()})")
 
+    // ---- round-3 surface: RESTORE (bad-batch recovery) — metadata-only,
+    // history-preserving, and incremental readers follow it
+    val preRollback = mor.currentState().count()
+    morT.rollbackTo(snapA)
+    val postRollback = mor.currentState().count()
+    val reDelivered = mor.applyBatch(1, ev.filter("commit_lsn >= 10000"))
+    println(s"== rollbackTo(snap $snapA): $preRollback -> $postRollback rows " +
+      s"(matches snap-$snapA state: ${postRollback == mor.stateAt(snapA).count()}); " +
+      s"re-delivering the rolled-back epoch is " +
+      (if (reDelivered.skipped) "still a no-op (exactly-once holds)" else "re-applied (BUG!)"))
+
     // ---- round-3 surface: change-feed consumer — a mirror table built
     // ONLY from changesSince feeds must equal the source's visible state
     val mirror = new CdcEngine(spark,
