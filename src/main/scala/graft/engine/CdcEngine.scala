@@ -53,7 +53,17 @@ case class EngineConf(
     // filled 73 GB of superseded files; see BENCH.md). Grace excludes
     // recently-written uncommitted files (in-flight writers).
     vacuumAfterExpire: Boolean = false,
-    vacuumGraceMillis: Long = 3600000L)
+    vacuumGraceMillis: Long = 3600000L,
+    // key-fingerprint bitmap width (bits) stored per merge-on-read delta
+    // file in the manifest (Iceberg Puffin-bloom analog; 0 = disabled).
+    // Computed INSIDE the existing per-bucket lineage aggregation — zero
+    // extra Spark jobs, and the per-bucket transfer is bounded at
+    // `keyFpBits` ints no matter the batch size (fingerprints, not keys,
+    // are collected). Point lookups use it to open only the delta files
+    // that may contain the key: O(1) file opens per lookup instead of
+    // O(delta files in the bucket). Bitmaps are dropped when a bucket's
+    // batch-key load would push the false-positive rate past 25%.
+    keyFpBits: Int = 4096)
 
 case class CommitResult(
     epoch: Long,
@@ -109,6 +119,14 @@ class CdcEngine(
   /** Table bucket of a key — the engine's physical partitioning function. */
   def bucketCol: Column =
     pmod(xxhash64(keyColumns: _*), lit(conf.buckets)).cast(IntegerType)
+
+  /** Key fingerprint for the manifest bitmap stats. Salted with a leading
+    * literal so it is INDEPENDENT of `bucketCol`'s hash: with the same hash,
+    * a power-of-two bucket count dividing `keyFpBits` would leave only
+    * `keyFpBits / buckets` reachable fingerprints inside any one bucket,
+    * collapsing the bitmap's resolution. */
+  private def keyFpCol: Column =
+    pmod(xxhash64((lit("kfp") +: keyColumns): _*), lit(conf.keyFpBits)).cast(IntegerType)
 
   // ---------------------------------------------------------------- schema
 
@@ -285,12 +303,20 @@ class CdcEngine(
     // Per-bucket source-offset lineage straight off the raw batch (one cheap
     // aggregation; also yields the affected-bucket set for manifest pruning).
     // same validity predicate as batchToCells so lineage counts exactly the
-    // applied events (a null-op row must not inflate lineage)
+    // applied events (a null-op row must not inflate lineage).
+    // Merge-on-read tables piggyback the delta files' key-fingerprint SET on
+    // the same aggregation (no extra job; map-side dedup bounds the transfer
+    // at keyFpBits ints per bucket).
+    val mor = table.meta.mergeOnRead
+    val fpEnabled = mor && conf.keyFpBits > 0
+    val baseAggs = Seq(
+      min("commit_lsn").as("lmin"), max("commit_lsn").as("lmax"), count(lit(1)).as("n"))
+    val lineageAggs = if (fpEnabled) baseAggs :+ collect_set(keyFpCol).as("fps") else baseAggs
     val lineageRows = batchRaw
       .filter(keyColumns.map(_.isNotNull).reduce(_ && _) &&
         col("op").isNotNull && col("commit_lsn").isNotNull && col("seq").isNotNull)
       .groupBy(bucketCol.as("__b"))
-      .agg(min("commit_lsn").as("lmin"), max("commit_lsn").as("lmax"), count(lit(1)).as("n"))
+      .agg(lineageAggs.head, lineageAggs.tail: _*)
       .collect()
     val lineageMs = ms(t0)
     if (lineageRows.isEmpty) { // empty batch: still commit the epoch (exactly-once bookkeeping)
@@ -307,7 +333,6 @@ class CdcEngine(
     // rows)). Merge-on-read: reduce WITHIN the batch only and append the
     // result as delta files (write work O(batch rows) — the sparse-batch
     // write-amplification fix); the cross-batch merge happens at read time.
-    val mor = table.meta.mergeOnRead
     val batchCells = batchToCells(batchRaw, targetPayload)
     val merged =
       if (mor) lwwAgg(batchCells, cellCols)
@@ -352,7 +377,22 @@ class CdcEngine(
         bucketRows.getOrElse(b, 0L))
     }.toList
 
-    val snap = table.commit(epoch, sid, bucketFiles, lineage, rowDelta = events, append = mor)
+    // Attach each bucket's key-fingerprint bitmap to its delta files (all
+    // files of a salted multi-file bucket share the bucket bitmap — a safe
+    // over-approximation). Dropped when the set bits would exceed 25% load
+    // (false positives make the stat useless before it makes it wrong).
+    val fpByBucket: Map[Int, String] =
+      if (!fpEnabled) Map.empty
+      else lineageRows.iterator
+        .map(r => r.getInt(0) -> r.getSeq[Int](4))
+        .collect { case (b, fps) if fps.size <= conf.keyFpBits / 4 =>
+          b -> Icelite.fpBitmap(fps, conf.keyFpBits)
+        }.toMap
+    val manifestFiles = bucketFiles.map { case (b, fs) =>
+      b -> fpByBucket.get(b).map(bm => fs.map(_.copy(keyFp = Some(bm)))).getOrElse(fs)
+    }
+
+    val snap = table.commit(epoch, sid, manifestFiles, lineage, rowDelta = events, append = mor)
     if (mor && conf.morCompactThreshold > 0) {
       val over = snap.bucketFiles.collect {
         case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
@@ -594,21 +634,66 @@ class CdcEngine(
     table.fileGroupsAddedSince(sinceSnapshotId, None)
       .getOrElse(table.currentFileGroups(None)).values.flatten.toSeq
 
-  /** Point read of ONE key: the manifest prunes to the key's hash bucket
-    * (computed driver-side with the same xxhash64 the write path uses — no
-    * Spark job), the equality predicates push down to the parquet scan, and
-    * the bloom filters written on the key columns skip non-matching row
-    * groups inside the bucket's files. Tombstoned keys return zero rows,
+  /** Point read of ONE key, pruned at three levels before any row is read:
+    * the manifest prunes to the key's hash BUCKET (computed driver-side with
+    * the same xxhash64 the write path uses — no Spark job), the per-file
+    * key-fingerprint bitmaps then skip every merge-on-read delta file that
+    * provably misses the key (O(1) file opens per lookup instead of O(delta
+    * files); see `EngineConf.keyFpBits`), and the equality predicates push
+    * down to the parquet scan where the key-column bloom filters skip
+    * non-matching row groups inside the surviving files. The LWW merge runs
+    * only over this key's surviving cells. Tombstoned keys return zero rows,
     * like `currentState`. */
   def pointLookup(repo: String, path: String): DataFrame = {
+    val payload = tablePayload
+    val groups = keyLookupGroups(repo, path)
+    // key filter BEFORE the merge: equality lands on the parquet scan
+    val cells = readAligned(groups, payload)
+      .filter(col("repo") === repo && col("path") === path)
+    val nFiles = groups.valuesIterator.map(_.size).sum
+    // >1 surviving merge-on-read file => cross-delta LWW merge; a single
+    // file is one batch's in-batch reduction or a compaction output, both
+    // key-unique (same fast path readStateCells takes). Copy-on-write never
+    // merges: each key lives in exactly one file of its bucket.
+    val cellCols = Seq(OpCell, TsCell) ++ payload.fieldNames
+    val merged = if (table.meta.mergeOnRead && nFiles > 1) lwwAgg(cells, cellCols) else cells
+    val base = flattenCells(merged.filter(col(s"$OpCell.v") =!= lit("D")), payload)
+    if (payload.fieldNames.contains("content"))
+      base.withColumn("content_sha256", sha2(col("content"), 256))
+    else base
+  }
+
+  /** Manifest file selection for a point lookup: the key's hash bucket minus
+    * every file whose fingerprint bitmap proves the key absent. Bitmaps have
+    * no false negatives, so a file containing the key always survives;
+    * fingerprint-less files (copy-on-write, compaction outputs, over-full
+    * batches) are always read. Driver-side metadata only. */
+  private def keyLookupFiles(repo: String, path: String): Seq[Icelite.DataFile] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, XxHash64}
     // seed 42 = the fixed seed of the SQL xxhash64 function (bucketCol)
     val h = XxHash64(Seq(CatLit.create(repo, StringType), CatLit.create(path, StringType)), 42L)
       .eval(null).asInstanceOf[Long]
     val bucket = (((h % conf.buckets) + conf.buckets) % conf.buckets).toInt
-    currentState(Some(Set(bucket)))
-      .filter(col("repo") === repo && col("path") === path)
+    val fp: Int = if (conf.keyFpBits <= 0) 0 else {
+      // must replicate keyFpCol exactly: xxhash64('kfp', repo, path) % bits
+      val hf = XxHash64(Seq(CatLit.create("kfp", StringType),
+        CatLit.create(repo, StringType), CatLit.create(path, StringType)), 42L)
+        .eval(null).asInstanceOf[Long]
+      (((hf % conf.keyFpBits) + conf.keyFpBits) % conf.keyFpBits).toInt
+    }
+    table.currentSnapshot.toSeq
+      .flatMap(_.bucketFiles.getOrElse(bucket.toString, Nil))
+      .filter(f => conf.keyFpBits <= 0 || f.keyFp.forall(Icelite.fpMayContain(_, fp)))
   }
+
+  private def keyLookupGroups(repo: String, path: String): Map[Int, Seq[String]] =
+    keyLookupFiles(repo, path).groupBy(_.schemaId)
+      .map { case (sid, fs) => sid -> fs.map(f => table.root.resolve(f.path).toString) }
+
+  /** Files `pointLookup(repo, path)` would open after bucket + fingerprint
+    * pruning (tests/inspection, like `prunedFilesForLsnRange`). */
+  def prunedFilesForKey(repo: String, path: String): Seq[String] =
+    keyLookupGroups(repo, path).values.flatten.toSeq
 
   // ---------------------------------------------------------------- maintenance
 

@@ -56,13 +56,22 @@ object Icelite {
     * merge-on-read delta files, each of which covers one batch's tight LSN
     * range. Key min/max stats are deliberately NOT kept: buckets partition
     * by key HASH, so every file sees a near-uniform sample of the key domain
-    * and key-range stats would never prune anything. */
+    * and key-range stats would never prune anything. The hash-appropriate
+    * key stat is `keyFp`: a small key-fingerprint bitmap (the manifest-level
+    * analog of Iceberg's Puffin bloom blobs), set on merge-on-read DELTA
+    * files only — a delta holds exactly one batch's keys, so a point lookup
+    * can skip every delta that provably misses the key before any file is
+    * opened. Absent (`None`) means "may contain anything — always read":
+    * copy-on-write rewrites and compaction outputs hold full bucket state,
+    * where a batch-key fingerprint would be a false-negative-prone
+    * under-approximation. */
   case class DataFile(
       path: String, // relative to table root
       schemaId: Int,
       rows: Long,
       minLsn: Long = Long.MinValue,
-      maxLsn: Long = Long.MaxValue)
+      maxLsn: Long = Long.MaxValue,
+      keyFp: Option[String] = None)
 
   case class Snapshot(
       snapshotId: Long,
@@ -101,6 +110,30 @@ object Icelite {
     * append-mode delta commits simply re-issue; for replace commits re-merge
     * against the new state) and retry — the Iceberg commit loop. */
   class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Encode key fingerprints as a base64 bitmap of `bits` bits (bit
+    * `fp mod bits` set per fingerprint) — a single-hash bloom filter. The
+    * false-positive rate is ≈ distinctKeys/bits; writers should store the
+    * bitmap only while that stays useful (the engine caps at 25%). 4096 bits
+    * = 512 bytes = ~684 base64 chars per touched bucket per commit — noise
+    * next to the file list the manifest already re-serializes. */
+  def fpBitmap(fps: Iterable[Int], bits: Int): String = {
+    val arr = new Array[Byte](bits / 8)
+    fps.foreach { f =>
+      val i = ((f % bits) + bits) % bits
+      arr(i >> 3) = (arr(i >> 3) | (1 << (i & 7))).toByte
+    }
+    java.util.Base64.getEncoder.encodeToString(arr)
+  }
+
+  /** Bitmap membership: false = the file PROVABLY does not contain any key
+    * with this fingerprint (no false negatives); true = may contain. */
+  def fpMayContain(b64: String, fp: Int): Boolean = {
+    val arr = java.util.Base64.getDecoder.decode(b64)
+    val bits = arr.length * 8
+    val i = ((fp % bits) + bits) % bits
+    (arr(i >> 3) & (1 << (i & 7))) != 0
+  }
 
   private[icelite] def write(p: Path, s: String): Unit = {
     Files.createDirectories(p.getParent)
