@@ -786,6 +786,57 @@ object TrainingData {
         octet_length(col("text")).as("n_bytes"),
         lower(hex(substring(blob, 1, 8))).as("head_hex"),
         sha2(blob, 256).as("blob_sha"))
+    }),
+
+    // BM25 keyword ranking (Robertson/Okapi, the retrieval scorer used for
+    // quality-weighted corpus selection): score = sum over query terms of
+    // idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)). Scale shape: one
+    // token explode feeds BOTH the doc-length aggregate and the tf
+    // aggregate; corpus constants (N, avgdl) are a 1-row broadcast, the
+    // per-term df table is |terms| rows broadcast — no join touches more
+    // than the matching posting rows, so the plan is two shuffles over
+    // token-filtered data regardless of corpus size. Constants appear as
+    // the same literals on both engines; per-doc sums round to 4dp (the
+    // summation-order ulp rule).
+    "q59_bm25_rank" -> ((s, dir) => {
+      val terms = Seq("sort", "merge", "window")
+      val tk = fan(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tkn"))
+      val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avg_dl"))
+      val tf = tk.filter(col("tkn").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tkn")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tkn")).agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val w = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
+      tf.join(broadcast(dfreq), "tkn")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(w), 4).as("bm25"))
+    }),
+
+    // Unigram-LM log-likelihood quality score (the perplexity-proxy filter
+    // of LLM data pipelines, with the corpus itself as the LM): fit = one
+    // token-count aggregate (the "training"), score = mean -ln p(token)
+    // per doc. An unseen-token floor never triggers here (the LM is fit on
+    // the scored corpus) so no smoothing constant muddies the oracle. The
+    // vocab joins as a plain shuffle join — at web scale vocab is millions
+    // of rows and intentionally NOT broadcast; everything else is two
+    // hash aggregates over the token stream.
+    "q60_unigram_logprob" -> ((s, dir) => {
+      val tk = fan(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tkn"))
+      val vocab = tk.groupBy(col("tkn")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("tot"))
+      tk.join(vocab, "tkn")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tok"),
+          round(avg(-log(col("cnt") / col("tot"))), 4).as("nll"))
     })
   )
 
@@ -1095,6 +1146,28 @@ object TrainingData {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
                 sha256(text) AS blob_sha
-         FROM documents"""
+         FROM documents""",
+    // identical literal constants and operation order as the Spark side;
+    // per-doc sum rounded 4dp (summation-order ulp rule)
+    "q59_bm25_rank" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+         dl AS (SELECT doc_id, count(*) dl FROM tk GROUP BY 1),
+         stats AS (SELECT count(*) n_docs, avg(dl) avg_dl FROM dl),
+         tf AS (SELECT doc_id, tkn, count(*) tf FROM tk
+                WHERE tkn IN ('sort', 'merge', 'window') GROUP BY 1, 2),
+         dfreq AS (SELECT tkn, count(DISTINCT doc_id) df FROM tf GROUP BY 1)
+         SELECT tf.doc_id,
+                round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+                  / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))), 4) AS bm25
+         FROM tf JOIN dfreq USING (tkn) JOIN dl USING (doc_id) CROSS JOIN stats
+         GROUP BY 1""",
+    "q60_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+         vocab AS (SELECT tkn, count(*) cnt FROM tk GROUP BY 1),
+         total AS (SELECT CAST(sum(cnt) AS BIGINT) tot FROM vocab)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+                round(avg(-ln(cnt / tot)), 4) AS nll
+         FROM tk JOIN vocab USING (tkn) CROSS JOIN total
+         GROUP BY 1"""
   )
 }
