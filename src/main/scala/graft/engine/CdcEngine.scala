@@ -228,13 +228,13 @@ class CdcEngine(
       case (None, s) => table.currentFileGroups(s)
     }
     if (!table.meta.mergeOnRead) return readAligned(groupsFor(buckets), targetPayload)
-    val multiFile: Set[Int] = snapOpt.map(_.bucketFiles.collect {
+    val snapFiles = snapOpt.map(table.bucketFilesOf).getOrElse(Map.empty)
+    val multiFile: Set[Int] = snapFiles.collect {
       case (b, files) if files.size > 1 && buckets.forall(_.contains(b.toInt)) => b.toInt
-    }.toSet).getOrElse(Set.empty)
+    }.toSet
     val singleSel = buckets match {
       case Some(bs) => Some(bs -- multiFile)
-      case None => snapOpt.map(_.bucketFiles.keySet.map(_.toInt) -- multiFile)
-        .orElse(Some(Set.empty[Int]))
+      case None => Some(snapFiles.keySet.map(_.toInt) -- multiFile)
     }
     val singles = readAligned(groupsFor(singleSel), targetPayload)
     if (multiFile.isEmpty) singles
@@ -394,7 +394,10 @@ class CdcEngine(
 
     val snap = table.commit(epoch, sid, manifestFiles, lineage, rowDelta = events, append = mor)
     if (mor && conf.morCompactThreshold > 0) {
-      val over = snap.bucketFiles.collect {
+      // the delta manifest lists exactly the touched buckets (with their
+      // complete post-append lists) — the only ones that can newly cross
+      // the threshold, so no full-map resolution is needed here
+      val over = snap.bucketDelta.collect {
         case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
       }.toSet
       if (over.nonEmpty) compact(Some(over))
@@ -682,7 +685,7 @@ class CdcEngine(
       (((hf % conf.keyFpBits) + conf.keyFpBits) % conf.keyFpBits).toInt
     }
     table.currentSnapshot.toSeq
-      .flatMap(_.bucketFiles.getOrElse(bucket.toString, Nil))
+      .flatMap(s => table.bucketListOf(s, bucket)) // targeted: no full-map walk
       .filter(f => conf.keyFpBits <= 0 || f.keyFp.forall(Icelite.fpMayContain(_, fp)))
   }
 
@@ -729,7 +732,8 @@ class CdcEngine(
     val groups = table.currentFileGroups(buckets)
     if (groups.isEmpty) return table.currentSnapshotId
     val selected: Set[Int] = buckets.getOrElse(
-      table.currentSnapshot.map(_.bucketFiles.keySet.map(_.toInt)).getOrElse(Set.empty))
+      table.currentSnapshot.map(s => table.bucketFilesOf(s).keySet.map(_.toInt))
+        .getOrElse(Set.empty))
     val cells = readStateCells(Some(selected), payload)
     val outDir = table.root.resolve("data").resolve(f"compact-${System.nanoTime()}%x")
     cells.withColumn("__b", bucketCol)

@@ -36,9 +36,13 @@ import org.json4s.jackson.Serialization
   *     data/b=<bucket>/snap-<id>/part-*.parquet
   * }}}
   *
-  * Scale notes: commit work is O(affected buckets), never O(rows). At 100 TB
-  * the manifest JSON for 2^16 buckets is a few MB — acceptable for a pointer
-  * commit; unaffected buckets inherit the parent's file list by reference.
+  * Scale notes: commit work is O(affected buckets), never O(rows) — and so
+  * is the commit's METADATA write: manifests are delta-only (the touched
+  * buckets' post-commit lists; see Snapshot.bucketDelta), with the full
+  * mapping resolved by a cached parent walk and re-materialized into one
+  * full manifest only at expireSnapshots re-roots. A sparse micro-batch
+  * therefore writes a few KB of metadata regardless of table size, where a
+  * full per-snapshot map would be tens of MB at 2^16 buckets.
   * Orphan data files (crash between data write and pointer rename) are
   * harmless: only manifest-listed files are ever read; a GC can sweep them.
   */
@@ -78,8 +82,21 @@ object Icelite {
       parentId: Long, // -1 for first
       batchEpoch: Long, // idempotency key; -1 for non-batch commits
       schemaId: Int,
-      // bucket -> data files (each pinned to its writer schema id)
-      bucketFiles: Map[String, List[DataFile]],
+      // DELTA manifest: bucket -> that bucket's COMPLETE post-commit file
+      // list, for ONLY the buckets this commit touched. The full mapping is
+      // the parent-walk overlay (IceliteTable.bucketFilesOf) terminated by a
+      // `full = true` snapshot. Serializing only touched buckets makes the
+      // per-commit metadata write O(changed buckets), not O(table files) —
+      // the icelite equivalent of Iceberg's shared manifest files + manifest
+      // list (unchanged manifests are reused by reference, only the list
+      // grows per commit). At 2^16 buckets a full map is tens of MB per
+      // micro-batch; a sparse batch's delta is a few KB.
+      bucketDelta: Map[String, List[DataFile]],
+      // true = bucketDelta IS the complete mapping (first commit, or an
+      // expireSnapshots re-root, which absorbs its expired ancestry into
+      // one full manifest — the amortized O(table) write per expiry that
+      // keeps every per-batch write O(changed buckets))
+      full: Boolean = false,
       lineage: List[BucketLineage],
       totalRows: Long,
       commitMillis: Long,
@@ -215,12 +232,69 @@ class IceliteTable private (val root: Path) {
     out
   }
 
+  // Resolved full bucket -> file-list maps, LRU-cached per snapshot id.
+  // Manifests are delta-only (see Snapshot.bucketDelta); resolution walks
+  // parents until a cached / full snapshot, then overlays back up, caching
+  // each level (iterative — a 10^5-long chain must not recurse). Sequential
+  // access keeps the parent in cache, so steady-state commits and reads
+  // resolve in O(delta); a cold open of a long keep-all chain pays one
+  // O(chain) walk, same as the committed-epoch cache's first fill.
+  // Overlay shares unchanged List instances structurally, so the cached
+  // maps cost O(distinct lists), not O(entries x levels).
+  private val resolveCache =
+    new java.util.LinkedHashMap[Long, Map[String, List[DataFile]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Map[String, List[DataFile]]]): Boolean = size > 8
+    }
+
+  /** The COMPLETE bucket -> data-file mapping visible at snapshot `s`. */
+  def bucketFilesOf(s: Snapshot): Map[String, List[DataFile]] = synchronized {
+    val hit = resolveCache.get(s.snapshotId)
+    if (hit != null) return hit
+    var stack = List(s) // deepest unresolved snapshot first
+    var base = Map.empty[String, List[DataFile]]
+    var cur = s
+    var searching = true
+    while (searching) {
+      if (cur.full || cur.parentId < 0) searching = false
+      else {
+        val p = snapshot(cur.parentId)
+        val c = resolveCache.get(p.snapshotId)
+        if (c != null) { base = c; searching = false }
+        else { stack = p :: stack; cur = p }
+      }
+    }
+    var acc = base
+    for (sn <- stack) {
+      acc = acc ++ sn.bucketDelta
+      resolveCache.put(sn.snapshotId, acc)
+    }
+    acc
+  }
+
+  /** ONE bucket's file list at snapshot `s` — walks only until the bucket's
+    * most recent delta (or a full manifest), no full-map materialization.
+    * The point-lookup fast path: driver-side metadata, O(segment) reads. */
+  def bucketListOf(s: Snapshot, bucket: Int): List[DataFile] = {
+    val key = bucket.toString
+    var cur = s
+    while (true) {
+      cur.bucketDelta.get(key) match {
+        case Some(fs) => return fs
+        case None =>
+          if (cur.full || cur.parentId < 0) return Nil
+          cur = snapshot(cur.parentId)
+      }
+    }
+    Nil
+  }
+
   /** Absolute data file paths of the current snapshot, optionally restricted
     * to a set of buckets (manifest-level partition pruning: the file list is
     * computed from metadata BEFORE any Spark plan is built). */
   def currentFiles(buckets: Option[Set[Int]] = None): Seq[String] =
     currentSnapshot.toSeq.flatMap { s =>
-      s.bucketFiles.iterator.collect {
+      bucketFilesOf(s).iterator.collect {
         case (b, files) if buckets.forall(_.contains(b.toInt)) => files
       }.flatten.map(f => root.resolve(f.path).toString)
     }
@@ -263,8 +337,8 @@ class IceliteTable private (val root: Path) {
     if (sinceSnapshotId >= 0 && !isAncestorFrom(sinceSnapshotId, toId)) return None
     val oldPaths: Set[String] =
       if (sinceSnapshotId < 0) Set.empty
-      else snapshot(sinceSnapshotId).bucketFiles.valuesIterator.flatten.map(_.path).toSet
-    val groups = snapshot(toId).bucketFiles.iterator
+      else bucketFilesOf(snapshot(sinceSnapshotId)).valuesIterator.flatten.map(_.path).toSet
+    val groups = bucketFilesOf(snapshot(toId)).iterator
       .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
       .flatMap { case (_, files) => files }
       .filterNot(f => oldPaths.contains(f.path))
@@ -289,7 +363,7 @@ class IceliteTable private (val root: Path) {
 
   private def fileGroupsOf(s: Snapshot, buckets: Option[Set[Int]],
       lsnRange: Option[(Long, Long)]): Map[Int, Seq[String]] =
-    s.bucketFiles.iterator
+    bucketFilesOf(s).iterator
       .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }
       .flatMap { case (_, files) => files }
       .filter(f => lsnRange.forall { case (lo, hi) => f.maxLsn >= lo && f.minLsn <= hi })
@@ -322,15 +396,17 @@ class IceliteTable private (val root: Path) {
     val cur = currentSnapshot.get
     if (snapshotId == cur.snapshotId) return cur
     val target = snapshot(snapshotId)
-    val changed = (cur.bucketFiles.keySet ++ target.bucketFiles.keySet).filter { b =>
-      cur.bucketFiles.getOrElse(b, Nil).map(_.path) !=
-        target.bucketFiles.getOrElse(b, Nil).map(_.path)
+    val curFiles = bucketFilesOf(cur)
+    val targetFiles = bucketFilesOf(target)
+    val changed = (curFiles.keySet ++ targetFiles.keySet).filter { b =>
+      curFiles.getOrElse(b, Nil).map(_.path) !=
+        targetFiles.getOrElse(b, Nil).map(_.path)
     }
     commit(
       batchEpoch = -1L,
       schemaId = target.schemaId,
       newBucketFiles = changed.map(b =>
-        b.toInt -> target.bucketFiles.getOrElse(b, Nil)).toMap,
+        b.toInt -> targetFiles.getOrElse(b, Nil)).toMap,
       lineage = changed.toList.sorted.map(b =>
         BucketLineage(b.toInt, lsnMin = -1L, lsnMax = -1L, events = 0L, rows = 0L)),
       rowDelta = target.totalRows - cur.totalRows,
@@ -358,7 +434,12 @@ class IceliteTable private (val root: Path) {
     // re-delivered
     val watermarkToCarry = (expired.map(_.carriedWatermark) ++
       expired.flatMap(_.lineage.map(_.lsnMax))).foldLeft(-1L)(math.max)
+    // resolve BEFORE deleting ancestors (the walk needs their manifests):
+    // the re-root absorbs its expired ancestry into one full manifest —
+    // the amortized O(table)-once metadata write that keeps every ordinary
+    // commit's manifest O(changed buckets)
     val newRoot = kept.head.copy(parentId = -1L,
+      bucketDelta = bucketFilesOf(kept.head), full = true,
       carriedEpochs = (kept.head.carriedEpochs ++ epochsToCarry).distinct.sorted,
       carriedWatermark = math.max(kept.head.carriedWatermark, watermarkToCarry))
     write(metaDir.resolve(s"snap-${newRoot.snapshotId}.json"), Serialization.writePretty(newRoot))
@@ -380,8 +461,12 @@ class IceliteTable private (val root: Path) {
     * sharing this instance (the sandbox is single-writer; a multi-writer
     * deployment keys this off the catalog's commit timestamps). */
   def vacuum(graceMillis: Long = 0L): Seq[String] = synchronized {
+    // union of raw DELTAS across the chain == union of every chain
+    // snapshot's resolved file set: each delta list IS the bucket's visible
+    // list at the snapshot that wrote it (still in the chain), and every
+    // resolution only selects from delta lists — no resolution needed here
     val referenced: Set[String] =
-      snapshotChain.flatMap(_.bucketFiles.valuesIterator.flatten.map(_.path)).toSet
+      snapshotChain.flatMap(_.bucketDelta.valuesIterator.flatten.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
     val dataDir = root.resolve("data")
     if (!Files.exists(dataDir)) return Seq.empty
@@ -471,14 +556,17 @@ class IceliteTable private (val root: Path) {
       throw new CommitConflictException(
         s"table advanced to snapshot $parentId past the writer's view $expectedParentId")
     val id = parentId + 1
-    val inheritedFiles = parent.map(_.bucketFiles).getOrElse(Map.empty)
-    val bf = inheritedFiles ++ newBucketFiles.map { case (k, v) =>
+    // DELTA manifest: serialize only the touched buckets (each with its
+    // complete post-commit list — append mode folds the parent's list in);
+    // untouched buckets are inherited by the parent walk at read time
+    val parentFiles = parent.map(bucketFilesOf).getOrElse(Map.empty)
+    val delta = newBucketFiles.map { case (k, v) =>
       val key = k.toString
-      key -> (if (append) inheritedFiles.getOrElse(key, Nil) ++ v else v)
+      key -> (if (append) parentFiles.getOrElse(key, Nil) ++ v else v)
     }
     val snap = Snapshot(
       snapshotId = id, parentId = parentId, batchEpoch = batchEpoch,
-      schemaId = schemaId, bucketFiles = bf,
+      schemaId = schemaId, bucketDelta = delta, full = parent.isEmpty,
       lineage = lineage, totalRows = parent.map(_.totalRows).getOrElse(0L) + rowDelta,
       commitMillis = System.currentTimeMillis(),
       carriedWatermark = parent.map(_.carriedWatermark).getOrElse(-1L),

@@ -351,12 +351,12 @@ class EngineSpec extends AnyFunSuite {
     bs.zipWithIndex.foreach { case (b, i) => mor.applyBatch(i, b); cow.applyBatch(i, b) }
     assertEquivalent(mor, ev)
     // delta files ACCUMULATE per bucket (no copy-on-write rewrites)
-    val perBucket = mor.table.currentSnapshot.get.bucketFiles.values.map(_.size)
+    val perBucket = mor.table.bucketFilesOf(mor.table.currentSnapshot.get).values.map(_.size)
     assert(perBucket.max >= 3, s"expected accumulated deltas, got $perBucket")
     val before = mor.currentState().collect().map(_.toString).sorted
     assert(cow.currentState().collect().map(_.toString).sorted === before)
     mor.compact()
-    assert(mor.table.currentSnapshot.get.bucketFiles.values.forall(_.size == 1))
+    assert(mor.table.bucketFilesOf(mor.table.currentSnapshot.get).values.forall(_.size == 1))
     assert(mor.currentState().collect().map(_.toString).sorted === before)
   }
 
@@ -369,7 +369,7 @@ class EngineSpec extends AnyFunSuite {
     bs.zipWithIndex.foreach { case (b, i) => engine.applyBatch(i, b) }
     engine.applyBatch(100, bs(2)) // content re-delivery under a fresh epoch
     assertEquivalent(engine, ev)
-    val perBucket = engine.table.currentSnapshot.get.bucketFiles.values.map(_.size)
+    val perBucket = engine.table.bucketFilesOf(engine.table.currentSnapshot.get).values.map(_.size)
     assert(perBucket.max <= 3,
       s"auto-compaction must bound per-bucket delta count, got $perBucket")
   }
@@ -524,7 +524,7 @@ class EngineSpec extends AnyFunSuite {
     // every data file on disk is referenced by the retained chain — no
     // superseded compaction/delta garbage survives
     val referenced = t.snapshotChain
-      .flatMap(_.bucketFiles.valuesIterator.flatten.map(_.path)).toSet
+      .flatMap(_.bucketDelta.valuesIterator.flatten.map(_.path)).toSet
     val onDisk = {
       val s = java.nio.file.Files.walk(t.root.resolve("data"))
       try {

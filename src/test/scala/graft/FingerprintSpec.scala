@@ -43,7 +43,7 @@ class FingerprintSpec extends AnyFunSuite {
     batches.zipWithIndex.foreach { case (b, i) => engine.applyBatch(i.toLong, b) }
 
     // every delta file carries a fingerprint bitmap
-    val files = engine.table.currentSnapshot.get.bucketFiles
+    val files = engine.table.bucketFilesOf(engine.table.currentSnapshot.get)
     assert(files.valuesIterator.flatten.forall(_.keyFp.isDefined))
 
     val state = engine.currentState().select("repo", "path").collect()
@@ -100,7 +100,7 @@ class FingerprintSpec extends AnyFunSuite {
     Synth.batches(ev, 5, n).zipWithIndex.foreach { case (b, i) =>
       engine.applyBatch(i.toLong, b)
     }
-    val files = engine.table.currentSnapshot.get.bucketFiles
+    val files = engine.table.bucketFilesOf(engine.table.currentSnapshot.get)
     assert(files.valuesIterator.flatten.forall(_.keyFp.isEmpty))
     val (repo, path) = {
       val r = engine.currentState().select("repo", "path").orderBy("repo", "path").first()
@@ -122,7 +122,7 @@ class FingerprintSpec extends AnyFunSuite {
       engine.applyBatch(i.toLong, b)
     }
     engine.compact()
-    val files = engine.table.currentSnapshot.get.bucketFiles
+    val files = engine.table.bucketFilesOf(engine.table.currentSnapshot.get)
     assert(files.valuesIterator.forall(_.size === 1))
     assert(files.valuesIterator.flatten.forall(_.keyFp.isEmpty))
     val (repo, path) = {
@@ -143,7 +143,7 @@ class FingerprintSpec extends AnyFunSuite {
     val engine = newEngine(mor = true, conf)
     val ev = Synth.events(spark, 2000L, seed = 74) // >> 256/4 = 64 distinct keys
     engine.applyBatch(0, ev)
-    val files = engine.table.currentSnapshot.get.bucketFiles
+    val files = engine.table.bucketFilesOf(engine.table.currentSnapshot.get)
     assert(files.valuesIterator.flatten.forall(_.keyFp.isEmpty))
     // fingerprint-less files are always read — lookups remain exact
     val (repo, path) = {
@@ -164,7 +164,7 @@ class FingerprintSpec extends AnyFunSuite {
     Synth.batches(ev, 2, 200L).zipWithIndex.foreach { case (b, i) =>
       engine.applyBatch(i.toLong, b)
     }
-    val files = engine.table.currentSnapshot.get.bucketFiles
+    val files = engine.table.bucketFilesOf(engine.table.currentSnapshot.get)
     assert(files.valuesIterator.flatten.forall(_.keyFp.isEmpty))
     val (repo, path) = {
       val r = engine.currentState().select("repo", "path").orderBy("repo", "path").first()

@@ -35,8 +35,8 @@ class IceliteSpec extends AnyFunSuite {
     assert(s.snapshotId === 1)
     assert(s.parentId === 0)
     // bucket 1 inherited, bucket 2 replaced
-    assert(s.bucketFiles("1").map(_.path) === List("f1.parquet"))
-    assert(s.bucketFiles("2").map(_.path) === List("f2b.parquet"))
+    assert(t.bucketFilesOf(s)("1").map(_.path) === List("f1.parquet"))
+    assert(t.bucketFilesOf(s)("2").map(_.path) === List("f2b.parquet"))
     // manifest-level pruning returns only requested buckets
     assert(t.currentFiles(Some(Set(1))).map(_.split('/').last) === Seq("f1.parquet"))
     assert(t.committedEpochs === Set(0L, 1L))
@@ -49,7 +49,7 @@ class IceliteSpec extends AnyFunSuite {
     val s1 = t.commit(5, sid, Map(0 -> List(f("a.parquet"))), Nil, 1)
     val s2 = t.commit(5, sid, Map(0 -> List(f("b.parquet"))), Nil, 1)
     assert(s2.snapshotId === s1.snapshotId)
-    assert(t.currentSnapshot.get.bucketFiles("0").map(_.path) === List("a.parquet"))
+    assert(t.bucketFilesOf(t.currentSnapshot.get)("0").map(_.path) === List("a.parquet"))
   }
 
   test("crash between manifest write and pointer move: next commit recovers") {
@@ -60,14 +60,14 @@ class IceliteSpec extends AnyFunSuite {
     // pointer rename: the orphan manifest must be invisible and recoverable
     val orphan = t.root.resolve("metadata").resolve("snap-1.json")
     java.nio.file.Files.writeString(orphan, """{"snapshotId":1,"parentId":0,
-      "batchEpoch":99,"schemaId":0,"bucketFiles":{},
+      "batchEpoch":99,"schemaId":0,"bucketDelta":{},
       "lineage":[],"totalRows":0,"commitMillis":0}""")
     assert(t.currentSnapshotId === 0) // pointer untouched -> old state visible
     assert(!t.committedEpochs.contains(99L)) // orphan epoch not committed
     // next commit takes snapshot id 1, overwriting the orphan atomically
     val s = t.commit(1, sid, Map(0 -> List(f("b.parquet"))), Nil, 1)
     assert(s.snapshotId === 1 && s.batchEpoch === 1)
-    assert(t.currentSnapshot.get.bucketFiles("0").map(_.path) === List("b.parquet"))
+    assert(t.bucketFilesOf(t.currentSnapshot.get)("0").map(_.path) === List("b.parquet"))
     assert(t.committedEpochs === Set(0L, 1L))
   }
 
@@ -80,7 +80,7 @@ class IceliteSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(
       t.root.resolve("metadata").resolve("snap-5.json"),
       """{"snapshotId":5,"parentId":0,"batchEpoch":99,"schemaId":0,
-         "bucketFiles":{"0":[{"path":"ghost.parquet","schemaId":0,"rows":1}]},
+         "bucketDelta":{"0":[{"path":"ghost.parquet","schemaId":0,"rows":1}]},
          "lineage":[],"totalRows":0,"commitMillis":0}""")
     assert(t.fileGroupsAddedSince(5L).isEmpty,
       "file-existence validation accepted a non-ancestor snapshot")
@@ -111,11 +111,11 @@ class IceliteSpec extends AnyFunSuite {
     t.commit(1, sid, Map(0 -> List(f("d1.parquet")), 1 -> List(f("e0.parquet"))),
       Nil, 1, append = true)
     val s = t.currentSnapshot.get
-    assert(s.bucketFiles("0").map(_.path) === List("d0.parquet", "d1.parquet"))
-    assert(s.bucketFiles("1").map(_.path) === List("e0.parquet"))
+    assert(t.bucketFilesOf(s)("0").map(_.path) === List("d0.parquet", "d1.parquet"))
+    assert(t.bucketFilesOf(s)("1").map(_.path) === List("e0.parquet"))
     // a replace-commit (compaction) folds the list back
     t.commit(-1L, sid, Map(0 -> List(f("c0.parquet"))), Nil, 0)
-    assert(t.currentSnapshot.get.bucketFiles("0").map(_.path) === List("c0.parquet"))
+    assert(t.bucketFilesOf(t.currentSnapshot.get)("0").map(_.path) === List("c0.parquet"))
   }
 
   test("re-delivery of an epoch surviving only via carriedEpochs no-ops (post-expire)") {
@@ -128,7 +128,7 @@ class IceliteSpec extends AnyFunSuite {
     // a clean no-op returning the current snapshot, not a NoSuchElement crash
     val s = t.commit(1, sid, Map(0 -> List(f("dup.parquet"))), Nil, 1)
     assert(s.snapshotId === t.currentSnapshotId)
-    assert(t.currentSnapshot.get.bucketFiles("0").map(_.path) === List("f3.parquet"))
+    assert(t.bucketFilesOf(t.currentSnapshot.get)("0").map(_.path) === List("f3.parquet"))
   }
 
   test("manifest lsn stats: file groups prune by range; stat-free files never skipped") {
@@ -166,8 +166,8 @@ class IceliteSpec extends AnyFunSuite {
       append = true, expectedParentId = b.currentSnapshotId)
     // both writers' work is in the final table
     val s = b.currentSnapshot.get
-    assert(s.bucketFiles("0").map(_.path) === List("a0.parquet"))
-    assert(s.bucketFiles("1").map(_.path) === List("b0.parquet"))
+    assert(b.bucketFilesOf(s)("0").map(_.path) === List("a0.parquet"))
+    assert(b.bucketFilesOf(s)("1").map(_.path) === List("b0.parquet"))
     assert(b.committedEpochs === Set(0L, 1L))
   }
 

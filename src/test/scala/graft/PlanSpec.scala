@@ -71,12 +71,13 @@ class PlanSpec extends AnyFunSuite {
     //   q27 ten probe vectors against the partitioned corpus,
     //   q40/q46 the per-round arrival frontier (<= |node types|),
     //   q47 sixteen centroids / ten probes,
-    //   q48 the single-row global-quota scalar.
+    //   q48 the single-row global-quota scalar,
+    //   q59/q60 the single-row corpus-constant scalar (N/avgdl, token total).
     // Any new query joining two data-sized inputs without an equi-key
     // fails here before it ever reaches a cluster.
     val allowedBnlj = Set("q09_scaffold_zerofill", "q27_ann_topk",
       "q40_earliest_arrival", "q46_earliest_journey", "q47_ann_ivf",
-      "q48_mixture_sample")
+      "q48_mixture_sample", "q59_bm25_rank", "q60_unigram_logprob")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

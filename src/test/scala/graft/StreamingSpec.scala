@@ -62,7 +62,7 @@ class StreamingSpec extends AnyFunSuite {
     val engine = new CdcEngine(spark, table, EngineConf(buckets = 8))
     CdcStream.runAvailableNow(spark, engine, input, s"$work/ckpt", maxFilesPerTrigger = 1)
     // two streamed batches appended deltas (no bucket rewrites)
-    assert(table.currentSnapshot.get.bucketFiles.values.exists(_.size >= 2))
+    assert(table.bucketFilesOf(table.currentSnapshot.get).values.exists(_.size >= 2))
     val before = table.currentSnapshotId
     CdcStream.runAvailableNow(spark, engine, input, s"$work/ckpt")
     assert(table.currentSnapshotId === before, "exactly-once violated on empty re-run")
