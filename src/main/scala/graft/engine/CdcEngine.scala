@@ -277,23 +277,35 @@ class CdcEngine(
     * The batch DataFrame is flat ChangeEvent-shaped (envelope + payload);
     * payload columns may be a superset/widening of the table schema
     * (schema evolution) or a subset (old producers). */
-  def applyBatch(epoch: Long, batchRaw: DataFrame): CommitResult = {
+  def applyBatch(epoch: Long, batchRaw: DataFrame): CommitResult =
+    applyBatchImpl(epoch, batchRaw, stage = false)
+
+  /** Write-audit-publish step 1: run the full MERGE and write the snapshot
+    * STAGED — data files and manifest on disk, pointer untouched. The batch
+    * is invisible to every reader (state, change feeds, mirrors, views)
+    * until [[publishStaged]]; a failed audit discards it with
+    * [[dropStaged]] and the table is as if the batch never arrived. The
+    * returned `snapshotId` is the staged id to audit/publish/drop. */
+  def stageBatch(epoch: Long, batchRaw: DataFrame): CommitResult =
+    applyBatchImpl(epoch, batchRaw, stage = true)
+
+  private def applyBatchImpl(epoch: Long, batchRaw: DataFrame, stage: Boolean): CommitResult = {
     if (table.committedEpochs.contains(epoch)) {
       return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
     }
-    if (conf.mergeShufflePartitions <= 0) return applyBatchInner(epoch, batchRaw)
+    if (conf.mergeShufflePartitions <= 0) return applyBatchInner(epoch, batchRaw, stage)
     // merge-width override is scoped to this batch: leaking it into the
     // shared session would silently re-plan every later query on it
     val saved = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", conf.mergeShufflePartitions)
-    try applyBatchInner(epoch, batchRaw)
+    try applyBatchInner(epoch, batchRaw, stage)
     finally saved match {
       case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
       case None => spark.conf.unset("spark.sql.shuffle.partitions")
     }
   }
 
-  private def applyBatchInner(epoch: Long, batchRaw: DataFrame): CommitResult = {
+  private def applyBatchInner(epoch: Long, batchRaw: DataFrame, stage: Boolean): CommitResult = {
     val t0 = System.nanoTime()
     def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
 
@@ -321,7 +333,7 @@ class CdcEngine(
     val lineageMs = ms(t0)
     if (lineageRows.isEmpty) { // empty batch: still commit the epoch (exactly-once bookkeeping)
       val sid = table.ensureSchema(stateSchema(targetPayload))
-      val snap = table.commit(epoch, sid, Map.empty, Nil, 0)
+      val snap = table.commit(epoch, sid, Map.empty, Nil, 0, stage = stage)
       return CommitResult(epoch, snap.snapshotId, skipped = false, 0, 0,
         (System.nanoTime() - t0) / 1000000)
     }
@@ -392,20 +404,26 @@ class CdcEngine(
       b -> fpByBucket.get(b).map(bm => fs.map(_.copy(keyFp = Some(bm)))).getOrElse(fs)
     }
 
-    val snap = table.commit(epoch, sid, manifestFiles, lineage, rowDelta = events, append = mor)
-    if (mor && conf.morCompactThreshold > 0) {
-      // the delta manifest lists exactly the touched buckets (with their
-      // complete post-append lists) — the only ones that can newly cross
-      // the threshold, so no full-map resolution is needed here
-      val over = snap.bucketDelta.collect {
-        case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
-      }.toSet
-      if (over.nonEmpty) compact(Some(over))
+    val snap = table.commit(epoch, sid, manifestFiles, lineage, rowDelta = events,
+      append = mor, stage = stage)
+    // maintenance acts on the PUBLISHED chain — a staged snapshot defers
+    // both to publishStaged (dropping it must leave the table untouched)
+    if (!stage) {
+      if (mor && conf.morCompactThreshold > 0) {
+        // the delta manifest lists exactly the touched buckets (with their
+        // complete post-append lists) — the only ones that can newly cross
+        // the threshold, so no full-map resolution is needed here
+        val over = snap.bucketDelta.collect {
+          case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
+        }.toSet
+        if (over.nonEmpty) compact(Some(over))
+      }
+      maybeExpire(newSnapshots = if (mor && conf.morCompactThreshold > 0) 2 else 1)
     }
-    maybeExpire(newSnapshots = if (mor && conf.morCompactThreshold > 0) 2 else 1)
     val totalMs = ms(t0)
     appendMetrics(epoch, snap.snapshotId, events, affected.size, totalMs,
-      s""","lineageMs":$lineageMs,"mergeWriteMs":$mergeWriteMs,"manifestMs":$manifestMs""")
+      s""","lineageMs":$lineageMs,"mergeWriteMs":$mergeWriteMs,"manifestMs":$manifestMs""" +
+        (if (stage) ""","staged":true""" else ""))
     CommitResult(epoch, snap.snapshotId, skipped = false, events, affected.size, totalMs)
   }
 
@@ -439,6 +457,56 @@ class CdcEngine(
   /** Raw cell-form state (for tests / debugging). */
   def currentCells(buckets: Option[Set[Int]] = None): DataFrame =
     readStateCells(buckets, tablePayload)
+
+  // ------------------------------------------------------ write-audit-publish
+
+  /** WAP step 2: evaluate data-quality invariants against the STAGED state —
+    * exactly what the table would expose if published — in ONE aggregation
+    * pass. Built-in checks re-prove key uniqueness and key non-nullness from
+    * the data (not assumed from the merge); `rowChecks` are caller row-level
+    * predicates (content bounds, lang whitelists, ...) that must hold on
+    * EVERY visible row (a null predicate counts as failed; an empty state
+    * passes). Returns check name -> passed. Iceberg's WAP audit slot. */
+  def auditStaged(stagedId: Long,
+      rowChecks: Map[String, Column] = Map.empty): Map[String, Boolean] = {
+    val st = stateAt(stagedId)
+    def everyRow(pred: Column): Column =
+      coalesce(min(when(pred, 1).otherwise(0)), lit(1)) === 1
+    val checks: Seq[(String, Column)] =
+      Seq(
+        "keys_unique" ->
+          (count(lit(1)) === count_distinct(keyColumns.head, keyColumns.tail: _*)),
+        "no_null_keys" -> everyRow(keyColumns.map(_.isNotNull).reduce(_ && _))) ++
+        rowChecks.toSeq.map { case (n, pred) => n -> everyRow(pred) }
+    val aggs = checks.map { case (n, c) => c.as(n) }
+    val row = st.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.indices.map(i => checks(i)._1 -> row.getBoolean(i)).toMap
+  }
+
+  /** WAP step 3: make the staged snapshot the table head. Exactly-once and
+    * the optimistic-concurrency parent are re-checked at publish time (the
+    * table may have moved while the audit ran — see [[IceliteTable.publish]];
+    * on conflict re-stage against the new head, the staged MERGE is stale).
+    * Then runs the maintenance the stage deferred (merge-on-read threshold
+    * compaction, auto-retention). Returns the published snapshot id. */
+  def publishStaged(stagedId: Long): Long = {
+    val snap = table.publish(stagedId)
+    val morMaint = table.meta.mergeOnRead && conf.morCompactThreshold > 0
+    if (morMaint) {
+      val over = snap.bucketDelta.collect {
+        case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
+      }.toSet
+      if (over.nonEmpty) compact(Some(over))
+    }
+    maybeExpire(newSnapshots = if (morMaint) 2 else 1)
+    snap.snapshotId
+  }
+
+  /** Audit failed: discard the staged snapshot — manifest and the data files
+    * only it references — leaving the table as if the batch never arrived.
+    * The batch's epoch stays UNcommitted, so a corrected re-delivery under
+    * the same epoch is applied, not skipped. */
+  def dropStaged(stagedId: Long): Seq[String] = table.dropStaged(stagedId)
 
   /** Highest source LSN applied up to and including `snapshotId` (from the
     * per-bucket lineage records plus any watermark carried across

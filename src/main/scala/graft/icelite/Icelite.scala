@@ -459,7 +459,10 @@ class IceliteTable private (val root: Path) {
     * survive. Run vacuum with a grace period comfortably above the longest
     * batch write time; same-process serialization alone only covers writers
     * sharing this instance (the sandbox is single-writer; a multi-writer
-    * deployment keys this off the catalog's commit timestamps). */
+    * deployment keys this off the catalog's commit timestamps). STAGED
+    * snapshots (write-audit-publish) are not chain-referenced, so a vacuum
+    * racing an audit could reclaim their data files — keep the grace period
+    * above the audit window, or publish/drop before vacuuming. */
   def vacuum(graceMillis: Long = 0L): Seq[String] = synchronized {
     // union of raw DELTAS across the chain == union of every chain
     // snapshot's resolved file set: each delta list IS the bucket's visible
@@ -491,6 +494,29 @@ class IceliteTable private (val root: Path) {
       }
     finally dirStream.close()
     orphans
+  }
+
+  // Highest snapshot id ever seen by this instance (>= any manifest on
+  // disk at first use). Commits allocate max(parentId, maxSeenId) + 1, so a
+  // STAGED snapshot (manifest written, pointer untouched) can never be
+  // clobbered by a later chain commit reusing its id. On a plain chain this
+  // degenerates to the classic parentId + 1. Lazy first fill is one
+  // directory listing; afterwards allocation is O(1).
+  private var maxSeenId: Long = -2L
+  private def allocSnapshotId(parentId: Long): Long = {
+    if (maxSeenId == -2L) {
+      val stream = Files.list(metaDir)
+      maxSeenId =
+        try stream.iterator().asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("snap-") && n.endsWith(".json"))
+            n.stripPrefix("snap-").stripSuffix(".json").toLongOption
+          else None
+        }.foldLeft(-1L)(math.max)
+        finally stream.close()
+    }
+    maxSeenId = math.max(maxSeenId, parentId) + 1
+    maxSeenId
   }
 
   private def nextSchemaId: Int = {
@@ -544,7 +570,12 @@ class IceliteTable private (val root: Path) {
       // A mismatch raises CommitConflictException; the writer re-reads and
       // retries (its data files stay on disk, covered by the vacuum grace).
       expectedParentId: Long = -2L,
-      restoreOf: Long = -1L): Snapshot = synchronized {
+      restoreOf: Long = -1L,
+      // write-audit-publish: true writes the snapshot manifest WITHOUT
+      // moving the pointer — the snapshot exists, is readable by id
+      // (fileGroupsAt / stateAt), but is invisible to every chain reader
+      // until publish(). Iceberg's staged/WAP snapshot.
+      stage: Boolean = false): Snapshot = synchronized {
     val parent = currentSnapshot
     if (batchEpoch >= 0 && committedEpochs.contains(batchEpoch)) {
       // already applied — exactly-once via idempotent no-op
@@ -555,7 +586,7 @@ class IceliteTable private (val root: Path) {
     if (expectedParentId != -2L && expectedParentId != parentId)
       throw new CommitConflictException(
         s"table advanced to snapshot $parentId past the writer's view $expectedParentId")
-    val id = parentId + 1
+    val id = allocSnapshotId(parentId)
     // DELTA manifest: serialize only the touched buckets (each with its
     // complete post-commit list — append mode folds the parent's list in);
     // untouched buckets are inherited by the parent walk at read time
@@ -572,11 +603,74 @@ class IceliteTable private (val root: Path) {
       carriedWatermark = parent.map(_.carriedWatermark).getOrElse(-1L),
       restoreOf = restoreOf)
     write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
+    if (stage) return snap // manifest on disk, pointer untouched: invisible
     if (currentSnapshotId != parentId)
       throw new IllegalStateException(
         s"concurrent commit detected: expected parent $parentId, found $currentSnapshotId")
     write(pointer, id.toString)
     snap
+  }
+
+  /** Publish a staged snapshot (write-audit-publish step 3): atomically move
+    * the pointer to a snapshot previously committed with `stage = true`,
+    * after the audit passed. Exactly-once and optimistic-concurrency rules
+    * are re-checked AT PUBLISH TIME, because the table may have moved while
+    * the audit ran:
+    *   - if the staged snapshot's epoch was committed meanwhile (duplicate
+    *     delivery raced the audit), publish is an idempotent no-op returning
+    *     the snapshot that applied it;
+    *   - if the chain advanced past the staged snapshot's parent, publishing
+    *     would silently DROP the intervening commits, so it raises
+    *     [[Icelite.CommitConflictException]] — the writer re-stages against
+    *     the new head (its merge is stale, not just its pointer) and
+    *     re-audits. */
+  def publish(stagedId: Long): Snapshot = synchronized {
+    val snapPath = metaDir.resolve(s"snap-$stagedId.json")
+    require(Files.exists(snapPath), s"no staged snapshot $stagedId")
+    val staged = snapshot(stagedId)
+    if (staged.batchEpoch >= 0 && committedEpochs.contains(staged.batchEpoch))
+      return snapshotChain.find(_.batchEpoch == staged.batchEpoch)
+        .orElse(currentSnapshot).get
+    if (isAncestor(stagedId)) return staged // already published
+    if (staged.parentId != currentSnapshotId)
+      throw new CommitConflictException(
+        s"table advanced to snapshot $currentSnapshotId past staged $stagedId's " +
+          s"parent ${staged.parentId}; re-stage and re-audit")
+    write(pointer, stagedId.toString)
+    staged
+  }
+
+  /** Discard a staged snapshot that failed its audit: delete its manifest
+    * and every data file it added that no chain snapshot references (on a
+    * staged snapshot none are, but the chain check keeps this safe to call
+    * on anything unpublished). Refuses to touch published snapshots. */
+  def dropStaged(stagedId: Long): Seq[String] = synchronized {
+    require(!isAncestor(stagedId), s"snapshot $stagedId is published; use rollbackTo")
+    val snapPath = metaDir.resolve(s"snap-$stagedId.json")
+    if (!Files.exists(snapPath)) return Seq.empty
+    val staged = snapshot(stagedId)
+    val referenced: Set[String] =
+      snapshotChain.flatMap(_.bucketDelta.valuesIterator.flatten.map(_.path)).toSet
+    val doomed = staged.bucketDelta.valuesIterator.flatten.map(_.path)
+      .filterNot(referenced.contains).toList.distinct
+    doomed.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
+    // each commit writes into an exclusive directory under data/ — once a
+    // staged commit's files are gone, sweep the dir itself so writer
+    // sidecars (_SUCCESS, .crc) don't linger until the next vacuum
+    val writeDirs = doomed.map(rel => Paths.get(rel).getName(1).toString).toSet
+    writeDirs.foreach { d =>
+      val hasLive = referenced.exists(p => Paths.get(p).getName(1).toString == d)
+      if (!hasLive) {
+        val dir = root.resolve("data").resolve(d)
+        if (Files.exists(dir)) {
+          val s = Files.walk(dir)
+          val all = try s.iterator().asScala.toList.reverse finally s.close()
+          all.foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+    Files.deleteIfExists(snapPath)
+    doomed
   }
 
   /** Directory that a new commit should write bucket data files into. */
