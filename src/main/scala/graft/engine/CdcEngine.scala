@@ -106,12 +106,22 @@ class CdcEngine(
 
   // The bucket count is PHYSICAL table layout: every manifest prune, point
   // lookup and write partition derives from it. An engine configured with a
-  // different count than the table was created with would write rows into
-  // the wrong buckets and prune reads incorrectly — fail construction loudly
-  // instead of corrupting silently.
-  require(table.meta.buckets == conf.buckets,
-    s"engine buckets (${conf.buckets}) != table buckets (${table.meta.buckets}) " +
+  // different count than the table's CURRENT layout (creation-time, or the
+  // last rebucket) would write rows into the wrong buckets and prune reads
+  // incorrectly — fail construction loudly instead of corrupting silently.
+  require(table.currentBuckets == conf.buckets,
+    s"engine buckets (${conf.buckets}) != table buckets (${table.currentBuckets}) " +
       s"for table ${table.root}")
+
+  /** Layout guard re-checked on every bucket-dependent operation: a
+    * rebucket (possibly by another engine instance) invalidates this
+    * instance's pruning and write partitioning. */
+  private def checkLayout(): Unit = {
+    val cur = table.currentBuckets
+    require(cur == conf.buckets,
+      s"table ${table.root} is bucketed at $cur but this engine was built " +
+        s"for ${conf.buckets} (rebucketed?); construct a new CdcEngine for the current layout")
+  }
 
   private val keyCols = ChangeEvent.keyCols
   private def keyColumns: Seq[Column] = keyCols.map(col)
@@ -290,6 +300,7 @@ class CdcEngine(
     applyBatchImpl(epoch, batchRaw, stage = true)
 
   private def applyBatchImpl(epoch: Long, batchRaw: DataFrame, stage: Boolean): CommitResult = {
+    checkLayout()
     if (table.committedEpochs.contains(epoch)) {
       return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
     }
@@ -534,6 +545,11 @@ class CdcEngine(
     * add nothing to the set. */
   private[engine] def bucketsTouchedSince(sinceSnapshotId: Long,
       toSnapshotId: Long): Option[Set[Int]] = {
+    // a bucket-count change inside the window puts the segment's lineage
+    // ids in a different hash regime than the window end's layout — no
+    // consistent bucket set exists, so pruning must be abandoned entirely
+    if (toSnapshotId >= 0 && table.windowCrossesRebucket(sinceSnapshotId, toSnapshotId))
+      return None
     var id = toSnapshotId
     val b = Set.newBuilder[Int]
     var rootCarries = false
@@ -587,6 +603,7 @@ class CdcEngine(
     * mirror after a restore. */
   def changesSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None,
       toSnapshotId: Long = -1L): DataFrame = {
+    checkLayout()
     // window end: current by default, or any chain snapshot (Iceberg's
     // incremental scan (from, to]) — feeds become replayable history steps
     // and a consumer can pin `to` to the snapshot it observed, making the
@@ -600,12 +617,20 @@ class CdcEngine(
           !table.isAncestor(sinceSnapshotId),
         s"changesSince window is reversed or crosses branches: " +
           s"snapshot $sinceSnapshotId is not an ancestor of $toSnapshotId")
-    val touched = bucketsTouchedSince(sinceSnapshotId, toId)
-    val bsel = (touched, buckets) match {
-      case (Some(t), Some(u)) => Some(t intersect u)
-      case (Some(t), None) => Some(t)
-      case (None, u) => u
-    }
+    // a rebucket inside a LIVE window changes no values (same keys, same
+    // cells, relocated files) — diff exactly, just without any bucket
+    // pruning (mixed hash regimes; the caller's `buckets`, interpreted in
+    // the window-END layout, is re-applied as a row filter at the end)
+    val crosses = sinceSnapshotId >= 0 && toId >= 0 &&
+      table.isAncestorFrom(sinceSnapshotId, toId) &&
+      table.windowCrossesRebucket(sinceSnapshotId, toId)
+    val touched = if (crosses) None else bucketsTouchedSince(sinceSnapshotId, toId)
+    val bsel = if (crosses) None
+      else (touched, buckets) match {
+        case (Some(t), Some(u)) => Some(t intersect u)
+        case (Some(t), None) => Some(t)
+        case (None, u) => u
+      }
     // payload schema is the one pinned by the window END, not the current
     // one — a windowed feed to a pre-evolution snapshot has no later columns
     val payload = payloadOfSchema(
@@ -614,7 +639,7 @@ class CdcEngine(
     val cur = readStateCells(bsel, payload,
       if (toId >= 0) Some(toId) else None)
     val changed =
-      if (sinceSnapshotId < 0 || touched.isEmpty) cur
+      if (sinceSnapshotId < 0 || (touched.isEmpty && !crosses)) cur
       else {
         val old = readStateCells(bsel, payload, Some(sinceSnapshotId))
         // A restore in the window suspends two invariants of normal CDC
@@ -632,7 +657,7 @@ class CdcEngine(
         // applied on copy-on-write, where added files are whole rewritten
         // buckets and the semi-join would prune nothing.)
         val (curSel, oldSel) =
-          if (!table.meta.mergeOnRead || hasRestore) (cur, old)
+          if (!table.meta.mergeOnRead || hasRestore || crosses) (cur, old)
           else table.fileGroupsAddedSince(sinceSnapshotId, bsel, toId) match {
             case Some(groups) =>
               val deltaKeys = readAligned(groups, payload)
@@ -655,7 +680,14 @@ class CdcEngine(
           diff.unionByName(vanished)
         }
       }
-    flattenCells(changed, payload)
+    val out = flattenCells(changed, payload)
+    if (crosses && buckets.nonEmpty) {
+      // the caller's bucket restriction, re-expressed as a row predicate in
+      // the window-END layout (consistent with the payload schema pinning)
+      val toBuckets = table.effectiveBuckets(table.snapshot(toId))
+      out.filter(pmod(xxhash64(keyColumns: _*), lit(toBuckets)).cast(IntegerType)
+        .isin(buckets.get.toSeq: _*))
+    } else out
   }
 
   /** Offset-range audit scan: stored change rows whose last-writer LSN falls
@@ -666,6 +698,7 @@ class CdcEngine(
     * range); the residual per-row predicate lands on the parquet `_op.l`
     * column for row-group pruning. */
   def scanLsnRange(lo: Long, hi: Long, buckets: Option[Set[Int]] = None): DataFrame = {
+    checkLayout()
     val payload = tablePayload
     val unioned = readAligned(table.currentFileGroups(buckets, lsnRange = Some((lo, hi))), payload)
     val cellCols = Seq(OpCell, TsCell) ++ payload.fieldNames
@@ -716,6 +749,7 @@ class CdcEngine(
     * only over this key's surviving cells. Tombstoned keys return zero rows,
     * like `currentState`. */
   def pointLookup(repo: String, path: String): DataFrame = {
+    checkLayout()
     val payload = tablePayload
     val groups = keyLookupGroups(repo, path)
     // key filter BEFORE the merge: equality lands on the parquet scan
@@ -796,6 +830,7 @@ class CdcEngine(
     * so time travel is unaffected and `vacuum` (which walks the whole chain)
     * keeps them until snapshots are expired. Returns the new snapshot id. */
   def compact(buckets: Option[Set[Int]] = None): Long = {
+    checkLayout()
     val payload = tablePayload
     val groups = table.currentFileGroups(buckets)
     if (groups.isEmpty) return table.currentSnapshotId
@@ -816,6 +851,58 @@ class CdcEngine(
     // replace-commit (append=false) even on merge-on-read tables: compaction
     // folds a bucket's delta pile back into one merged file
     table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0).snapshotId
+  }
+
+  /** Bucket-count EVOLUTION (Iceberg's partition evolution): rewrite the
+    * whole table under `newBuckets` and flip the layout ATOMICALLY with the
+    * snapshot pointer — the new count rides on the snapshot itself and
+    * propagates to every descendant, so there is no second metadata file
+    * whose update could race a crash (table.json is refreshed only as a
+    * load-time hint). The scale lever this exists for: a table created at
+    * 2^10 buckets that grew 100× has multi-GB buckets — too coarse for
+    * pruning and hot for writes — and the fix must be a single online
+    * commit, not a new table + consumer migration.
+    *
+    * Everything downstream keeps working across the boundary: old snapshots
+    * still read/time-travel under their own layout (the rebucket manifest
+    * is `full`, so old-layout bucket ids never leak through the parent
+    * walk); `changesSince` windows that span the rebucket diff exactly —
+    * values did not change, so a pure rebucket feeds NOTHING — with bucket
+    * pruning suspended (mixed hash regimes) and the caller's bucket
+    * restriction re-applied in the window-end layout; incremental views
+    * and mirrors follow via the same suspension (`bucketsTouchedSince`
+    * returns None across the boundary).
+    *
+    * One COW-style rewrite of the full state, O(table) once — the same
+    * cost class as Iceberg's rewrite_data_files after a partition-spec
+    * change. Tombstones ride along (they are state). Returns a NEW engine
+    * bound to the new layout; THIS instance becomes invalid and every
+    * bucket-dependent operation on it fails loudly (checkLayout). */
+  def rebucket(newBuckets: Int): CdcEngine = {
+    checkLayout()
+    require(newBuckets > 0, "bucket count must be positive")
+    if (newBuckets == conf.buckets) return this
+    val newConf = conf.copy(buckets = newBuckets)
+    if (table.currentSnapshotId < 0) { // empty chain: creation meta is the layout
+      table.updateBucketsHint(newBuckets)
+      return new CdcEngine(spark, table, newConf)
+    }
+    val payload = tablePayload
+    val cells = readStateCells(None, payload) // merged cells, tombstones included
+    val newBucketCol =
+      pmod(xxhash64(keyColumns: _*), lit(newBuckets)).cast(IntegerType)
+    val outDir = table.root.resolve("data").resolve(f"rebucket-${System.nanoTime()}%x")
+    cells.withColumn("__b", newBucketCol)
+      .repartition(newBuckets, col("__b"))
+      .write
+      .option("parquet.bloom.filter.enabled#repo", "true")
+      .option("parquet.bloom.filter.enabled#path", "true")
+      .partitionBy("__b").parquet(outDir.toString)
+    val sid = table.ensureSchema(stateSchema(payload))
+    val bucketFiles =
+      collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
+    table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0, rebucketTo = newBuckets)
+    new CdcEngine(spark, table, newConf)
   }
 
   // ---------------------------------------------------------------- misc

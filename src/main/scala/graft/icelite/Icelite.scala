@@ -113,7 +113,13 @@ object Icelite {
       // merge-on-read "changed keys appear in added files" refinement does
       // not hold across it, and keys inserted in the rolled-back window
       // vanish without tombstone cells (changesSince synthesizes them)
-      restoreOf: Long = -1L)
+      restoreOf: Long = -1L,
+      // the table's EFFECTIVE bucket count as of this snapshot (bucket
+      // evolution, Iceberg partition-evolution analog): set by a rebucket
+      // commit and PROPAGATED to every descendant; -1 = inherit the
+      // creation-time TableMeta.buckets (legacy manifests). Layout flips
+      // atomically with the pointer — no second metadata file to race.
+      buckets: Int = -1)
 
   /** `mergeOnRead` = the table's write discipline: false = copy-on-write
     * (each commit rewrites affected buckets, reads are plain scans), true =
@@ -168,6 +174,50 @@ class IceliteTable private (val root: Path) {
 
   def meta: TableMeta =
     Serialization.read[TableMeta](Files.readString(metaDir.resolve("table.json")))
+
+  /** The bucket count in force AT snapshot `s` (bucket evolution): the
+    * propagated per-snapshot count, falling back to the creation-time
+    * TableMeta for legacy chains. */
+  def effectiveBuckets(s: Snapshot): Int =
+    if (s.buckets > 0) s.buckets else meta.buckets
+
+  /** The bucket count current readers and writers must use. Derived from
+    * the CURRENT SNAPSHOT, not table.json — a rebucket flips layout
+    * atomically with the pointer; table.json is only refreshed as a hint
+    * afterwards (see [[updateBucketsHint]]). */
+  def currentBuckets: Int =
+    currentSnapshot.map(effectiveBuckets).getOrElse(meta.buckets)
+
+  /** Does the chain segment (since, to] span a bucket-count change? When it
+    * does, bucket ids from the two sides live in different hash regimes and
+    * NO bucket-level pruning computed in one regime may be applied to reads
+    * in the other. `since < 0` checks the whole chain up to `to`. */
+  def windowCrossesRebucket(sinceSnapshotId: Long, toSnapshotId: Long): Boolean = {
+    val metaBuckets = meta.buckets
+    def eff(s: Snapshot) = if (s.buckets > 0) s.buckets else metaBuckets
+    val to = snapshot(toSnapshotId)
+    val target = eff(to)
+    var id = to.parentId
+    while (id >= 0 && id != sinceSnapshotId) {
+      val s = snapshot(id)
+      if (eff(s) != target) return true
+      id = s.parentId
+    }
+    if (id >= 0 && id == sinceSnapshotId) eff(snapshot(id)) != target else false
+  }
+
+  /** Rewrite the creation bucket count — legal ONLY while the chain is
+    * empty. Once any snapshot exists, table.json's count is the meaning of
+    * legacy manifests' `buckets = -1` and must stay frozen; layout changes
+    * ride on snapshots (commit `rebucketTo`), atomic with the pointer. */
+  def updateBucketsHint(n: Int): Unit = {
+    require(currentSnapshotId < 0,
+      "cannot rewrite the creation bucket count of a non-empty table; " +
+        "commit with rebucketTo instead")
+    val m = meta
+    Icelite.write(metaDir.resolve("table.json"),
+      Serialization.write(m.copy(buckets = n)))
+  }
 
   /** Current snapshot id, or -1 if the table is empty (no commit yet). */
   def currentSnapshotId: Long =
@@ -398,6 +448,23 @@ class IceliteTable private (val root: Path) {
     val target = snapshot(snapshotId)
     val curFiles = bucketFilesOf(cur)
     val targetFiles = bucketFilesOf(target)
+    if (effectiveBuckets(target) != effectiveBuckets(cur)) {
+      // the rollback window contains a rebucket: the restored file set lives
+      // in the TARGET's bucket layout, so the restore must also restore the
+      // layout (rebucketTo stamps the count and forces a full manifest —
+      // a delta would leave untouched current-layout buckets leaking
+      // through the parent walk into a foreign hash regime)
+      return commit(
+        batchEpoch = -1L,
+        schemaId = target.schemaId,
+        newBucketFiles = targetFiles.map { case (b, fs) => b.toInt -> fs },
+        lineage = targetFiles.keySet.toList.map(_.toInt).sorted.map(b =>
+          BucketLineage(b, lsnMin = -1L, lsnMax = -1L, events = 0L, rows = 0L)),
+        rowDelta = target.totalRows - cur.totalRows,
+        expectedParentId = cur.snapshotId,
+        restoreOf = snapshotId,
+        rebucketTo = effectiveBuckets(target))
+    }
     val changed = (curFiles.keySet ++ targetFiles.keySet).filter { b =>
       curFiles.getOrElse(b, Nil).map(_.path) !=
         targetFiles.getOrElse(b, Nil).map(_.path)
@@ -575,7 +642,12 @@ class IceliteTable private (val root: Path) {
       // moving the pointer — the snapshot exists, is readable by id
       // (fileGroupsAt / stateAt), but is invisible to every chain reader
       // until publish(). Iceberg's staged/WAP snapshot.
-      stage: Boolean = false): Snapshot = synchronized {
+      stage: Boolean = false,
+      // > 0 marks a BUCKET-EVOLUTION commit: `newBucketFiles` is the whole
+      // table rewritten under this bucket count (the manifest is forced
+      // full — old-layout bucket ids must not leak through the parent
+      // walk) and every descendant inherits the new count.
+      rebucketTo: Int = -1): Snapshot = synchronized {
     val parent = currentSnapshot
     if (batchEpoch >= 0 && committedEpochs.contains(batchEpoch)) {
       // already applied — exactly-once via idempotent no-op
@@ -597,11 +669,20 @@ class IceliteTable private (val root: Path) {
     }
     val snap = Snapshot(
       snapshotId = id, parentId = parentId, batchEpoch = batchEpoch,
-      schemaId = schemaId, bucketDelta = delta, full = parent.isEmpty,
+      schemaId = schemaId,
+      bucketDelta = if (rebucketTo > 0) newBucketFiles.map { case (k, v) => k.toString -> v }
+        else delta,
+      full = parent.isEmpty || rebucketTo > 0,
       lineage = lineage, totalRows = parent.map(_.totalRows).getOrElse(0L) + rowDelta,
       commitMillis = System.currentTimeMillis(),
       carriedWatermark = parent.map(_.carriedWatermark).getOrElse(-1L),
-      restoreOf = restoreOf)
+      restoreOf = restoreOf,
+      // every snapshot carries its explicit layout from the first commit on
+      // (-1 appears only in legacy manifests, where it means the CREATION
+      // count — which is why table.json's bucket count must never be
+      // rewritten once a chain exists)
+      buckets = if (rebucketTo > 0) rebucketTo
+        else parent.map(_.buckets).getOrElse(meta.buckets))
     write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
     if (stage) return snap // manifest on disk, pointer untouched: invisible
     if (currentSnapshotId != parentId)
