@@ -452,6 +452,18 @@ class CdcEngine(
   def stateAt(snapshotId: Long, buckets: Option[Set[Int]] = None): DataFrame =
     stateOf(buckets, asOfSnapshot = Some(snapshotId))
 
+  /** Tag the current (or a given ancestor) snapshot under `name`; tagged
+    * snapshots stay readable past `expireSnapshots` and their files past
+    * `vacuum` until the tag is dropped (Iceberg tag refs). */
+  def tagSnapshot(name: String, snapshotId: Long = -1L): Long =
+    table.tag(name, snapshotId)
+
+  /** Time-travel read by tag name — works even after the tagged snapshot
+    * was expired out of the chain (its manifest is retained and
+    * self-contained). */
+  def stateAtTag(name: String, buckets: Option[Set[Int]] = None): DataFrame =
+    stateAt(table.snapshotForTag(name).snapshotId, buckets)
+
   private def stateOf(buckets: Option[Set[Int]], asOfSnapshot: Option[Long]): DataFrame = {
     val schemaAt = asOfSnapshot match {
       case Some(id) => Some(table.schema(table.snapshot(id).schemaId))

@@ -275,6 +275,58 @@ class IceliteTable private (val root: Path) {
     if (e.isEmpty) -1L else e.max
   }
 
+  // ---- Named refs (Iceberg TAGS) ------------------------------------------
+  // metadata/tags.json: {name -> snapshotId}, written with the same
+  // write-temp + ATOMIC_MOVE discipline as the pointer. A tag pins a
+  // snapshot for time travel past retention: expireSnapshots re-materializes
+  // a tagged snapshot's manifest self-contained instead of deleting it, and
+  // vacuum treats tag-referenced data files as live. Dropping the tag
+  // releases both (the next expire/vacuum reclaims).
+
+  private def tagsFile: Path = metaDir.resolve("tags.json")
+
+  /** All named refs: tag name -> snapshot id. */
+  def tags: Map[String, Long] =
+    if (!Files.exists(tagsFile)) Map.empty
+    else JsonMethods.parse(Files.readString(tagsFile)) match {
+      case JObject(fs) => fs.map { case (k, v) => k -> v.extract[Long] }.toMap
+      case _ => Map.empty
+    }
+
+  private def writeTags(t: Map[String, Long]): Unit =
+    write(tagsFile, Serialization.writePretty(t))
+
+  /** Create or move a tag. Default target: the current snapshot. The target
+    * must be a committed ancestor (tagging a staged or orphaned manifest
+    * would pin an id the chain never references) OR an already-tagged
+    * retained snapshot (re-tagging under a second name stays legal after
+    * the original was expired out of the chain). Returns the tagged id. */
+  def tag(name: String, snapshotId: Long = -1L): Long = synchronized {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"invalid tag name '$name'")
+    val id = if (snapshotId >= 0) snapshotId else currentSnapshotId
+    require(id >= 0, "cannot tag an empty table")
+    require(isAncestor(id) || tags.valuesIterator.contains(id),
+      s"tag target $id is neither an ancestor of the current snapshot nor already tagged")
+    writeTags(tags + (name -> id))
+    id
+  }
+
+  /** Remove a tag; returns whether it existed. The pinned snapshot (if out
+    * of the chain) becomes reclaimable by the next vacuum. */
+  def dropTag(name: String): Boolean = synchronized {
+    val t = tags
+    if (!t.contains(name)) false
+    else { writeTags(t - name); true }
+  }
+
+  /** Resolve a tag to its snapshot (manifest retained even past expiry). */
+  def snapshotForTag(name: String): Snapshot = {
+    val t = tags
+    require(t.contains(name), s"no such tag '$name'")
+    snapshot(t(name))
+  }
+
   def snapshotChain: List[Snapshot] = {
     var id = currentSnapshotId
     var out = List.empty[Snapshot]
@@ -510,7 +562,20 @@ class IceliteTable private (val root: Path) {
       carriedEpochs = (kept.head.carriedEpochs ++ epochsToCarry).distinct.sorted,
       carriedWatermark = math.max(kept.head.carriedWatermark, watermarkToCarry))
     write(metaDir.resolve(s"snap-${newRoot.snapshotId}.json"), Serialization.writePretty(newRoot))
-    expired.foreach(s => Files.deleteIfExists(metaDir.resolve(s"snap-${s.snapshotId}.json")))
+    // TAGGED snapshots in the expired prefix stay readable: re-materialize
+    // each one self-contained (full manifest, no parent) BEFORE any expired
+    // ancestor manifest is deleted — the resolution walk needs them — and
+    // keep its manifest on disk. It leaves the chain (time travel by tag,
+    // not ancestry); its data files stay vacuum-protected via the tag.
+    val pinned = tags.values.toSet
+    expired.filter(s => pinned.contains(s.snapshotId)).foreach { s =>
+      val selfContained = s.copy(parentId = -1L,
+        bucketDelta = bucketFilesOf(s), full = true)
+      write(metaDir.resolve(s"snap-${s.snapshotId}.json"),
+        Serialization.writePretty(selfContained))
+    }
+    expired.filterNot(s => pinned.contains(s.snapshotId))
+      .foreach(s => Files.deleteIfExists(metaDir.resolve(s"snap-${s.snapshotId}.json")))
     expired.map(_.snapshotId)
   }
 
@@ -534,9 +599,17 @@ class IceliteTable private (val root: Path) {
     // union of raw DELTAS across the chain == union of every chain
     // snapshot's resolved file set: each delta list IS the bucket's visible
     // list at the snapshot that wrote it (still in the chain), and every
-    // resolution only selects from delta lists — no resolution needed here
+    // resolution only selects from delta lists — no resolution needed here.
+    // Tag-pinned snapshots keep their files live even off-chain: an
+    // on-chain tag's delta is covered by the chain union already, and an
+    // off-chain (expired) tag was re-materialized FULL at expiry, so its
+    // raw bucketDelta IS its complete file set.
+    val tagRefs = tags.values.toList.distinct
+      .filter(id => Files.exists(metaDir.resolve(s"snap-$id.json")))
+      .flatMap(id => snapshot(id).bucketDelta.valuesIterator.flatten.map(_.path))
     val referenced: Set[String] =
-      snapshotChain.flatMap(_.bucketDelta.valuesIterator.flatten.map(_.path)).toSet
+      (snapshotChain.flatMap(_.bucketDelta.valuesIterator.flatten.map(_.path)) ++
+        tagRefs).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
     val dataDir = root.resolve("data")
     if (!Files.exists(dataDir)) return Seq.empty
