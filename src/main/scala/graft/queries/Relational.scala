@@ -682,6 +682,65 @@ object Relational {
           size(filter(col("toks"), x => length(x) > 4)).as("n_long"),
           array_join(transform(filter(col("toks"), x => length(x) > 4), x => upper(x)), ",").as("long_up"),
           aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).as("total_len"))
+    }),
+
+    // W4: time-RANGE window frame — per-user trailing 15-minute moving
+    // average over event time. RANGE (not ROWS) frames are the piece of the
+    // window family q06-q08 don't cover: the frame is defined by a value
+    // interval, so peers with equal timestamps share one frame in both
+    // engines. Ordering key is exact epoch MICROSECONDS (unix_micros /
+    // epoch_us) — the test timestamps carry sub-second fractions, and a
+    // seconds-truncated key would make the two engines disagree about
+    // frame membership at the boundary. events.ts is parquet-naive
+    // (TIMESTAMP_NTZ), which unix_micros rejects; every entry point pins
+    // session tz = UTC, so the NTZ->TIMESTAMP cast is the identity on wall
+    // time and the key equals DuckDB's epoch_us(ts). Scale shape: one
+    // shuffle on user_id, then a per-partition ordered scan — no self-join
+    // (the naive twin is an O(rows x frame) range self-join).
+    "q62_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-900L * 1000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("mavg", round(avg(col("value")).over(w), 4))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("mavg"), col("n_win"))
+    }),
+
+    // A11: ROLLUP grouping sets — one pass emitting (rf, ls), (rf), ()
+    // subtotal levels with grouping_id disambiguation. Spark plans a single
+    // Expand + hash aggregate: the input is read ONCE for all three levels
+    // (the naive twin is three scans unioned). NULL group keys from the
+    // rollup are labeled '(all)' — the data columns are never null, so the
+    // label is unambiguous.
+    "q63_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("gid"), col("revenue"), col("n"))
+    }),
+
+    // A12: PIVOT — status categories become columns (orders by priority x
+    // status). The pivot value list is EXPLICIT (Seq("F","O","P")): without
+    // it Spark runs a blocking distinct-collect over the pivot column
+    // before planning — a driver round-trip the explicit list avoids, and
+    // the only safe form at 100 TB. Missing cells are zero-filled (Spark
+    // pivots absent combinations to NULL; the oracle's FILTER counts 0).
+    "q64_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
     })
   )
 
@@ -1007,6 +1066,25 @@ object Relational {
            coalesce(array_to_string(list_transform(list_filter(string_split(p_name, ' '), x -> len(x) > 4),
              x -> upper(x)), ','), '') AS long_up,
            CAST(list_sum(list_transform(string_split(p_name, ' '), x -> len(x))) AS INT) AS total_len
-         FROM part"""
+         FROM part""",
+    "q62_moving_avg" ->
+      """SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW), 4) AS mavg,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW) AS n_win
+         FROM events""",
+    "q63_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+                coalesce(l_linestatus, '(all)') AS ls,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+                round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q64_pivot" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY 1"""
   )
 }

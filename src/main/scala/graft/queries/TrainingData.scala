@@ -837,6 +837,36 @@ object TrainingData {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("int").as("n_tok"),
           round(avg(-log(col("cnt") / col("tot"))), 4).as("nll"))
+    }),
+
+    // kNN majority-vote classification over the embedding corpus (the
+    // label-propagation / weak-supervision primitive of data pipelines:
+    // label new docs from their nearest labeled neighbors). Probe rows are
+    // classified by the majority label of their 5 nearest cosine neighbors
+    // (excluding self), ties broken toward the smaller label. Same
+    // orientation as q27 — SMALL probe side broadcast, corpus partitioned —
+    // so the corpus is streamed once per probe batch; at 100 TB the probe
+    // set shards into batches and the corpus side never collects anywhere.
+    "q61_knn_classify" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"), col("label"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val probes = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"), col("label").as("true_label"))
+      val scored = broadcast(probes).join(fan(e), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+      val nw = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      val votes = scored.withColumn("rk", row_number().over(nw))
+        .filter(col("rk") <= 5)
+        .groupBy(col("probe_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val vw = Window.partitionBy(col("probe_id")).orderBy(col("cnt").desc, col("label"))
+      votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+        .select(col("probe_id"), col("true_label"),
+          col("label").as("pred_label"),
+          (col("label") === col("true_label")).as("hit"))
     })
   )
 
@@ -1168,6 +1198,24 @@ object TrainingData {
          SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
                 round(avg(-ln(cnt / tot)), 4) AS nll
          FROM tk JOIN vocab USING (tkn) CROSS JOIN total
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q61_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+         pr AS (SELECT vec_id probe_id, v pv, label tl FROM e WHERE vec_id < 50),
+         p AS (SELECT probe_id, tl, vec_id, label, unnest(pv) x, unnest(v) y
+               FROM pr JOIN e ON vec_id <> probe_id),
+         d AS (SELECT probe_id, tl, vec_id, label,
+                      sum(x*y) dot, sqrt(sum(x*x)) pn, sqrt(sum(y*y)) nn
+               FROM p GROUP BY 1,2,3,4),
+         r AS (SELECT probe_id, tl, label,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY dot/(pn*nn) DESC, vec_id) rk
+               FROM d),
+         v AS (SELECT probe_id, tl, label, count(*) cnt FROM r WHERE rk <= 5 GROUP BY 1,2,3),
+         w AS (SELECT probe_id, tl, label,
+                      row_number() OVER (PARTITION BY probe_id ORDER BY cnt DESC, label) vr
+               FROM v)
+         SELECT probe_id, tl AS true_label, label AS pred_label, (label = tl) AS hit
+         FROM w WHERE vr = 1"""
   )
 }

@@ -77,7 +77,10 @@ class PlanSpec extends AnyFunSuite {
     // fails here before it ever reaches a cluster.
     val allowedBnlj = Set("q09_scaffold_zerofill", "q27_ann_topk",
       "q40_earliest_arrival", "q46_earliest_journey", "q47_ann_ivf",
-      "q48_mixture_sample", "q59_bm25_rank", "q60_unigram_logprob")
+      "q48_mixture_sample", "q59_bm25_rank", "q60_unigram_logprob",
+      // q61: 50-probe broadcast side x `vec_id =!= probe_id` — same
+      // bounded-probe-batch orientation as q27.
+      "q61_knn_classify")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
