@@ -49,6 +49,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), max(col("commit_lsn")).as("max_lsn"))
       .select(col("sw.start").as("s_start"), col("repo"), col("n"), col("max_lsn"))
 
+  /** Stream-STREAM interval join — the remaining §2.9 join class (windowed
+    * aggregation, dedup, sessions and keyed state are covered above; this
+    * is two unbounded sides joined on key + event-time proximity). Each
+    * change event is enriched with the marks (deploys/annotations/...) for
+    * the same repo whose event time falls in the `horizon` BEFORE the
+    * event. Both inputs carry watermarks and the join condition bounds the
+    * event-time distance in BOTH directions, which is what lets the state
+    * store evict: a buffered mark older than `watermark - horizon` can
+    * never match a future event, so state is O(events per horizon), not
+    * O(stream). Without the two-sided time bound Spark (correctly) rejects
+    * the append-mode query as requiring unbounded state.
+    *
+    * `marks` must carry (m_repo, m_ts, mark) so the join keys never clash
+    * with the event schema. Inner join: events without a mark in horizon
+    * are dropped (a left-outer variant additionally delays unmatched rows
+    * to the watermark; same plan shape). */
+  def enrichWithinInterval(events: DataFrame, marks: DataFrame,
+      horizon: String = "10 minutes", lateness: String = "2 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .join(marks.withWatermark("m_ts", lateness),
+        col("repo") === col("m_repo") &&
+          col("m_ts") <= col("ts") &&
+          col("m_ts") >= col("ts") - expr(s"INTERVAL $horizon"))
+      .drop("m_repo")
+
   case class RepoStats(repo: String, events: Long, lastLsn: Long)
 
   /** Custom keyed streaming state: running per-repo event count + high-water

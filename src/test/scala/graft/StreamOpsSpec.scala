@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.model.ChangeEvent
 import graft.streaming.StreamOps
 
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class Mark(m_repo: String, m_ts: java.sql.Timestamp, mark: String)
+
 class StreamOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
@@ -65,6 +68,36 @@ class StreamOpsSpec extends AnyFunSuite {
       val lsns = spark.table("dedupstream").collect()
         .map(r => r.getLong(r.fieldIndex("commit_lsn"))).sorted
       assert(lsns.toSeq === Seq(1L, 2L, 3L), "each (lsn, seq) delivered exactly once")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: only marks inside the horizon before the event match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evIn = MemoryStream[ChangeEvent]
+    val mkIn = MemoryStream[Mark]
+    def mk(repo: String, tsSec: Long, label: String): Mark =
+      Mark(repo, new java.sql.Timestamp(tsSec * 1000), label)
+    val q = StreamOps.enrichWithinInterval(evIn.toDF(), mkIn.toDF(), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mkIn.addData(mk("r1", 600, "deploy-a"), mk("r1", 2000, "deploy-b"), mk("r2", 600, "deploy-c"))
+      // lsn1 @900: r1 mark @600 is within [300, 900] -> enriched with deploy-a
+      //            (the @2000 mark is AFTER the event -> excluded)
+      // lsn2 @60:  no r1 mark in [-540, 60] -> dropped (inner join)
+      // lsn3 @2000: r2 mark @600 is outside [1400, 2000] -> dropped
+      evIn.addData(ev("r1", 1, 900), ev("r1", 2, 60), ev("r2", 3, 2000))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(r.fieldIndex("commit_lsn")), r.getString(r.fieldIndex("mark"))))
+      assert(rows.toSet === Set((1L, "deploy-a")))
+      // a second r1 event inside deploy-b's horizon still matches across batches
+      evIn.addData(ev("r1", 4, 2300))
+      q.processAllAvailable()
+      val rows2 = spark.table("enriched").collect()
+        .map(r => (r.getLong(r.fieldIndex("commit_lsn")), r.getString(r.fieldIndex("mark"))))
+      assert(rows2.toSet === Set((1L, "deploy-a"), (4L, "deploy-b")))
     } finally q.stop()
   }
 
