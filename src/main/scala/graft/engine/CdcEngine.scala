@@ -299,28 +299,58 @@ class CdcEngine(
   def stageBatch(epoch: Long, batchRaw: DataFrame): CommitResult =
     applyBatchImpl(epoch, batchRaw, stage = true)
 
-  private def applyBatchImpl(epoch: Long, batchRaw: DataFrame, stage: Boolean): CommitResult = {
-    checkLayout()
-    if (table.committedEpochs.contains(epoch)) {
-      return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
+  /** Apply a micro-batch onto a BRANCH (writable ref lane): the merge runs
+    * against the branch head's state and the commit advances the branch
+    * ref, never the main pointer — an ingest lane of several batches stays
+    * invisible to main's readers/feeds/views until [[publishBranch]]
+    * fast-forwards it in one atomic pointer write. Exactly-once is scoped
+    * to the branch chain (which shares main's history below the fork, so
+    * re-delivering a batch main already has is still a no-op). */
+  def applyBatchToBranch(epoch: Long, batchRaw: DataFrame, branch: String): CommitResult =
+    applyBatchImpl(epoch, batchRaw, stage = false, branch = Some(branch))
+
+  private def applyBatchImpl(epoch: Long, batchRaw: DataFrame, stage: Boolean,
+      branch: Option[String] = None): CommitResult = {
+    branch match {
+      case Some(n) =>
+        // branch lanes inherit their layout from the branch head, which may
+        // predate a main-side rebucket — same loud-failure rule as main
+        val head = table.snapshot(table.branchHead(n))
+        require(table.effectiveBuckets(head) == conf.buckets,
+          s"branch '$n' is bucketed at ${table.effectiveBuckets(head)} but this " +
+            s"engine was built for ${conf.buckets}")
+        if (table.branchEpochs(n).contains(epoch))
+          return CommitResult(epoch, table.branchHead(n), skipped = true, 0, 0, 0)
+      case None =>
+        checkLayout()
+        if (table.committedEpochs.contains(epoch))
+          return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
     }
-    if (conf.mergeShufflePartitions <= 0) return applyBatchInner(epoch, batchRaw, stage)
+    if (conf.mergeShufflePartitions <= 0) return applyBatchInner(epoch, batchRaw, stage, branch)
     // merge-width override is scoped to this batch: leaking it into the
     // shared session would silently re-plan every later query on it
     val saved = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", conf.mergeShufflePartitions)
-    try applyBatchInner(epoch, batchRaw, stage)
+    try applyBatchInner(epoch, batchRaw, stage, branch)
     finally saved match {
       case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
       case None => spark.conf.unset("spark.sql.shuffle.partitions")
     }
   }
 
-  private def applyBatchInner(epoch: Long, batchRaw: DataFrame, stage: Boolean): CommitResult = {
+  private def applyBatchInner(epoch: Long, batchRaw: DataFrame, stage: Boolean,
+      branch: Option[String] = None): CommitResult = {
     val t0 = System.nanoTime()
     def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
 
-    val targetPayload = SchemaEvolve.reconcile(tablePayload, payloadOf(batchRaw))
+    // the state (and schema) a branch commit merges against is the BRANCH
+    // head's, not main's — the lane may have evolved the schema on its own
+    val asOfHead: Option[Long] = branch.map(table.branchHead)
+    val basePayload = asOfHead match {
+      case Some(id) => payloadOfSchema(Some(table.schema(table.snapshot(id).schemaId)))
+      case None => tablePayload
+    }
+    val targetPayload = SchemaEvolve.reconcile(basePayload, payloadOf(batchRaw))
     val cellCols = Seq(OpCell, TsCell) ++ targetPayload.fieldNames
 
     // Per-bucket source-offset lineage straight off the raw batch (one cheap
@@ -344,7 +374,8 @@ class CdcEngine(
     val lineageMs = ms(t0)
     if (lineageRows.isEmpty) { // empty batch: still commit the epoch (exactly-once bookkeeping)
       val sid = table.ensureSchema(stateSchema(targetPayload))
-      val snap = table.commit(epoch, sid, Map.empty, Nil, 0, stage = stage)
+      val snap = table.commit(epoch, sid, Map.empty, Nil, 0, stage = stage,
+        toBranch = branch)
       return CommitResult(epoch, snap.snapshotId, skipped = false, 0, 0,
         (System.nanoTime() - t0) / 1000000)
     }
@@ -359,7 +390,8 @@ class CdcEngine(
     val batchCells = batchToCells(batchRaw, targetPayload)
     val merged =
       if (mor) lwwAgg(batchCells, cellCols)
-      else lwwAgg(batchCells.unionByName(readStateCells(Some(affected), targetPayload)), cellCols)
+      else lwwAgg(batchCells.unionByName(
+        readStateCells(Some(affected), targetPayload, asOfSnapshot = asOfHead)), cellCols)
 
     // Write affected buckets copy-on-write; salt the repartition so a hot
     // bucket is written by several tasks (multiple files per bucket is fine —
@@ -416,10 +448,11 @@ class CdcEngine(
     }
 
     val snap = table.commit(epoch, sid, manifestFiles, lineage, rowDelta = events,
-      append = mor, stage = stage)
+      append = mor, stage = stage, toBranch = branch)
     // maintenance acts on the PUBLISHED chain — a staged snapshot defers
-    // both to publishStaged (dropping it must leave the table untouched)
-    if (!stage) {
+    // both to publishStaged, a branch commit to publishBranch (dropping
+    // either must leave the table untouched)
+    if (!stage && branch.isEmpty) {
       if (mor && conf.morCompactThreshold > 0) {
         // the delta manifest lists exactly the touched buckets (with their
         // complete post-append lists) — the only ones that can newly cross
@@ -434,7 +467,8 @@ class CdcEngine(
     val totalMs = ms(t0)
     appendMetrics(epoch, snap.snapshotId, events, affected.size, totalMs,
       s""","lineageMs":$lineageMs,"mergeWriteMs":$mergeWriteMs,"manifestMs":$manifestMs""" +
-        (if (stage) ""","staged":true""" else ""))
+        (if (stage) ""","staged":true""" else "") +
+        branch.map(n => s""","branch":"$n"""").getOrElse(""))
     CommitResult(epoch, snap.snapshotId, skipped = false, events, affected.size, totalMs)
   }
 
@@ -530,6 +564,68 @@ class CdcEngine(
     * The batch's epoch stays UNcommitted, so a corrected re-delivery under
     * the same epoch is applied, not skipped. */
   def dropStaged(stagedId: Long): Seq[String] = table.dropStaged(stagedId)
+
+  // ---------------------------------------------------------------- branches
+
+  /** Fork a writable branch at the current snapshot (or a given ancestor).
+    * Apply batches to it with [[applyBatchToBranch]]; read it with
+    * [[stateAtBranch]]; audit it with [[auditBranch]]; make it main with
+    * [[publishBranch]] or discard it with [[abandonBranch]]. The multi-batch
+    * generalization of write-audit-publish: a WHOLE ingest lane is audited
+    * and published (or dropped) as a unit. */
+  def createBranch(name: String, snapshotId: Long = -1L): Long =
+    table.createBranch(name, snapshotId)
+
+  /** Visible state at a branch head — exactly what main would expose if the
+    * branch were published now. */
+  def stateAtBranch(name: String, buckets: Option[Set[Int]] = None): DataFrame =
+    stateAt(table.branchHead(name), buckets)
+
+  /** Run the WAP audit pass against a branch head (same built-in checks +
+    * caller row predicates as [[auditStaged]], over the branch's state). */
+  def auditBranch(name: String,
+      rowChecks: Map[String, Column] = Map.empty): Map[String, Boolean] =
+    auditStaged(table.branchHead(name), rowChecks)
+
+  /** Publish a branch: fast-forward main to the branch head (one atomic
+    * pointer write — every lane batch becomes visible at once, with change
+    * feeds/mirrors/views seeing an ordinary chain extension). Conflicts if
+    * main advanced since the fork (see [[IceliteTable.fastForward]]). Then
+    * runs the maintenance the lane deferred: merge-on-read threshold
+    * compaction over every bucket the lane touched, and auto-retention. */
+  def publishBranch(name: String): Long = {
+    val head = table.branchHead(name)
+    // buckets the lane touched = manifest deltas strictly above the fork
+    // (walk stops at the first snapshot main can already see)
+    val laneBuckets = scala.collection.mutable.Set.empty[Int]
+    var id = head
+    val mainId = table.currentSnapshotId
+    var laneLen = 0
+    while (id >= 0 && id != mainId && !table.isAncestor(id)) {
+      val s = table.snapshot(id)
+      laneBuckets ++= s.bucketDelta.keysIterator.map(_.toInt)
+      laneLen += 1
+      id = s.parentId
+    }
+    val snap = table.fastForward(name)
+    val morMaint = table.meta.mergeOnRead && conf.morCompactThreshold > 0
+    if (morMaint) {
+      val over = laneBuckets.filter(b =>
+        table.bucketListOf(snap, b).size >= conf.morCompactThreshold).toSet
+      if (over.nonEmpty) compact(Some(over))
+    }
+    maybeExpire(newSnapshots = laneLen + (if (morMaint) 1 else 0))
+    table.currentSnapshotId
+  }
+
+  /** Audit failed: drop the branch ref and reclaim the lane's data files
+    * (manifests become inert, files are vacuumed unless another ref still
+    * needs them). Main is untouched; the lane's epochs stay uncommitted on
+    * main, so corrected re-deliveries apply normally. */
+  def abandonBranch(name: String, vacuumGraceMillis: Long = 0L): Seq[String] = {
+    if (!table.dropBranch(name)) return Seq.empty
+    table.vacuum(vacuumGraceMillis)
+  }
 
   /** Highest source LSN applied up to and including `snapshotId` (from the
     * per-bucket lineage records plus any watermark carried across

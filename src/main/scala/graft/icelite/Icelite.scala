@@ -327,6 +327,126 @@ class IceliteTable private (val root: Path) {
     snapshot(t(name))
   }
 
+  // ------------------------------------------------------------- branches
+  // metadata/branches.json: {name -> head snapshot id}. A branch is a
+  // WRITABLE named ref (Iceberg branch / git-style): commits with
+  // `toBranch` advance the branch head instead of the main pointer, so an
+  // ingest lane can accumulate several audited micro-batches in complete
+  // isolation — readers of main, change feeds, mirrors and views see
+  // nothing until `fastForward` publishes the whole lane atomically (one
+  // pointer write). Snapshot ids are allocated from the same sequence as
+  // main (maxSeenId), snapshots are ordinary immutable manifests, and the
+  // branch chain shares its prefix with main below the fork point — the
+  // delta-manifest parent walk works unchanged from any head. Maintenance
+  // honors branches the way it honors tags: expireSnapshots pins each
+  // branch's deepest expired ancestor (re-materialized self-contained,
+  // epochs/watermark carried) and vacuum treats every branch chain's files
+  // as live. Branch lanes are meant to be short (an audit window, not a
+  // second table); rebucket and staged commits stay main-only.
+
+  private def branchesFile: Path = metaDir.resolve("branches.json")
+
+  /** All branches: name -> head snapshot id. */
+  def branches: Map[String, Long] =
+    if (!Files.exists(branchesFile)) Map.empty
+    else JsonMethods.parse(Files.readString(branchesFile)) match {
+      case JObject(fs) => fs.map { case (k, v) => k -> v.extract[Long] }.toMap
+      case _ => Map.empty
+    }
+
+  private def writeBranches(b: Map[String, Long]): Unit =
+    write(branchesFile, Serialization.writePretty(b))
+
+  /** Create a branch at `snapshotId` (default: the current snapshot). The
+    * fork point must be reachable from an existing ref — main's chain or
+    * another branch — so a branch can never pin an orphaned manifest. */
+  def createBranch(name: String, snapshotId: Long = -1L): Long = synchronized {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"invalid branch name '$name'")
+    require(name != "main", "'main' is the table pointer itself")
+    val b = branches
+    require(!b.contains(name), s"branch '$name' already exists")
+    val id = if (snapshotId >= 0) snapshotId else currentSnapshotId
+    require(id >= 0, "cannot branch an empty table")
+    require(isAncestor(id) || b.valuesIterator.exists(h => isAncestorFrom(id, h)),
+      s"branch fork point $id is not reachable from any ref")
+    writeBranches(b + (name -> id))
+    id
+  }
+
+  /** Head snapshot id of a branch. */
+  def branchHead(name: String): Long = {
+    val b = branches
+    require(b.contains(name), s"no such branch '$name'")
+    b(name)
+  }
+
+  /** Delete a branch ref; its unpublished snapshots' data files become
+    * reclaimable by the next vacuum (manifests stay until then — they are
+    * not chain-referenced, so they are inert). Returns whether it existed. */
+  def dropBranch(name: String): Boolean = synchronized {
+    val b = branches
+    if (!b.contains(name)) false
+    else { writeBranches(b - name); true }
+  }
+
+  /** Publish a branch: fast-forward the main pointer to the branch head.
+    * Legal only when main has not moved since the fork (the branch head
+    * must descend from the current snapshot) — otherwise the branch is
+    * stale relative to main and publishing would drop main's commits, so
+    * a [[Icelite.CommitConflictException]] is raised; the writer re-forks
+    * from the new head and replays its lane (its epochs re-apply
+    * idempotently). The branch ref is dropped on success: its history IS
+    * main's history now. */
+  def fastForward(name: String): Snapshot = synchronized {
+    val head = branchHead(name)
+    val cur = currentSnapshotId
+    if (head == cur) { writeBranches(branches - name); return snapshot(head) }
+    if (cur >= 0 && !isAncestorFrom(cur, head))
+      throw new CommitConflictException(
+        s"main advanced to snapshot $cur past branch '$name''s fork; " +
+          "re-fork from the new head and replay the lane")
+    write(pointer, head.toString)
+    writeBranches(branches - name)
+    snapshot(head)
+  }
+
+  /** Chain from `headId` back to its root (root first), mirroring
+    * [[snapshotChain]] for an arbitrary ref head. */
+  def chainFrom(headId: Long): List[Snapshot] = {
+    var id = headId
+    var out = List.empty[Snapshot]
+    while (id >= 0) { val s = snapshot(id); out = s :: out; id = s.parentId }
+    out
+  }
+
+  // Per-branch committed-epoch cache, same incremental discipline as the
+  // main chain's epochCache: first use pays one O(chain) walk from the
+  // branch head, every later commit extends from the cached head.
+  private var branchEpochCache: Map[String, (Long, Set[Long])] = Map.empty
+
+  /** All epochs committed on `name`'s chain (fork ancestry included). */
+  def branchEpochs(name: String): Set[Long] = synchronized {
+    val head = branchHead(name)
+    val cached = branchEpochCache.getOrElse(name, (-2L, Set.empty[Long]))
+    if (head == cached._1) return cached._2
+    var id = head
+    val fresh = Set.newBuilder[Long]
+    var hitCache = false
+    while (id >= 0 && !hitCache) {
+      if (id == cached._1) hitCache = true
+      else {
+        val s = snapshot(id)
+        if (s.batchEpoch >= 0) fresh += s.batchEpoch
+        fresh ++= s.carriedEpochs
+        id = s.parentId
+      }
+    }
+    val all = fresh.result() ++ (if (hitCache) cached._2 else Set.empty)
+    branchEpochCache += name -> (head, all)
+    all
+  }
+
   def snapshotChain: List[Snapshot] = {
     var id = currentSnapshotId
     var out = List.empty[Snapshot]
@@ -567,13 +687,36 @@ class IceliteTable private (val root: Path) {
     // ancestor manifest is deleted — the resolution walk needs them — and
     // keep its manifest on disk. It leaves the chain (time travel by tag,
     // not ancestry); its data files stay vacuum-protected via the tag.
-    val pinned = tags.values.toSet
-    expired.filter(s => pinned.contains(s.snapshotId)).foreach { s =>
-      val selfContained = s.copy(parentId = -1L,
-        bucketDelta = bucketFilesOf(s), full = true)
-      write(metaDir.resolve(s"snap-${s.snapshotId}.json"),
-        Serialization.writePretty(selfContained))
-    }
+    // BRANCH chains cross the expired prefix at their fork: pin each
+    // branch's highest expired ancestor the same way, so the branch's
+    // parent walk terminates at a full manifest instead of a deleted one.
+    // The pinned rewrite carries its expired ancestry's epochs/watermark —
+    // a branch lane must keep detecting duplicates of batches committed
+    // below its (now absorbed) fork history.
+    val expiredIds = expired.map(_.snapshotId).toSet
+    val branchPins: Set[Long] = branches.values.flatMap { head =>
+      var id = head
+      var pin = -1L
+      while (id >= 0 && pin < 0) {
+        if (expiredIds.contains(id)) pin = id
+        else id = snapshot(id).parentId
+      }
+      if (pin >= 0) Some(pin) else None
+    }.toSet
+    val pinned = tags.values.toSet ++ branchPins
+    expired.zipWithIndex.filter { case (s, _) => pinned.contains(s.snapshotId) }
+      .foreach { case (s, i) =>
+        val below = expired.take(i)
+        val selfContained = s.copy(parentId = -1L,
+          bucketDelta = bucketFilesOf(s), full = true,
+          carriedEpochs = (s.carriedEpochs ++ below.flatMap(_.carriedEpochs) ++
+            below.map(_.batchEpoch).filter(_ >= 0)).distinct.sorted,
+          carriedWatermark = (below.map(_.carriedWatermark) ++
+            below.flatMap(_.lineage.map(_.lsnMax)))
+            .foldLeft(s.carriedWatermark)(math.max))
+        write(metaDir.resolve(s"snap-${s.snapshotId}.json"),
+          Serialization.writePretty(selfContained))
+      }
     expired.filterNot(s => pinned.contains(s.snapshotId))
       .foreach(s => Files.deleteIfExists(metaDir.resolve(s"snap-${s.snapshotId}.json")))
     expired.map(_.snapshotId)
@@ -607,9 +750,15 @@ class IceliteTable private (val root: Path) {
     val tagRefs = tags.values.toList.distinct
       .filter(id => Files.exists(metaDir.resolve(s"snap-$id.json")))
       .flatMap(id => snapshot(id).bucketDelta.valuesIterator.flatten.map(_.path))
+    // branch chains keep every file they can resolve live — including the
+    // shared prefix below the fork (covered by the chain union anyway) and
+    // the lane's own unpublished commits
+    val branchRefs = branches.values.toList.distinct
+      .filter(id => Files.exists(metaDir.resolve(s"snap-$id.json")))
+      .flatMap(id => chainFrom(id).flatMap(_.bucketDelta.valuesIterator.flatten.map(_.path)))
     val referenced: Set[String] =
       (snapshotChain.flatMap(_.bucketDelta.valuesIterator.flatten.map(_.path)) ++
-        tagRefs).toSet
+        tagRefs ++ branchRefs).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
     val dataDir = root.resolve("data")
     if (!Files.exists(dataDir)) return Seq.empty
@@ -720,12 +869,23 @@ class IceliteTable private (val root: Path) {
       // table rewritten under this bucket count (the manifest is forced
       // full — old-layout bucket ids must not leak through the parent
       // walk) and every descendant inherits the new count.
-      rebucketTo: Int = -1): Snapshot = synchronized {
-    val parent = currentSnapshot
-    if (batchEpoch >= 0 && committedEpochs.contains(batchEpoch)) {
+      rebucketTo: Int = -1,
+      // Some(name): commit onto that branch's head and advance the branch
+      // ref instead of the main pointer (see the branches section).
+      // Exactly-once is scoped per ref chain — after fastForward the lane's
+      // epochs are main's epochs, so replaying the lane stays a no-op.
+      toBranch: Option[String] = None): Snapshot = synchronized {
+    require(toBranch.isEmpty || (!stage && rebucketTo < 0),
+      "staged and rebucket commits are main-only")
+    val parent = toBranch match {
+      case Some(n) => Some(snapshot(branchHead(n)))
+      case None => currentSnapshot
+    }
+    val epochsSeen = toBranch.map(branchEpochs).getOrElse(committedEpochs)
+    if (batchEpoch >= 0 && epochsSeen.contains(batchEpoch)) {
       // already applied — exactly-once via idempotent no-op
-      return snapshotChain.find(_.batchEpoch == batchEpoch)
-        .orElse(currentSnapshot).get
+      val chain = toBranch.map(n => chainFrom(branchHead(n))).getOrElse(snapshotChain)
+      return chain.find(_.batchEpoch == batchEpoch).orElse(parent).get
     }
     val parentId = parent.map(_.snapshotId).getOrElse(-1L)
     if (expectedParentId != -2L && expectedParentId != parentId)
@@ -758,10 +918,19 @@ class IceliteTable private (val root: Path) {
         else parent.map(_.buckets).getOrElse(meta.buckets))
     write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
     if (stage) return snap // manifest on disk, pointer untouched: invisible
-    if (currentSnapshotId != parentId)
-      throw new IllegalStateException(
-        s"concurrent commit detected: expected parent $parentId, found $currentSnapshotId")
-    write(pointer, id.toString)
+    toBranch match {
+      case Some(n) =>
+        if (branchHead(n) != parentId)
+          throw new IllegalStateException(
+            s"concurrent commit detected on branch '$n': expected head $parentId, " +
+              s"found ${branchHead(n)}")
+        writeBranches(branches + (n -> id))
+      case None =>
+        if (currentSnapshotId != parentId)
+          throw new IllegalStateException(
+            s"concurrent commit detected: expected parent $parentId, found $currentSnapshotId")
+        write(pointer, id.toString)
+    }
     snap
   }
 
