@@ -169,6 +169,29 @@ object CdcDemo {
       (if (auditOk) "clean" else "failed (BUG!)") +
       s", published as snap ${engine.table.currentSnapshotId}")
 
+    // ---- round-3 surface: writable branches — a two-batch ingest lane
+    // merges in isolation, is audited as a unit, and fast-forwards into
+    // main atomically; a downstream mirror can even pre-sync against the
+    // LANE (changesSince window ending at the branch head) before publish
+    val forkAt = engine.table.currentSnapshotId
+    val laneE1 = engine.table.lastEpoch + 1
+    engine.createBranch("lane")
+    engine.applyBatchToBranch(laneE1, Synth.events(spark, 1500, seed = 11, repos = 50), "lane")
+    engine.applyBatchToBranch(laneE1 + 1, Synth.events(spark, 1500, seed = 12, repos = 50), "lane")
+    val mainFrozen = engine.table.currentSnapshotId == forkAt &&
+      engine.changesSince(forkAt).isEmpty
+    val laneFeed = engine.changesSince(forkAt,
+      toSnapshotId = engine.table.branchHead("lane")).count()
+    val laneAudit = engine.auditBranch("lane", wellFormed).values.forall(identity)
+    engine.publishBranch("lane")
+    val lanePublished = engine.changesSince(forkAt).count()
+    println(s"== branch lane: 2 batches on 'lane' with main " +
+      (if (mainFrozen) "FROZEN at" else "MOVED past (BUG!)") + s" snap $forkAt; " +
+      s"pre-publish feed from the lane: $laneFeed rows; audit " +
+      (if (laneAudit) "clean" else "failed (BUG!)") +
+      s"; fast-forward published -> main feed now $lanePublished rows " +
+      s"(head snap ${engine.table.currentSnapshotId})")
+
     // ---- round-3 surface: online bucket evolution — rewrite the table
     // under 4x the buckets in one commit; feeds see NO changes, the mirror
     // stays in sync, and ingest continues on the new layout

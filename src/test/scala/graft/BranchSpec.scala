@@ -213,6 +213,29 @@ class BranchSpec extends AnyFunSuite {
     assert(stateSet(engine) === stateSet(mainControl))
   }
 
+  test("change feed windows can end at a branch head: pre-publish lane feed == post-publish feed") {
+    val ev = Synth.events(spark, N, seed = 98)
+    val bs = Synth.batches(ev, 3, N)
+    val engine = newEngine()
+    engine.applyBatch(0, bs(0))
+    val fork = engine.table.currentSnapshotId
+    engine.createBranch("lane")
+    engine.applyBatchToBranch(1, bs(1), "lane")
+    engine.applyBatchToBranch(2, bs(2), "lane")
+
+    def feedSet(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted
+      df.select(cols.head, cols.tail: _*).collect().map(_.mkString("|")).toSet
+    }
+    // a downstream can validate against the LANE before it is published...
+    val preview = feedSet(engine.changesSince(fork,
+      toSnapshotId = engine.table.branchHead("lane")))
+    assert(preview.nonEmpty)
+    engine.publishBranch("lane")
+    // ...and the published feed over the same window is identical
+    assert(feedSet(engine.changesSince(fork)) === preview)
+  }
+
   test("out-of-order delivery across a lane: publish(fork+lane) == sequential fold") {
     val ev = Synth.events(spark, N, seed = 97, dupPct = 5)
     val bs = Synth.batches(ev, 4, N, shuffleDelivery = true)
