@@ -867,6 +867,71 @@ object TrainingData {
         .select(col("probe_id"), col("true_label"),
           col("label").as("pred_label"),
           (col("label") === col("true_label")).as("hit"))
+    }),
+
+    // fastText-style LINEAR quality classifier with the hashing trick (the
+    // model-scoring stage of corpus filtering — CCNet/DataComp shape): each
+    // token hashes into one of 64 feature buckets whose fixed integer
+    // weight w(j) = (j*37) % 21 - 10 stands in for trained parameters;
+    // score = sigmoid(mean(w)/10 - bias). The weight SUM stays integer —
+    // exactly-once summation-order-proof across engines — and the keep
+    // decision 2*sum(w) >= n is integer arithmetic, so the decision
+    // boundary never rides a float ulp. One explode + one groupBy: scoring
+    // is embarrassingly parallel and the model (any real weight table)
+    // would ride along as a broadcast — nothing about the plan changes at
+    // 100 TB.
+    "q65_quality_classifier" -> ((s, dir) => {
+      val tk = fan(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("tkn"))
+      val wInt = pmod(pmod(hash64(col("tkn")), lit(64)) * 37, lit(21)) - lit(10)
+      tk.withColumn("w", wInt)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tok"), sum(col("w")).as("swt"))
+        .select(col("doc_id"), col("n_tok"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("swt").cast("double") / (col("n_tok") * lit(10.0)) - lit(0.05)))), 4)
+            .as("quality"),
+          (col("swt") * 2 >= col("n_tok")).as("keep"))
+    }),
+
+    // UniMax-style CAPPED mixture allocation (multilingual training-mix
+    // design): a sampling budget S is waterfilled across languages — small
+    // languages are taken whole (capped at one epoch), the remainder is
+    // split evenly among the rest — entirely in INTEGER arithmetic (no
+    // temperature exponent, no float quotas), so the allocation is exact
+    // on every engine. The waterfill runs as window functions over the
+    // per-language COUNT table (k rows — driver-free and trivially
+    // broadcastable at any corpus size); only the final quota join touches
+    // the corpus, ranked per language by the deterministic content hash.
+    "q66_capped_mix" -> ((s, dir) => {
+      val S = 300L
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val byN = Window.orderBy(col("n"), col("lang"))
+      val k = counts.agg(count(lit(1)).as("k"))
+      val pre = counts
+        .withColumn("idx", row_number().over(byN))
+        .withColumn("prefix", coalesce(
+          sum(col("n")).over(byN.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(k))
+        .withColumn("sat", col("prefix") + col("n") * (col("k") - col("idx") + 1) <= S)
+      val satAgg = pre.agg(
+        coalesce(sum(when(col("sat"), col("n"))), lit(0L)).as("sat_total"),
+        sum(when(!col("sat"), 1L).otherwise(0L)).as("m"))
+      val quotas = pre.crossJoin(broadcast(satAgg))
+        .withColumn("ur",
+          row_number().over(Window.partitionBy(col("sat")).orderBy(col("lang"))))
+        .withColumn("alloc",
+          when(col("sat"), col("n"))
+            .otherwise(expr(s"($S - sat_total) DIV m") +
+              when(col("ur") <= expr(s"($S - sat_total) % m"), 1L).otherwise(0L)))
+        .select(col("lang"), col("alloc"))
+      val rk = Window.partitionBy(col("lang")).orderBy(hash64(col("text")), col("doc_id"))
+      d.withColumn("rk", row_number().over(rk))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rk") <= col("alloc"))
+        .select(col("doc_id"), col("lang"))
     })
   )
 
@@ -1216,6 +1281,45 @@ object TrainingData {
                       row_number() OVER (PARTITION BY probe_id ORDER BY cnt DESC, label) vr
                FROM v)
          SELECT probe_id, tl AS true_label, label AS pred_label, (label = tl) AS hit
-         FROM w WHERE vr = 1"""
+         FROM w WHERE vr = 1""",
+    // %, * are left-associative same-precedence in both engines, so
+    // x % 64 * 37 % 21 == ((x % 64) * 37) % 21 == the Spark pmod chain
+    // (operands non-negative throughout); e-notation literals force DOUBLE
+    // arithmetic (a bare 10.0 is DECIMAL in DuckDB and decimal division
+    // rounds differently than IEEE)
+    "q65_quality_classifier" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+         w AS (SELECT doc_id,
+                      ('0x' || substr(md5(tkn),1,15))::BIGINT % 64 * 37 % 21 - 10 AS w
+               FROM tk)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+                round(1e0 / (1e0 + exp(-(sum(w) / (count(*) * 10e0) - 5e-2))), 4) AS quality,
+                (2 * sum(w) >= count(*)) AS keep
+         FROM w GROUP BY 1""",
+    "q66_capped_mix" ->
+      """WITH counts AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+         k AS (SELECT count(*) k FROM counts),
+         pre AS (SELECT lang, n,
+                        row_number() OVER (ORDER BY n, lang) idx,
+                        coalesce(sum(n) OVER (ORDER BY n, lang
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) prefix
+                 FROM counts),
+         sat AS (SELECT pre.*, (prefix + n * (k - idx + 1) <= 300) sat FROM pre, k),
+         sa AS (SELECT coalesce(sum(n) FILTER (WHERE sat), 0) sat_total,
+                       count(*) FILTER (WHERE NOT sat) m
+                FROM sat),
+         quotas AS (SELECT lang,
+                      CASE WHEN sat THEN n
+                           ELSE (300 - sat_total) // m +
+                                CASE WHEN row_number() OVER (PARTITION BY sat ORDER BY lang)
+                                     <= (300 - sat_total) % m THEN 1 ELSE 0 END
+                      END alloc
+                    FROM sat, sa),
+         ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY ('0x' || substr(md5(text),1,15))::BIGINT, doc_id) rk
+                    FROM documents)
+         SELECT doc_id, ranked.lang FROM ranked JOIN quotas ON ranked.lang = quotas.lang
+         WHERE rk <= alloc"""
   )
 }

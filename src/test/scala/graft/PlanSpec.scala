@@ -80,7 +80,10 @@ class PlanSpec extends AnyFunSuite {
       "q48_mixture_sample", "q59_bm25_rank", "q60_unigram_logprob",
       // q61: 50-probe broadcast side x `vec_id =!= probe_id` — same
       // bounded-probe-batch orientation as q27.
-      "q61_knn_classify")
+      "q61_knn_classify",
+      // q66: the waterfill scalars (k, sat_total/m) — single-row broadcast
+      // sides over the |languages|-row count table.
+      "q66_capped_mix")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
