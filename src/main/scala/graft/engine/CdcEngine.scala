@@ -63,7 +63,16 @@ case class EngineConf(
     // that may contain the key: O(1) file opens per lookup instead of
     // O(delta files in the bucket). Bitmaps are dropped when a bucket's
     // batch-key load would push the false-positive rate past 25%.
-    keyFpBits: Int = 4096)
+    keyFpBits: Int = 4096,
+    // dead-letter quarantine: non-empty = malformed events (null key
+    // column, op, lsn or seq — rows the merge's validity predicate would
+    // silently drop) are written to `<dlqDir>/epoch=N` parquet with a
+    // `_reason` column before the merge runs, and their count is surfaced
+    // on the CommitResult and in metrics.jsonl. A CDC source that emits
+    // garbage must be VISIBLE, not silently thinner; the quarantine rides
+    // the batch's own Spark job budget (one extra filtered write, only
+    // when enabled) and counts come from parquet footers driver-side.
+    dlqDir: String = "")
 
 case class CommitResult(
     epoch: Long,
@@ -71,7 +80,10 @@ case class CommitResult(
     skipped: Boolean,
     events: Long,
     affectedBuckets: Int,
-    millis: Long) {
+    millis: Long,
+    // malformed events quarantined to the dead-letter dir (0 when the DLQ
+    // is disabled — they are then dropped by the validity predicate)
+    rejected: Long = 0L) {
   def eventsPerSec: Double = if (millis <= 0) 0.0 else events * 1000.0 / millis
 }
 
@@ -365,19 +377,34 @@ class CdcEngine(
     val baseAggs = Seq(
       min("commit_lsn").as("lmin"), max("commit_lsn").as("lmax"), count(lit(1)).as("n"))
     val lineageAggs = if (fpEnabled) baseAggs :+ collect_set(keyFpCol).as("fps") else baseAggs
+    val validPred = keyColumns.map(_.isNotNull).reduce(_ && _) &&
+      col("op").isNotNull && col("commit_lsn").isNotNull && col("seq").isNotNull
     val lineageRows = batchRaw
-      .filter(keyColumns.map(_.isNotNull).reduce(_ && _) &&
-        col("op").isNotNull && col("commit_lsn").isNotNull && col("seq").isNotNull)
+      .filter(validPred)
       .groupBy(bucketCol.as("__b"))
       .agg(lineageAggs.head, lineageAggs.tail: _*)
       .collect()
     val lineageMs = ms(t0)
+    // dead-letter quarantine BEFORE the merge: malformed rows written with
+    // their reason, counted from parquet footers (no extra Spark action)
+    val rejected: Long =
+      if (conf.dlqDir.isEmpty) 0L
+      else {
+        val reason = when(keyColumns.map(_.isNull).reduce(_ || _), "null_key")
+          .when(col("op").isNull, "null_op")
+          .when(col("commit_lsn").isNull, "null_lsn")
+          .otherwise("null_seq")
+        val dlqPath = Paths.get(conf.dlqDir).resolve(s"epoch=$epoch")
+        batchRaw.filter(!validPred).withColumn("_reason", reason)
+          .write.mode("overwrite").parquet(dlqPath.toString)
+        footerRows(dlqPath, spark.sessionState.newHadoopConf())
+      }
     if (lineageRows.isEmpty) { // empty batch: still commit the epoch (exactly-once bookkeeping)
       val sid = table.ensureSchema(stateSchema(targetPayload))
       val snap = table.commit(epoch, sid, Map.empty, Nil, 0, stage = stage,
         toBranch = branch)
       return CommitResult(epoch, snap.snapshotId, skipped = false, 0, 0,
-        (System.nanoTime() - t0) / 1000000)
+        (System.nanoTime() - t0) / 1000000, rejected = rejected)
     }
     val affected = lineageRows.map(_.getInt(0)).toSet
     val events = lineageRows.map(_.getLong(3)).sum
@@ -468,8 +495,10 @@ class CdcEngine(
     appendMetrics(epoch, snap.snapshotId, events, affected.size, totalMs,
       s""","lineageMs":$lineageMs,"mergeWriteMs":$mergeWriteMs,"manifestMs":$manifestMs""" +
         (if (stage) ""","staged":true""" else "") +
+        (if (rejected > 0) s""","rejected":$rejected""" else "") +
         branch.map(n => s""","branch":"$n"""").getOrElse(""))
-    CommitResult(epoch, snap.snapshotId, skipped = false, events, affected.size, totalMs)
+    CommitResult(epoch, snap.snapshotId, skipped = false, events, affected.size, totalMs,
+      rejected = rejected)
   }
 
   // ---------------------------------------------------------------- read
@@ -1052,6 +1081,25 @@ object CdcEngine {
     * thread pool: sequential they cost ~10 ms x file count per commit, a
     * SERIAL (Amdahl) term that visibly caps replay scaling efficiency at
     * high parallelism. */
+  /** Total row count of every parquet file under `dir`, from footers only
+    * (driver-side metadata reads — no Spark job). */
+  private[engine] def footerRows(dir: Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Long = {
+    if (!Files.exists(dir)) return 0L
+    val stream = Files.walk(dir)
+    val paths =
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toList
+      finally stream.close()
+    paths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private[engine] def collectBucketFiles(dir: Path, table: IceliteTable, schemaId: Int,
       hadoopConf: org.apache.hadoop.conf.Configuration): Map[Int, List[Icelite.DataFile]] = {
     val stream = Files.walk(dir)
