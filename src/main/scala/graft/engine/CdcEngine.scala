@@ -976,8 +976,14 @@ class CdcEngine(
         .getOrElse(Set.empty))
     val cells = readStateCells(Some(selected), payload)
     val outDir = table.root.resolve("data").resolve(f"compact-${System.nanoTime()}%x")
+    // compaction output is SORTED by key (Iceberg sort-compaction): ingest
+    // writes stay sort-free (the hot path never pays it), but the files
+    // that live longest are key-clustered — parquet page min/max stats on
+    // (repo, path) become tight, so point lookups prune pages inside big
+    // compacted files, and runs of one repo dictionary/RLE-compress better
     cells.withColumn("__b", bucketCol)
       .repartition(selected.size, col("__b"))
+      .sortWithinPartitions((col("__b") +: keyColumns): _*)
       .write
       .option("parquet.bloom.filter.enabled#repo", "true")
       .option("parquet.bloom.filter.enabled#path", "true")
@@ -1031,6 +1037,7 @@ class CdcEngine(
     val outDir = table.root.resolve("data").resolve(f"rebucket-${System.nanoTime()}%x")
     cells.withColumn("__b", newBucketCol)
       .repartition(newBuckets, col("__b"))
+      .sortWithinPartitions((col("__b") +: keyColumns): _*) // clustered, like compaction
       .write
       .option("parquet.bloom.filter.enabled#repo", "true")
       .option("parquet.bloom.filter.enabled#path", "true")

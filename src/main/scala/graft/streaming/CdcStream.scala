@@ -36,7 +36,13 @@ object CdcStream {
       inputDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 0,
-      mirror: Option[graft.engine.FeedConsumer] = None): Unit = {
+      mirror: Option[graft.engine.FeedConsumer] = None,
+      // Some(name): every micro-batch lands on that BRANCH instead of main
+      // (a streaming quarantine lane — tail a suspect source in isolation,
+      // audit the lane, publish with one fast-forward; main and any mirror
+      // see nothing until then). The streaming batchId stays the epoch, so
+      // checkpoint-resume replays are per-ref no-ops as on main.
+      branch: Option[String] = None): Unit = {
     var reader = spark.readStream.schema(ChangeEvent.schema)
     if (maxFilesPerTrigger > 0)
       reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -45,7 +51,10 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        engine.applyBatch(batchId, df)
+        branch match {
+          case Some(n) => engine.applyBatchToBranch(batchId, df, n)
+          case None => engine.applyBatch(batchId, df)
+        }
         mirror.foreach(_.sync()): Unit
       }
       .start()

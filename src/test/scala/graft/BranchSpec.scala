@@ -236,6 +236,37 @@ class BranchSpec extends AnyFunSuite {
     assert(feedSet(engine.changesSince(fork)) === preview)
   }
 
+  test("streaming quarantine lane: CdcStream tails into a branch, exactly-once per ref") {
+    val work = SparkTestBase.tmpDir("streambranch")
+    val input = s"$work/in"
+    val ev = Synth.events(spark, N, seed = 99)
+    val engine = newEngine()
+    val control = newEngine()
+    // main is seeded with the first half; the suspect source (second half)
+    // streams into the lane in two micro-batches
+    val first = ev.filter(s"commit_lsn < ${N / 2}")
+    val rest = ev.filter(s"commit_lsn >= ${N / 2}")
+    engine.applyBatch(100, first)
+    control.applyBatch(100, first)
+    control.applyBatch(101, rest)
+    engine.createBranch("lane")
+    rest.filter(s"commit_lsn < ${3 * N / 4}").coalesce(1).write.mode("append").parquet(input)
+    rest.filter(s"commit_lsn >= ${3 * N / 4}").coalesce(1).write.mode("append").parquet(input)
+
+    val mainBefore = engine.table.currentSnapshotId
+    graft.streaming.CdcStream.runAvailableNow(spark, engine, input, s"$work/ckpt",
+      maxFilesPerTrigger = 1, branch = Some("lane"))
+    assert(engine.table.currentSnapshotId === mainBefore, "main moved during lane streaming")
+    // restart with no new input: per-ref exactly-once, no new lane commits
+    val laneBefore = engine.table.branchHead("lane")
+    graft.streaming.CdcStream.runAvailableNow(spark, engine, input, s"$work/ckpt",
+      branch = Some("lane"))
+    assert(engine.table.branchHead("lane") === laneBefore)
+
+    engine.publishBranch("lane")
+    assert(stateSet(engine) === stateSet(control))
+  }
+
   test("out-of-order delivery across a lane: publish(fork+lane) == sequential fold") {
     val ev = Synth.events(spark, N, seed = 97, dupPct = 5)
     val bs = Synth.batches(ev, 4, N, shuffleDelivery = true)
