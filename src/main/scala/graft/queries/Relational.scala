@@ -741,6 +741,25 @@ object Relational {
           coalesce(col("F"), lit(0L)).as("n_f"),
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
+    // Two-phase SALTED aggregation — the north rule's hot-key defense as a
+    // query-level operator, result-identical to a plain groupBy (the
+    // oracle IS the plain groupBy). event_type has ~5 values over the
+    // whole corpus: a single-phase aggregate funnels every row of a hot
+    // type through ONE reducer, the classic skew collapse. Phase 1 groups
+    // by (type, salt-of-row-id) spreading each hot group over 16 reducers
+    // with map-side partial aggregation; phase 2 folds the 16 bounded
+    // partials. Exactly two exchanges, both skew-free (PlanSpec-pinned);
+    // the float total is rounded 2dp on both engines (summation-order ulp
+    // rule — counts stay integer-exact).
+    "q67_salted_agg" -> ((s, dir) => {
+      val p1 = t(s, dir, "events")
+        .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("__salt"))
+        .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
+      p1.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_events"), round(sum(col("v")), 2).as("total_value"))
     })
   )
 
@@ -1085,6 +1104,11 @@ object Relational {
                 count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
                 count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
                 count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-         FROM orders GROUP BY 1"""
+         FROM orders GROUP BY 1""",
+    // the salted two-phase plan must land on the PLAIN single-phase answer
+    "q67_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1"""
   )
 }

@@ -94,6 +94,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q67: salted aggregation is two exchanges, both partial-aggregated") {
+    val p = plan("q67_salted_agg")
+    // phase 1 shuffles on (event_type, __salt), phase 2 on event_type —
+    // exactly two exchanges, each preceded by a map-side partial aggregate
+    // (4 HashAggregates total); no single-reducer funnel anywhere
+    assert(p.split("Exchange hashpartitioning").length - 1 === 2,
+      s"expected exactly 2 hash exchanges in:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 4,
+      s"expected partial+final aggregates in both phases in:\n$p")
+    assert(p.contains("__salt"), s"salt column missing from the phase-1 key in:\n$p")
+  }
+
   test("q51 normalization chain stays native: codegen projection, no UDF eval") {
     val p = plan("q51_normalize_full")
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
