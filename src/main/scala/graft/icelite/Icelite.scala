@@ -661,6 +661,23 @@ class IceliteTable private (val root: Path) {
     * the kept chain ONLY if re-listed — so expiration keeps the epoch set of
     * the expired prefix on the new root to preserve exactly-once semantics.
     * Returns the ids of expired snapshots. */
+  /** Iceberg `expire_snapshots(older_than => TIMESTAMP)`: expire every
+    * chain snapshot committed strictly before `cutoffMillis`, always
+    * keeping at least the current snapshot. Same re-root / tag-and-branch
+    * pinning / carried-bookkeeping machinery as the count-based form —
+    * commit times are monotone along the chain, so an age cutoff is a
+    * chain-suffix keep. */
+  def expireOlderThan(cutoffMillis: Long): Seq[Long] = synchronized {
+    val chain = snapshotChain
+    if (chain.isEmpty) return Seq.empty
+    val keepFrom = chain.indexWhere(_.commitMillis >= cutoffMillis) match {
+      case -1 => chain.size - 1 // everything is old: keep only the current
+      case i => i
+    }
+    if (keepFrom == 0) return Seq.empty
+    expireSnapshots(chain.size - keepFrom)
+  }
+
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val chain = snapshotChain

@@ -118,6 +118,23 @@ class IceliteSpec extends AnyFunSuite {
     assert(t.bucketFilesOf(t.currentSnapshot.get)("0").map(_.path) === List("c0.parquet"))
   }
 
+  test("expireOlderThan keeps the suffix committed at/after the cutoff, carrying epochs") {
+    val t = mkTable()
+    val sid = t.ensureSchema(schemaA)
+    t.commit(0, sid, Map(1 -> List(f("a.parquet"))), Nil, 1); Thread.sleep(5)
+    t.commit(1, sid, Map(1 -> List(f("b.parquet"))), Nil, 1); Thread.sleep(5)
+    t.commit(2, sid, Map(1 -> List(f("c.parquet"))), Nil, 1)
+    val Seq(m0, m1, m2) = t.snapshotChain.map(_.commitMillis)
+    assert(m0 < m1 && m1 < m2)
+    assert(t.expireOlderThan(m0) === Seq.empty) // nothing strictly older
+    assert(t.expireOlderThan(m1) === Seq(0L)) // only the root predates m1
+    assert(t.snapshotChain.map(_.snapshotId) === List(1L, 2L))
+    assert(t.committedEpochs === Set(0L, 1L, 2L)) // carried by the re-root
+    assert(t.expireOlderThan(m2 + 1) === Seq(1L)) // all old: keep current only
+    assert(t.snapshotChain.map(_.snapshotId) === List(2L))
+    assert(t.committedEpochs === Set(0L, 1L, 2L))
+  }
+
   test("re-delivery of an epoch surviving only via carriedEpochs no-ops (post-expire)") {
     val t = mkTable()
     val sid = t.ensureSchema(schemaA)
