@@ -31,9 +31,19 @@ import graft.model.ChangeEvent
   * full-outer join against the previous view — O(groups), and groups are
   * small relative to rows by the nature of an aggregate.
   *
-  * min/max are deliberately absent: they are not self-maintainable under
-  * retraction (a retracted maximum needs the runner-up, i.e. the keyed
-  * state itself — which IS the source table; query it directly).
+  * min/max (`extremes`) are NOT self-maintainable under retraction (a
+  * retracted maximum needs the runner-up), so they are maintained with the
+  * classic hybrid: an addition that beats the stored extreme updates it in
+  * place (pure delta math), and ONLY a group whose retraction ties-or-beats
+  * its stored extreme — i.e. the extreme itself may have left — is
+  * recomputed exactly, from the window-end state restricted to those
+  * groups. The recompute set is usually empty (how often is the current
+  * maximum the row that changed?), but when it fires it reads the source
+  * filtered by group, and grouping is orthogonal to key-bucketing — a
+  * group-filtered scan, not a pruned one. That is the honest cost of
+  * min/max over a retracting stream on ANY engine (Materialize/DBSP keep
+  * per-group heaps for the same reason); bound it by choosing group
+  * columns the source is clustered by, or accept the occasional scan.
   *
   * Measures are Column expressions over a state row (e.g.
   * `octet_length(col("content"))`), fixed at view definition; they must
@@ -52,7 +62,11 @@ class IncrementalView(
     val engine: CdcEngine,
     val root: Path,
     groupCols: Seq[String],
-    measures: Seq[(String, Column)]) {
+    measures: Seq[(String, Column)],
+    // min/max measures (see class doc for the maintenance strategy). Like
+    // `measures`, expressions are null-normalized to 0 so both maintenance
+    // paths and the full-recompute oracle agree by construction.
+    extremes: Seq[IncrementalView.Extreme] = Nil) {
 
   private val spark = engine.spark
   private val keyCols = ChangeEvent.keyCols
@@ -67,14 +81,16 @@ class IncrementalView(
   def aggregate(state: DataFrame): DataFrame =
     project(state).groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        measures.map { case (n, _) => sum(col(n)).as(n) }: _*)
+        (measures.map { case (n, _) => sum(col(n)).as(n) } ++
+          extremes.map(e => e.agg(col(e.name)).as(e.name))): _*)
 
   // measures are null-normalized to 0: the group-merge identifies "no
   // contribution" with 0, so SUM must never see a null — this also makes
   // aggregate() (the full-recompute/oracle path) agree by construction
   private def project(state: DataFrame): DataFrame =
     state.select(groupCols.map(col) ++
-      measures.map { case (n, e) => coalesce(e, lit(0)).as(n) }: _*)
+      measures.map { case (n, e) => coalesce(e, lit(0)).as(n) } ++
+      extremes.map(e => coalesce(e.expr, lit(0)).as(e.name)): _*)
 
   /** Materialized view as of the last refresh. */
   def view(): DataFrame = {
@@ -104,20 +120,48 @@ class IncrementalView(
         val add = project(feed.filter(col("_op") =!= lit("D")))
           .withColumn("__sign", lit(1L))
         val ret = project(preImage).withColumn("__sign", lit(-1L))
+        // extremes ride the same delta aggregation: the window's best
+        // addition and best retraction per group, separately
+        val extAggs = extremes.flatMap { e =>
+          Seq(e.agg(when(col("__sign") === 1, col(e.name))).as(s"__add_${e.name}"),
+            e.agg(when(col("__sign") === -1, col(e.name))).as(s"__ret_${e.name}"))
+        }
         val dAgg = add.unionByName(ret)
           .groupBy(groupCols.map(col): _*)
           .agg(sum(col("__sign")).as("n_rows"),
-            measures.map { case (n, _) =>
-              sum(col("__sign") * col(n)).as(n) }: _*)
+            (measures.map { case (n, _) =>
+              sum(col("__sign") * col(n)).as(n) } ++ extAggs): _*)
           .localCheckpoint() // small (touched groups); pins the delta
         val prev = view()
         val cond = groupCols.map(g => col(s"v.$g") <=> col(s"d.$g")).reduce(_ && _)
-        val merged = prev.as("v").join(dAgg.as("d"), cond, "full_outer")
-          .select(groupCols.map(g => coalesce(col(s"v.$g"), col(s"d.$g")).as(g)) ++
+        // in-place extreme update (additions can only improve it)...
+        val extCols = extremes.map { e =>
+          val stored = col(s"v.${e.name}"); val addE = col(s"d.__add_${e.name}")
+          (if (e.isMax) greatest(stored, addE) else least(stored, addE)).as(e.name)
+        }
+        // ...but a retraction that TIES-OR-BEATS the stored extreme means
+        // the extreme itself may have left: exact recompute for that group
+        val recomputeFlag = extremes.map { e =>
+          val stored = col(s"v.${e.name}"); val retE = col(s"d.__ret_${e.name}")
+          retE.isNotNull && (stored.isNull ||
+            (if (e.isMax) retE >= stored else retE <= stored))
+        }.foldLeft(lit(false))(_ || _)
+        val mergedAll = prev.as("v").join(dAgg.as("d"), cond, "full_outer")
+          .select((groupCols.map(g => coalesce(col(s"v.$g"), col(s"d.$g")).as(g)) ++
             ("n_rows" +: measures.map(_._1)).map { n =>
               (coalesce(col(s"v.$n"), lit(0)) + coalesce(col(s"d.$n"), lit(0))).as(n)
-            }: _*)
-          .filter(col("n_rows") > 0)
+            } ++ extCols) :+ recomputeFlag.as("__recompute"): _*)
+        val merged =
+          if (extremes.isEmpty) mergedAll.drop("__recompute").filter(col("n_rows") > 0)
+          else {
+            val ok = mergedAll.filter(!col("__recompute")).drop("__recompute")
+            val bad = mergedAll.filter(col("__recompute"))
+              .select(groupCols.map(col): _*).localCheckpoint()
+            val st = engine.stateAt(upTo)
+            val jc = groupCols.map(g => st(g) <=> bad(g)).reduce(_ && _)
+            val recomputed = aggregate(st.join(bad, jc, "left_semi"))
+            ok.unionByName(recomputed).filter(col("n_rows") > 0)
+          }
         (merged, dAgg.count())
       }
     val dir = root.resolve(s"v$upTo")
@@ -143,5 +187,12 @@ class IncrementalView(
           .forEach(f => Files.deleteIfExists(f))
       }
     }
+  }
+}
+
+object IncrementalView {
+  /** A min/max measure. `isMax = true` → max, else min. */
+  case class Extreme(name: String, expr: Column, isMax: Boolean) {
+    private[engine] def agg(c: Column): Column = if (isMax) max(c) else min(c)
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.engine.{CdcEngine, EngineConf, IncrementalView}
+import graft.engine.IncrementalView.Extreme
 import graft.icelite.IceliteTable
 import graft.synth.Synth
 
@@ -73,6 +74,53 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(v.refresh() >= 0L)
     assert(canon(v.view()) === after)
     assertMatches(v, engine)
+  }
+
+  def newExtremesView(engine: CdcEngine): IncrementalView =
+    new IncrementalView(engine, Paths.get(SparkTestBase.tmpDir("ivx")),
+      Seq("lang"), Seq("bytes" -> octet_length(col("content"))),
+      extremes = Seq(
+        Extreme("max_bytes", octet_length(col("content")), isMax = true),
+        Extreme("min_lsn", col("_lsn"), isMax = false)))
+
+  test("min/max extremes track full recompute under out-of-order deletes (MOR)") {
+    val engine = newEngine(mor = true)
+    val v = newExtremesView(engine)
+    val bs = Synth.batches(Synth.events(spark, 4000, seed = 13), 6, 4000,
+      shuffleDelivery = true)
+    for ((b, i) <- bs.zipWithIndex) {
+      engine.applyBatch(i.toLong, b)
+      v.refresh()
+      assertMatches(v, engine)
+    }
+    assert(v.refresh() === 0L)
+  }
+
+  test("retracting the stored maximum itself forces the exact per-group recompute") {
+    import spark.implicits._
+    val engine = newEngine()
+    val v = newExtremesView(engine)
+    def ev(path: String, content: String, lsn: Long, op: String) =
+      ("r1", path, "c1", "en", content, op, lsn, 1, new java.sql.Timestamp(lsn * 1000))
+    def df(rows: Seq[(String, String, String, String, String, String, Long, Int, java.sql.Timestamp)]) =
+      rows.toDF("repo", "path", "commit", "lang", "content", "op", "commit_lsn", "seq", "ts")
+    // three docs; p3 holds the max content length
+    engine.applyBatch(0, df(Seq(
+      ev("p1", "aa", 1, "I"), ev("p2", "bbbb", 2, "I"), ev("p3", "cccccccc", 3, "I"))))
+    v.refresh(); assertMatches(v, engine)
+    // delete the maximum: the runner-up (p2, 4 bytes) must surface — only a
+    // recompute can know that
+    engine.applyBatch(1, df(Seq(ev("p3", null, 10, "D"))))
+    v.refresh(); assertMatches(v, engine)
+    val row = v.view().filter(col("lang") === "en").collect()(0)
+    assert(row.getInt(row.fieldIndex("max_bytes")) === 4)
+    // and shrink the min side: a new lower _lsn cannot arrive (lsn grows),
+    // so retract the CURRENT min row and check the min advances
+    engine.applyBatch(2, df(Seq(ev("p1", null, 11, "D"))))
+    v.refresh(); assertMatches(v, engine)
+    val r2 = v.view().filter(col("lang") === "en").collect()(0)
+    assert(r2.getLong(r2.fieldIndex("n_rows")) === 1L)
+    assert(r2.getInt(r2.fieldIndex("max_bytes")) === 4)
   }
 
   test("expired `since` falls back to a full recompute") {
