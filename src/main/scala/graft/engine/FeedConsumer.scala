@@ -36,8 +36,43 @@ class FeedConsumer(val source: CdcEngine, val mirror: CdcEngine) {
 
   /** Pull the feed up to the source's current snapshot and apply it.
     * Returns the number of changed rows applied (0 = already in sync). */
-  def sync(): Long = {
-    val upTo = source.table.currentSnapshotId
+  def sync(): Long = syncTo(source.table.currentSnapshotId)
+
+  /** Drain a backlog in BOUNDED steps: each step syncs a window of at most
+    * `maxSnapshotsPerStep` source snapshots and commits mirror + checkpoint
+    * before the next, so a crash mid-backlog resumes from the last
+    * completed step instead of re-diffing everything — the pacing knob a
+    * consumer weeks behind a 10^10-event table needs. Each step's diff is
+    * still snapshot-exact; smaller steps trade extra merge passes for
+    * bounded per-step work and earlier durable progress. An expired
+    * `lastSynced` makes the FIRST step a conservative full redelivery
+    * (same rule as `changesSince`), after which stepping is incremental.
+    * Returns total rows applied. */
+  def syncBacklog(maxSnapshotsPerStep: Int): Long = {
+    require(maxSnapshotsPerStep >= 1, "step must be at least one snapshot")
+    var total = 0L
+    var done = false
+    while (!done) {
+      val upTo = source.table.currentSnapshotId
+      val since = lastSynced
+      if (upTo < 0 || upTo == since) done = true
+      else {
+        // chain ids from upTo down to (but excluding) since — if since was
+        // expired the walk reaches the root and the backlog is the chain
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var id = upTo
+        while (id >= 0 && id != since) { ids += id; id = source.table.snapshot(id).parentId }
+        val stepEnd =
+          if (ids.size <= maxSnapshotsPerStep) upTo
+          else ids(ids.size - maxSnapshotsPerStep) // the id `step` snapshots above since
+        total += syncTo(stepEnd)
+        if (stepEnd == upTo) done = true
+      }
+    }
+    total
+  }
+
+  private def syncTo(upTo: Long): Long = {
     val since = lastSynced
     if (upTo < 0 || upTo == since) return 0L
     // window pinned to the snapshot observed above: a source commit landing

@@ -105,6 +105,28 @@ class FeedConsumerSpec extends AnyFunSuite {
     }
   }
 
+  test("syncBacklog drains a deep backlog in bounded, checkpointed steps") {
+    val (src, mir, consumer) = mkPair("feed-backlog", mor = true)
+    val bs = Synth.batches(Synth.events(spark, 6000, seed = 55), 6, 6000,
+      shuffleDelivery = true)
+    bs.zipWithIndex.foreach { case (b, i) => src.applyBatch(i.toLong, b) }
+    // 6+ source snapshots behind; drain 2 snapshots per step
+    val backlog = src.table.currentSnapshotId - consumer.lastSynced
+    assert(backlog >= 6)
+    val applied = consumer.syncBacklog(2)
+    assert(applied > 0)
+    assertMirrored(src, mir)
+    assert(consumer.lastSynced === src.table.currentSnapshotId)
+    // each step committed its own mirror epoch: more than one sync applied
+    assert(mir.table.snapshotChain.count(_.batchEpoch >= 0) >= 3,
+      "backlog should have drained in multiple bounded steps")
+    // in-sync backlog drain is a no-op; new commits drain one step at a time
+    assert(consumer.syncBacklog(1) === 0L)
+    src.applyBatch(100L, Synth.events(spark, 500, seed = 56))
+    consumer.syncBacklog(1)
+    assertMirrored(src, mir)
+  }
+
   test("streaming pipeline: file tail -> MERGE -> feed -> mirror, per trigger") {
     val dir = SparkTestBase.tmpDir("streammirror")
     val input = s"$dir/in"
