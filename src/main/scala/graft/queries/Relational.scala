@@ -753,6 +753,22 @@ object Relational {
     // partials. Exactly two exchanges, both skew-free (PlanSpec-pinned);
     // the float total is rounded 2dp on both engines (summation-order ulp
     // rule — counts stay integer-exact).
+    // CUBE — all four grouping-set levels (detail, each single-axis
+    // subtotal, grand total) from ONE scan + one Expand + one hash
+    // aggregate, the grouping-sets generalization of q63's ROLLUP; gid
+    // disambiguates a genuine NULL group value from a subtotal row.
+    "q68_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("(all)")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+          col("gid"), col("revenue"), col("n"))
+    }),
+
     "q67_salted_agg" -> ((s, dir) => {
       val p1 = t(s, dir, "events")
         .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(16)))
@@ -1105,6 +1121,12 @@ object Relational {
                 count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
                 count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
          FROM orders GROUP BY 1""",
+    "q68_cube" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS pri,
+                coalesce(o_orderstatus, '(all)') AS st,
+                CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+                round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
     // the salted two-phase plan must land on the PLAIN single-phase answer
     "q67_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
