@@ -451,7 +451,12 @@ object TrainingData {
 
     // LSH-bucketed ANN: 8 deterministic +-1 hyperplanes -> 8-bit bucket;
     // top-1 neighbor within bucket. The scale path: candidate set is
-    // bucket-local, never all-pairs.
+    // bucket-local, never all-pairs. The candidate join is a plain SHUFFLE
+    // equi-join on `bucket`: every vector is a probe here, so the right
+    // side IS the corpus — broadcasting it (the round-3 plan) is the exact
+    // all-data-to-every-task shape the banding exists to avoid, and
+    // per-bucket candidate locality is identical under the shuffle join
+    // (PlanSpec pins no-broadcast-of-the-corpus).
     "q28_ann_lsh" -> ((s, dir) => {
       graft.functions.VecOps.register(s)
       val e = t(s, dir, "embeddings")
@@ -470,7 +475,8 @@ object TrainingData {
       val ev = e.join(buckets, "vec_id")
       val cand = fan(ev.select(col("vec_id").as("probe_id"), col("v").as("pv"),
           col("nrm").as("pn"), col("bucket").as("pbucket")))
-        .join(broadcast(ev), col("vec_id") =!= col("probe_id") && col("bucket") === col("pbucket"))
+        .join(ev.hint("shuffle_hash"),
+          col("vec_id") =!= col("probe_id") && col("bucket") === col("pbucket"))
       val scored = cand.withColumn("cos", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
@@ -908,7 +914,12 @@ object TrainingData {
       val S = 300L
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
       val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val byN = Window.orderBy(col("n"), col("lang"))
+      // partitionBy(lit(0)): the window is over the k-row LANGUAGE table
+      // (bounded by language cardinality, not corpus size) — the literal
+      // partition key states that on the plan and silences the spurious
+      // "No Partition Defined ... single partition" warning a bare
+      // orderBy window emits on every bench run
+      val byN = Window.partitionBy(lit(0)).orderBy(col("n"), col("lang"))
       val k = counts.agg(count(lit(1)).as("k"))
       val pre = counts
         .withColumn("idx", row_number().over(byN))

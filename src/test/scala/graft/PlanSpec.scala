@@ -120,6 +120,18 @@ class PlanSpec extends AnyFunSuite {
       s"q26 plans an all-pairs join:\n$p")
   }
 
+  test("q28 ANN LSH: candidate join shuffles on bucket — corpus is never broadcast") {
+    // every vector is a probe in q28, so the candidate join's right side IS
+    // the corpus: a broadcast there ships all data to every task (the q26
+    // plan-shape class). The scale plan is a shuffle hash join on `bucket`
+    // with identical per-bucket candidate locality.
+    val p = plan("q28_ann_lsh")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q28's bucket candidate join must shuffle, not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q28 plans an all-pairs join:\n$p")
+  }
+
   test("q14/q44 fuzzy resolve: deletion-neighborhood equi-join, never a theta-join") {
     // the scale property: candidates come from an equi-join on deletion
     // variants — an all-pairs BroadcastNestedLoopJoin/CartesianProduct
