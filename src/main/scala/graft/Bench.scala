@@ -84,9 +84,28 @@ object Bench {
     val cdcSec = replay(s"$work/table", (0 until k).map(i => s"$work/events/__batch=$i"))
     val eps = n / cdcSec
 
+    // Host-ceiling control (~5 s of pure-CPU busy work on a plain thread
+    // pool, zero Spark): this sandbox's parallel capacity swings multi-x
+    // within hours (steal/overcommit), so every bench line carries its own
+    // calibration — `host_ceiling` is the 4->16-thread scaling efficiency
+    // the MACHINE attains on embarrassingly parallel work at the moment of
+    // the run (1.0 = healthy, ~0.5 = badly degraded window). A slow bench
+    // number with a low ceiling is a host artifact, not a code regression
+    // (round-3 lesson: 264.9 s driver run vs 134.4 s same-HEAD 40 min
+    // later). `host_busy_1x` is the single-thread probe time in seconds
+    // (absolute speed control: catches a uniformly slowed host that scales
+    // fine).
+    import graft.tools.ScalingBench.calibrate
+    calibrate(16, units = 32) // JIT warm
+    val c1 = calibrate(1, units = 8)
+    val c4 = calibrate(4, units = 32)
+    val c16 = calibrate(16, units = 32)
+    val ceiling = (c4 / c16) / 4.0 // same unit count: eff = speedup / (16/4)
+
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,""" +
       s""""cdc_events":$n,"cdc_sec":${f"$cdcSec%.3f"},"cdc_events_per_sec":${f"$eps%.0f"},""" +
+      s""""host_ceiling":${f"$ceiling%.3f"},"host_busy_1x":${f"${c1 / 8.0 * 32.0}%.3f"},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

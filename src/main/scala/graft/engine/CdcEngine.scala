@@ -179,25 +179,61 @@ class CdcEngine(
 
   // ---------------------------------------------------------------- cells
 
+  /** Batch columns whose cast to the reconciled schema is FALLIBLE — able
+    * to null (or, under ANSI, throw on) a non-null source value. Payload
+    * casts are widen-only by SchemaEvolve.reconcile, so in practice this is
+    * the `ts` envelope when a caller ships it as a string; the payload scan
+    * is kept general so the quarantine stays correct if the legal-evolution
+    * set ever loosens. Returns column -> target type. */
+  private def fallibleCasts(batch: DataFrame,
+      targetPayload: StructType): Map[String, DataType] = {
+    val bt = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    val payload = targetPayload.fields.toSeq.collect {
+      case f if bt.get(f.name).exists(b => b != f.dataType &&
+          !SchemaEvolve.widen(b, f.dataType).contains(f.dataType)) =>
+        f.name -> f.dataType
+    }
+    val ts: Seq[(String, DataType)] =
+      if (bt.get("ts").contains(StringType)) Seq("ts" -> TimestampType) else Nil
+    (payload ++ ts).toMap
+  }
+
+  private def tryCastCol(c: String, t: DataType): Column =
+    expr(s"try_cast(`$c` AS ${t.sql})")
+
+  /** TRUE on rows where any fallible cast would turn a non-null source
+    * value into a null cell — such rows are quarantined (`cast_error`), not
+    * silently null-merged. lit(false) when nothing is fallible (the normal
+    * case: zero per-row cost). */
+  private def castFailPred(fallible: Map[String, DataType]): Column =
+    fallible.toSeq.sortBy(_._1).map { case (c, t) =>
+      col(c).isNotNull && tryCastCol(c, t).isNull
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
   /** Flat events -> cell form. Each payload column c becomes
     * struct(l=commit_lsn, s=seq, v=c) when c is set, else NULL (null cells
-    * are ignored by max(), which is exactly "absent field = carry forward"). */
-  private def batchToCells(batch: DataFrame, targetPayload: StructType): DataFrame = {
+    * are ignored by max(), which is exactly "absent field = carry forward").
+    * `applyPred` gates the rows (validity + no fallible-cast failure);
+    * fallible casts project through try_cast so ANSI mode cannot throw on a
+    * quarantined row before the filter lands. */
+  private def batchToCells(batch: DataFrame, targetPayload: StructType,
+      fallible: Map[String, DataType], applyPred: Column): DataFrame = {
     val lsn = col("commit_lsn")
     val seqC = col("seq")
     val batchCols = batch.columns.toSet
+    def castOf(c: String, t: DataType): Column =
+      if (fallible.contains(c)) tryCastCol(c, t) else col(c).cast(t)
     val cells = targetPayload.fields.toSeq.map { f =>
       if (batchCols.contains(f.name))
         when(col(f.name).isNotNull,
-          struct(lsn.as("l"), seqC.as("s"), col(f.name).cast(f.dataType).as("v"))).as(f.name)
+          struct(lsn.as("l"), seqC.as("s"), castOf(f.name, f.dataType).as("v"))).as(f.name)
       else lit(null).cast(cellType(f.dataType)).as(f.name)
     }
     val envelope = Seq(
       struct(lsn.as("l"), seqC.as("s"), col("op").as("v")).as(OpCell),
-      struct(lsn.as("l"), seqC.as("s"), col("ts").cast(TimestampType).as("v")).as(TsCell))
+      struct(lsn.as("l"), seqC.as("s"), castOf("ts", TimestampType).as("v")).as(TsCell))
     batch
-      .filter(keyColumns.map(_.isNotNull).reduce(_ && _) &&
-        col("op").isNotNull && lsn.isNotNull && seqC.isNotNull)
+      .filter(applyPred)
       .select((keyColumns ++ envelope ++ cells): _*)
   }
 
@@ -366,55 +402,68 @@ class CdcEngine(
     val cellCols = Seq(OpCell, TsCell) ++ targetPayload.fieldNames
 
     // Per-bucket source-offset lineage straight off the raw batch (one cheap
-    // aggregation; also yields the affected-bucket set for manifest pruning).
-    // same validity predicate as batchToCells so lineage counts exactly the
-    // applied events (a null-op row must not inflate lineage).
+    // aggregation; also yields the affected-bucket set for manifest pruning
+    // AND the malformed-row count, so a clean batch pays no quarantine
+    // write). Same apply predicate as batchToCells, so lineage counts
+    // exactly the applied events: a null-envelope row must not inflate
+    // lineage, and a row whose fallible cast would silently null a non-null
+    // source value is quarantined (`cast_error`), never merged.
     // Merge-on-read tables piggyback the delta files' key-fingerprint SET on
     // the same aggregation (no extra job; map-side dedup bounds the transfer
     // at keyFpBits ints per bucket).
     val mor = table.meta.mergeOnRead
     val fpEnabled = mor && conf.keyFpBits > 0
-    val baseAggs = Seq(
-      min("commit_lsn").as("lmin"), max("commit_lsn").as("lmax"), count(lit(1)).as("n"))
-    val lineageAggs = if (fpEnabled) baseAggs :+ collect_set(keyFpCol).as("fps") else baseAggs
     val validPred = keyColumns.map(_.isNotNull).reduce(_ && _) &&
       col("op").isNotNull && col("commit_lsn").isNotNull && col("seq").isNotNull
+    val fallible = fallibleCasts(batchRaw, targetPayload)
+    val applyPred = validPred && !castFailPred(fallible)
+    val baseAggs = Seq(
+      min(when(applyPred, col("commit_lsn"))).as("lmin"),
+      max(when(applyPred, col("commit_lsn"))).as("lmax"),
+      count(when(applyPred, lit(1))).as("n"),
+      count(when(!applyPred, lit(1))).as("nbad"))
+    val lineageAggs = // collect_set skips the nulls the when() leaves on bad rows
+      if (fpEnabled) baseAggs :+ collect_set(when(applyPred, keyFpCol)).as("fps")
+      else baseAggs
     val lineageRows = batchRaw
-      .filter(validPred)
       .groupBy(bucketCol.as("__b"))
       .agg(lineageAggs.head, lineageAggs.tail: _*)
       .collect()
     val lineageMs = ms(t0)
+    val badTotal = lineageRows.map(_.getLong(4)).sum
     // dead-letter quarantine BEFORE the merge: malformed rows written with
-    // their reason, counted from parquet footers (no extra Spark action)
+    // their reason. Skipped entirely when the batch is clean (the common
+    // case must not pay a second full-batch pass + parquet write).
     val rejected: Long =
-      if (conf.dlqDir.isEmpty) 0L
+      if (conf.dlqDir.isEmpty || badTotal == 0) 0L
       else {
         val reason = when(keyColumns.map(_.isNull).reduce(_ || _), "null_key")
           .when(col("op").isNull, "null_op")
           .when(col("commit_lsn").isNull, "null_lsn")
-          .otherwise("null_seq")
+          .when(col("seq").isNull, "null_seq")
+          .otherwise("cast_error")
         val dlqPath = Paths.get(conf.dlqDir).resolve(s"epoch=$epoch")
-        batchRaw.filter(!validPred).withColumn("_reason", reason)
+        batchRaw.filter(!applyPred).withColumn("_reason", reason)
           .write.mode("overwrite").parquet(dlqPath.toString)
-        footerRows(dlqPath, spark.sessionState.newHadoopConf())
+        badTotal
       }
-    if (lineageRows.isEmpty) { // empty batch: still commit the epoch (exactly-once bookkeeping)
+    val appliedRows = lineageRows.filter(_.getLong(3) > 0)
+    if (appliedRows.isEmpty) { // no applicable rows: still commit the epoch (exactly-once bookkeeping)
       val sid = table.ensureSchema(stateSchema(targetPayload))
       val snap = table.commit(epoch, sid, Map.empty, Nil, 0, stage = stage,
         toBranch = branch)
       return CommitResult(epoch, snap.snapshotId, skipped = false, 0, 0,
         (System.nanoTime() - t0) / 1000000, rejected = rejected)
     }
-    val affected = lineageRows.map(_.getInt(0)).toSet
-    val events = lineageRows.map(_.getLong(3)).sum
+    val affected = appliedRows.map(_.getInt(0)).toSet
+    val events = appliedRows.map(_.getLong(3)).sum
 
     // Copy-on-write: MERGE = union(batch cells, affected state cells) ->
     // one LWW reduction -> rewrite affected buckets (write work O(bucket
     // rows)). Merge-on-read: reduce WITHIN the batch only and append the
     // result as delta files (write work O(batch rows) — the sparse-batch
     // write-amplification fix); the cross-batch merge happens at read time.
-    val batchCells = batchToCells(batchRaw, targetPayload)
+    val batchCells = batchToCells(batchRaw, targetPayload, fallible, applyPred)
     val merged =
       if (mor) lwwAgg(batchCells, cellCols)
       else lwwAgg(batchCells.unionByName(
@@ -453,7 +502,7 @@ class CdcEngine(
     val bucketRows: Map[Int, Long] =
       bucketFiles.map { case (b, files) => b -> files.map(_.rows).sum }
     val manifestMs = ms(tm0)
-    val lineage = lineageRows.map { r =>
+    val lineage = appliedRows.map { r =>
       val b = r.getInt(0)
       Icelite.BucketLineage(b, r.getLong(1), r.getLong(2), r.getLong(3),
         bucketRows.getOrElse(b, 0L))
@@ -465,8 +514,8 @@ class CdcEngine(
     // (false positives make the stat useless before it makes it wrong).
     val fpByBucket: Map[Int, String] =
       if (!fpEnabled) Map.empty
-      else lineageRows.iterator
-        .map(r => r.getInt(0) -> r.getSeq[Int](4))
+      else appliedRows.iterator
+        .map(r => r.getInt(0) -> r.getSeq[Int](5))
         .collect { case (b, fps) if fps.size <= conf.keyFpBits / 4 =>
           b -> Icelite.fpBitmap(fps, conf.keyFpBits)
         }.toMap
@@ -588,11 +637,32 @@ class CdcEngine(
     snap.snapshotId
   }
 
+  /** Remove `<dlqDir>/epoch=N` for epochs whose commit was discarded
+    * (dropped staged snapshot / abandoned branch): the quarantine mirrors
+    * the commit, so an uncommitted epoch must not leave a stale quarantine
+    * directory behind. A corrected re-delivery rewrites it. */
+  private def dropDlqEpochs(epochs: Iterable[Long]): Unit =
+    if (conf.dlqDir.nonEmpty) epochs.foreach { e =>
+      val dir = Paths.get(conf.dlqDir).resolve(s"epoch=$e")
+      if (Files.exists(dir)) {
+        val stream = Files.walk(dir)
+        try stream.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally stream.close()
+      }
+    }
+
   /** Audit failed: discard the staged snapshot — manifest and the data files
     * only it references — leaving the table as if the batch never arrived.
     * The batch's epoch stays UNcommitted, so a corrected re-delivery under
-    * the same epoch is applied, not skipped. */
-  def dropStaged(stagedId: Long): Seq[String] = table.dropStaged(stagedId)
+    * the same epoch is applied, not skipped; its quarantine directory is
+    * removed with it. */
+  def dropStaged(stagedId: Long): Seq[String] = {
+    val epoch = scala.util.Try(table.snapshot(stagedId).batchEpoch).toOption
+    val removed = table.dropStaged(stagedId)
+    dropDlqEpochs(epoch.filter(_ >= 0))
+    removed
+  }
 
   // ---------------------------------------------------------------- branches
 
@@ -650,10 +720,31 @@ class CdcEngine(
   /** Audit failed: drop the branch ref and reclaim the lane's data files
     * (manifests become inert, files are vacuumed unless another ref still
     * needs them). Main is untouched; the lane's epochs stay uncommitted on
-    * main, so corrected re-deliveries apply normally. */
-  def abandonBranch(name: String, vacuumGraceMillis: Long = 0L): Seq[String] = {
+    * main, so corrected re-deliveries apply normally.
+    *
+    * `vacuumGraceMillis` defaults to the engine's configured grace period
+    * (negative = use conf): vacuum's contract warns that a zero-grace run
+    * can reclaim the data files of in-flight writers and un-published
+    * staged (WAP) snapshots, so immediate reclamation must be an explicit
+    * caller decision (pass 0), never the default in a multi-writer or
+    * concurrent-audit setup. */
+  def abandonBranch(name: String, vacuumGraceMillis: Long = -1L): Seq[String] = {
+    // lane-only epochs (strictly above the fork): their quarantine dirs go
+    // with the lane — collected BEFORE the ref is dropped
+    val laneEpochs = scala.util.Try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var id = table.branchHead(name)
+      while (id >= 0 && !table.isAncestor(id)) {
+        val s = table.snapshot(id)
+        if (s.batchEpoch >= 0) out += s.batchEpoch
+        id = s.parentId
+      }
+      out.toList
+    }.getOrElse(Nil)
     if (!table.dropBranch(name)) return Seq.empty
-    table.vacuum(vacuumGraceMillis)
+    dropDlqEpochs(laneEpochs)
+    table.vacuum(
+      if (vacuumGraceMillis >= 0) vacuumGraceMillis else conf.vacuumGraceMillis)
   }
 
   /** Highest source LSN applied up to and including `snapshotId` (from the

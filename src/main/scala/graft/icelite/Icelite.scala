@@ -223,8 +223,15 @@ class IceliteTable private (val root: Path) {
   def currentSnapshotId: Long =
     if (Files.exists(pointer)) Files.readString(pointer).trim.toLong else -1L
 
-  def snapshot(id: Long): Snapshot =
+  /** Manifest parses performed by this instance — an observability counter
+    * (exposed so tests can assert metadata-read complexity, e.g. that a
+    * backlog drain is O(backlog), not O(backlog²)). */
+  @volatile var manifestReads: Long = 0L
+
+  def snapshot(id: Long): Snapshot = {
+    manifestReads += 1
     Serialization.read[Snapshot](Files.readString(metaDir.resolve(s"snap-$id.json")))
+  }
 
   def currentSnapshot: Option[Snapshot] = {
     val id = currentSnapshotId
@@ -653,14 +660,6 @@ class IceliteTable private (val root: Path) {
       restoreOf = snapshotId)
   }
 
-  /** Expire history: truncate the snapshot chain to the most recent
-    * `keepLast` snapshots (Iceberg's expire_snapshots). The oldest kept
-    * snapshot is re-rooted (parentId -1); expired snapshot manifests are
-    * deleted, after which `vacuum()` reclaims any data files only they
-    * referenced. Epochs recorded by expired snapshots stay visible through
-    * the kept chain ONLY if re-listed — so expiration keeps the epoch set of
-    * the expired prefix on the new root to preserve exactly-once semantics.
-    * Returns the ids of expired snapshots. */
   /** Iceberg `expire_snapshots(older_than => TIMESTAMP)`: expire every
     * chain snapshot committed strictly before `cutoffMillis`, always
     * keeping at least the current snapshot. Same re-root / tag-and-branch
@@ -678,6 +677,14 @@ class IceliteTable private (val root: Path) {
     expireSnapshots(chain.size - keepFrom)
   }
 
+  /** Expire history: truncate the snapshot chain to the most recent
+    * `keepLast` snapshots (Iceberg's expire_snapshots). The oldest kept
+    * snapshot is re-rooted (parentId -1); expired snapshot manifests are
+    * deleted, after which `vacuum()` reclaims any data files only they
+    * referenced. Epochs recorded by expired snapshots stay visible through
+    * the kept chain ONLY if re-listed — so expiration keeps the epoch set of
+    * the expired prefix on the new root to preserve exactly-once semantics.
+    * Returns the ids of expired snapshots. */
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val chain = snapshotChain
@@ -799,7 +806,32 @@ class IceliteTable private (val root: Path) {
         if (empty) Files.deleteIfExists(d)
       }
     finally dirStream.close()
-    orphans
+    // Off-chain manifest GC: snap-N.json files pinned at expiry for tags or
+    // branch forks, or left by dropped staged snapshots, are not
+    // chain-referenced — once the last tag/branch that needed one is gone
+    // it is pure metadata garbage and would otherwise accumulate forever.
+    // Live = main chain + tag pins + every branch chain. The grace cutoff
+    // protects freshly-STAGED (WAP) manifests awaiting audit, same contract
+    // as their data files above.
+    val liveIds: Set[Long] =
+      (snapshotChain.map(_.snapshotId) ++ tags.values ++
+        branches.values.toList.distinct
+          .filter(id => Files.exists(metaDir.resolve(s"snap-$id.json")))
+          .flatMap(id => chainFrom(id).map(_.snapshotId))).toSet
+    val metaStream = Files.list(metaDir)
+    val deadManifests =
+      try metaStream.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("snap-") && n.endsWith(".json") &&
+            n.stripPrefix("snap-").stripSuffix(".json").toLongOption
+              .exists(!liveIds.contains(_)) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff
+        }
+        .map(relativize).toList
+      finally metaStream.close()
+    deadManifests.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
+    orphans ++ deadManifests
   }
 
   // Highest snapshot id ever seen by this instance (>= any manifest on

@@ -119,7 +119,7 @@ class BranchSpec extends AnyFunSuite {
     }
     // recovery: re-fork from the new head and replay the lane — the ACI
     // merge makes the out-of-order arrival of batch 1 equivalent
-    engine.abandonBranch("lane")
+    engine.abandonBranch("lane", vacuumGraceMillis = 0L) // single-writer test: reclaim now
     engine.createBranch("lane2")
     engine.applyBatchToBranch(1, bs(1), "lane2")
     engine.publishBranch("lane2")
@@ -207,7 +207,7 @@ class BranchSpec extends AnyFunSuite {
     }
 
     val before = dataFiles(engine)
-    val reclaimed = engine.abandonBranch("lane")
+    val reclaimed = engine.abandonBranch("lane", vacuumGraceMillis = 0L) // single-writer test: reclaim now
     assert(reclaimed.nonEmpty, "abandon should reclaim the lane's data files")
     assert(dataFiles(engine).size < before.size)
     assert(stateSet(engine) === stateSet(mainControl))

@@ -49,11 +49,14 @@ class DlqSpec extends AnyFunSuite {
     assert(q.columns.toSet === bad.columns.toSet + "_reason")
   }
 
-  test("clean batch writes an empty quarantine; disabled DLQ writes nothing") {
+  test("clean batch pays no quarantine write at all; disabled DLQ writes nothing") {
     val dlq = SparkTestBase.tmpDir("dlqout2") + "/q"
     val engine = newEngine(dlq)
     val r = engine.applyBatch(0, Synth.events(spark, 200, seed = 32))
     assert(r.rejected === 0L)
+    // the malformed-row count rides the lineage aggregation, so a clean
+    // batch must not leave even an empty epoch directory behind
+    assert(!Files.exists(Paths.get(s"$dlq/epoch=0")))
 
     val off = newEngine("")
     val allBad = Synth.events(spark, 50, seed = 33)
@@ -63,6 +66,46 @@ class DlqSpec extends AnyFunSuite {
     assert(r2.rejected === 0L && r2.events === 0L)
     assert(off.table.lastEpoch === 0L)
     assert(off.applyBatch(0, allBad).skipped)
+  }
+
+  test("fallible-cast failures are quarantined as cast_error, never silently null-merged") {
+    val dlq = SparkTestBase.tmpDir("dlqcast") + "/q"
+    val engine = newEngine(dlq)
+    // ship ts as a STRING (a legal envelope a loose producer emits): rows
+    // whose ts cannot parse must land in the DLQ — under ANSI a plain cast
+    // would kill the batch; non-ANSI would silently null the ts cell
+    val b = Synth.events(spark, 300, seed = 35)
+      .withColumn("ts", when(col("commit_lsn") < 12, lit("never-a-timestamp"))
+        .otherwise(col("ts").cast("string")))
+    val r = engine.applyBatch(0, b)
+    assert(r.rejected === 12L)
+    assert(r.events === 288L)
+    val q = spark.read.parquet(s"$dlq/epoch=0")
+    assert(q.count() === 12)
+    assert(q.select("_reason").distinct().collect().map(_.getString(0)).toSeq === Seq("cast_error"))
+    // the parseable string timestamps applied with correct values
+    val st = engine.currentState()
+    assert(st.filter(col("_ts").isNull).count() === 0)
+    assert(st.count() > 0)
+  }
+
+  test("dropped staged epochs and abandoned lanes take their quarantine dirs with them") {
+    val dlq = SparkTestBase.tmpDir("dlqdrop") + "/q"
+    val engine = newEngine(dlq)
+    engine.applyBatch(0, Synth.events(spark, 100, seed = 36))
+    def poisoned(seed: Int) = Synth.events(spark, 100, seed = seed)
+      .withColumn("op", when(col("commit_lsn") < 5, lit(null: String)).otherwise(col("op")))
+    val staged = engine.stageBatch(1, poisoned(37))
+    assert(Files.exists(Paths.get(s"$dlq/epoch=1")))
+    engine.dropStaged(staged.snapshotId)
+    assert(!Files.exists(Paths.get(s"$dlq/epoch=1")),
+      "dropStaged must remove the dropped epoch's quarantine dir")
+    engine.createBranch("lane")
+    engine.applyBatchToBranch(2, poisoned(38), "lane")
+    assert(Files.exists(Paths.get(s"$dlq/epoch=2")))
+    engine.abandonBranch("lane", vacuumGraceMillis = 0L)
+    assert(!Files.exists(Paths.get(s"$dlq/epoch=2")),
+      "abandonBranch must remove the lane epochs' quarantine dirs")
   }
 
   test("an all-malformed batch quarantines everything and commits an empty epoch") {

@@ -127,6 +127,30 @@ class FeedConsumerSpec extends AnyFunSuite {
     assertMirrored(src, mir)
   }
 
+  test("syncBacklog walks the source chain once: O(backlog) walk reads at any step size") {
+    val (src, mir, consumer) = mkPair("feed-backlog-linear", mor = true)
+    val bs = Synth.batches(Synth.events(spark, 6000, seed = 57), 12, 6000)
+    bs.zipWithIndex.foreach { case (b, i) => src.applyBatch(i.toLong, b) }
+    val backlog = src.table.currentSnapshotId - math.max(consumer.lastSynced, -1L)
+    assert(backlog >= 12)
+    // drain one snapshot per step — the worst case for a re-walking
+    // implementation (O(backlog²) walk reads); the single-walk drain reads
+    // each backlog manifest exactly once
+    consumer.syncBacklog(1)
+    assertMirrored(src, mir)
+    assert(consumer.backlogWalkReads === backlog,
+      s"backlog walk should read each of the $backlog backlog manifests exactly once, " +
+        s"read ${consumer.backlogWalkReads}")
+    // a head advancing mid-history only extends the walk by the new suffix
+    src.applyBatch(100L, Synth.events(spark, 500, seed = 58))
+    src.applyBatch(101L, Synth.events(spark, 500, seed = 59))
+    val before = consumer.backlogWalkReads
+    consumer.syncBacklog(1)
+    assertMirrored(src, mir)
+    assert(consumer.backlogWalkReads - before <= 3,
+      "re-drain after head advance must walk only the new suffix")
+  }
+
   test("streaming pipeline: file tail -> MERGE -> feed -> mirror, per trigger") {
     val dir = SparkTestBase.tmpDir("streammirror")
     val input = s"$dir/in"

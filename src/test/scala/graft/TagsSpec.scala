@@ -44,9 +44,12 @@ class TagsSpec extends AnyFunSuite {
     assert(!t.isAncestor(tagged), "tagged snapshot should have left the chain")
     assert(stateRows(engine.stateAtTag("v1")) === want)
 
-    // vacuum must not reclaim tag-referenced files
+    // vacuum must not reclaim tag-referenced files — nor the tag's
+    // off-chain pinned manifest
     t.vacuum(graceMillis = 0L)
     assert(stateRows(engine.stateAtTag("v1")) === want)
+    val pinnedManifest = t.root.resolve("metadata").resolve(s"snap-$tagged.json")
+    assert(java.nio.file.Files.exists(pinnedManifest))
 
     // current reads and exactly-once bookkeeping are unaffected
     assert(engine.currentState().count() > 0)
@@ -61,6 +64,11 @@ class TagsSpec extends AnyFunSuite {
     val reclaimed = t.vacuum(graceMillis = 0L)
     assert(reclaimed.nonEmpty, "dropping the tag should free tag-only files")
     assert(stateRows(engine.currentState()).nonEmpty)
+    // the pinned manifest goes with the pin: no unreferenced snap-N.json
+    // accumulates in metadata forever
+    assert(reclaimed.exists(_.endsWith(s"snap-$tagged.json")),
+      "vacuum should GC the now-unreferenced off-chain manifest")
+    assert(!java.nio.file.Files.exists(pinnedManifest))
   }
 
   test("tag pins a snapshot through expire + vacuum until dropped (copy-on-write)") {
