@@ -54,6 +54,11 @@ case class EngineConf(
     // recently-written uncommitted files (in-flight writers).
     vacuumAfterExpire: Boolean = false,
     vacuumGraceMillis: Long = 3600000L,
+    // multi-writer optimistic concurrency: how many consecutive commit
+    // races (CommitConflictException) a copy-on-write applyBatch re-merges
+    // through before giving up. Each retry recomputes the merge against
+    // the fresh snapshot; the loser's data files are vacuum-grace orphans.
+    maxCommitRetries: Int = 8,
     // key-fingerprint bitmap width (bits) stored per merge-on-read delta
     // file in the manifest (Iceberg Puffin-bloom analog; 0 = disabled).
     // Computed INSIDE the existing per-bucket lineage aggregation — zero
@@ -374,16 +379,44 @@ class CdcEngine(
         if (table.committedEpochs.contains(epoch))
           return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
     }
-    if (conf.mergeShufflePartitions <= 0) return applyBatchInner(epoch, batchRaw, stage, branch)
-    // merge-width override is scoped to this batch: leaking it into the
-    // shared session would silently re-plan every later query on it
-    val saved = spark.conf.getOption("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", conf.mergeShufflePartitions)
-    try applyBatchInner(epoch, batchRaw, stage, branch)
-    finally saved match {
-      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
-      case None => spark.conf.unset("spark.sql.shuffle.partitions")
+    // Optimistic-concurrency retry: a copy-on-write merge pins the snapshot
+    // it merged against and commits CAS-style (expectedParentId); a
+    // concurrent writer advancing the table between the pin and the commit
+    // raises CommitConflictException, and the whole merge re-runs against
+    // the fresh state (the loser's data files are orphans, reclaimed by the
+    // vacuum grace — Iceberg's standard optimistic-commit protocol).
+    // Merge-on-read appends and branch commits don't need it: an append
+    // folds the PARENT's file lists inside the commit lock, and a branch
+    // commit validates its own head.
+    def attempt(): CommitResult = {
+      if (conf.mergeShufflePartitions <= 0) return applyBatchInner(epoch, batchRaw, stage, branch)
+      // merge-width override is scoped to this batch: leaking it into the
+      // shared session would silently re-plan every later query on it
+      val saved = spark.conf.getOption("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", conf.mergeShufflePartitions)
+      try applyBatchInner(epoch, batchRaw, stage, branch)
+      finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
     }
+    var conflicts = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: Icelite.CommitConflictException =>
+          conflicts += 1
+          if (conflicts > conf.maxCommitRetries)
+            throw new Icelite.CommitConflictException(
+              s"epoch $epoch lost ${conflicts} consecutive commit races " +
+                s"(maxCommitRetries=${conf.maxCommitRetries}): ${e.getMessage}")
+          // the winner may have BEEN this epoch (re-delivery race):
+          // exactly-once resolves it as a skip, not a re-merge
+          if (branch.isEmpty && table.committedEpochs.contains(epoch))
+            return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def applyBatchInner(epoch: Long, batchRaw: DataFrame, stage: Boolean,
@@ -394,6 +427,13 @@ class CdcEngine(
     // the state (and schema) a branch commit merges against is the BRANCH
     // head's, not main's — the lane may have evolved the schema on its own
     val asOfHead: Option[Long] = branch.map(table.branchHead)
+    // multi-writer CAS pin (main-chain copy-on-write only): the snapshot
+    // this merge reads is the snapshot the commit must still be on top of —
+    // committing a merge computed against snapshot S onto a parent != S
+    // would silently drop the intervening writer's changes to the rewritten
+    // buckets. The conflict raises and applyBatchImpl re-merges fresh.
+    val observedParent: Long =
+      if (branch.isEmpty) table.currentSnapshotId else -2L
     val basePayload = asOfHead match {
       case Some(id) => payloadOfSchema(Some(table.schema(table.snapshot(id).schemaId)))
       case None => tablePayload
@@ -467,7 +507,9 @@ class CdcEngine(
     val merged =
       if (mor) lwwAgg(batchCells, cellCols)
       else lwwAgg(batchCells.unionByName(
-        readStateCells(Some(affected), targetPayload, asOfSnapshot = asOfHead)), cellCols)
+        readStateCells(Some(affected), targetPayload,
+          asOfSnapshot = asOfHead.orElse(
+            if (observedParent >= 0) Some(observedParent) else None))), cellCols)
 
     // Write affected buckets copy-on-write; salt the repartition so a hot
     // bucket is written by several tasks (multiple files per bucket is fine —
@@ -524,7 +566,12 @@ class CdcEngine(
     }
 
     val snap = table.commit(epoch, sid, manifestFiles, lineage, rowDelta = events,
-      append = mor, stage = stage, toBranch = branch)
+      append = mor, stage = stage, toBranch = branch,
+      // CAS only where staleness loses data: a COW main commit rewrites
+      // whole buckets from the pinned read; MOR appends fold the fresh
+      // parent inside the commit lock, staged commits move no pointer,
+      // branch commits validate their own head
+      expectedParentId = if (branch.isEmpty && !mor && !stage) observedParent else -2L)
     // maintenance acts on the PUBLISHED chain — a staged snapshot defers
     // both to publishStaged, a branch commit to publishBranch (dropping
     // either must leave the table untouched)
@@ -536,7 +583,12 @@ class CdcEngine(
         val over = snap.bucketDelta.collect {
           case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
         }.toSet
-        if (over.nonEmpty) compact(Some(over))
+        // a compaction losing a commit race is NOT a batch failure — the
+        // batch is committed; the still-over-threshold buckets re-trigger
+        // on the next batch
+        if (over.nonEmpty)
+          try compact(Some(over))
+          catch { case _: Icelite.CommitConflictException => }
       }
       maybeExpire(newSnapshots = if (mor && conf.morCompactThreshold > 0) 2 else 1)
     }
@@ -1059,13 +1111,21 @@ class CdcEngine(
     * keeps them until snapshots are expired. Returns the new snapshot id. */
   def compact(buckets: Option[Set[Int]] = None): Long = {
     checkLayout()
+    // CAS pin: compaction is a read-modify-write of whole buckets, so a
+    // concurrent append between the read and the replace-commit would be
+    // silently folded away — conflict instead (caller/auto-compact simply
+    // re-runs later; the orphaned output is vacuum-reclaimable)
+    val observedParent = table.currentSnapshotId
     val payload = tablePayload
     val groups = table.currentFileGroups(buckets)
     if (groups.isEmpty) return table.currentSnapshotId
     val selected: Set[Int] = buckets.getOrElse(
       table.currentSnapshot.map(s => table.bucketFilesOf(s).keySet.map(_.toInt))
         .getOrElse(Set.empty))
-    val cells = readStateCells(Some(selected), payload)
+    // read pinned to the SAME snapshot the CAS expects (read + commit form
+    // one atomic unit or conflict)
+    val cells = readStateCells(Some(selected), payload,
+      asOfSnapshot = Some(observedParent))
     val outDir = table.root.resolve("data").resolve(f"compact-${System.nanoTime()}%x")
     // compaction output is SORTED by key (Iceberg sort-compaction): ingest
     // writes stay sort-free (the hot path never pays it), but the files
@@ -1084,7 +1144,8 @@ class CdcEngine(
       collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
     // replace-commit (append=false) even on merge-on-read tables: compaction
     // folds a bucket's delta pile back into one merged file
-    table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0).snapshotId
+    table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0,
+      expectedParentId = observedParent).snapshotId
   }
 
   /** Bucket-count EVOLUTION (Iceberg's partition evolution): rewrite the

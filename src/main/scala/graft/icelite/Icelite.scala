@@ -49,6 +49,16 @@ import org.json4s.jackson.Serialization
 object Icelite {
   implicit val fmts: Formats = DefaultFormats
 
+  /** Cross-instance commit atomicity within one JVM: every IceliteTable
+    * over the same root shares one (reentrant) lock, so two writer
+    * instances' read-pointer -> write-pointer sections cannot interleave —
+    * the sandbox stand-in for an Iceberg catalog's atomic pointer CAS.
+    * Cross-PROCESS writers need a real catalog; `expectedParentId` gives
+    * them optimistic conflict detection on top. */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def lockFor(root: java.nio.file.Path): Object =
+    rootLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString, _ => new Object)
+
   /** Per-bucket lineage record: source offset (LSN) range applied to this
     * bucket by the commit that produced this snapshot. */
   case class BucketLineage(bucket: Int, lsnMin: Long, lsnMax: Long, events: Long, rows: Long)
@@ -169,6 +179,10 @@ object Icelite {
 class IceliteTable private (val root: Path) {
   import Icelite._
 
+  // all mutating/metadata-consistent sections serialize on the PER-ROOT
+  // lock (shared across instances in this JVM), not per-instance `this`
+  private val rootLock: Object = Icelite.lockFor(root)
+
   private val metaDir = root.resolve("metadata")
   private val pointer = metaDir.resolve("version-hint.text")
 
@@ -255,7 +269,7 @@ class IceliteTable private (val root: Path) {
 
   /** All epochs in the current snapshot chain (root -> current). Amortized
     * O(new snapshots since last call), driver-side. */
-  def committedEpochs: Set[Long] = synchronized {
+  def committedEpochs: Set[Long] = rootLock.synchronized {
     val cur = currentSnapshotId
     if (cur < 0) return Set.empty
     if (cur == epochCache._1) return epochCache._2
@@ -308,7 +322,7 @@ class IceliteTable private (val root: Path) {
     * would pin an id the chain never references) OR an already-tagged
     * retained snapshot (re-tagging under a second name stays legal after
     * the original was expired out of the chain). Returns the tagged id. */
-  def tag(name: String, snapshotId: Long = -1L): Long = synchronized {
+  def tag(name: String, snapshotId: Long = -1L): Long = rootLock.synchronized {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"invalid tag name '$name'")
     val id = if (snapshotId >= 0) snapshotId else currentSnapshotId
@@ -321,7 +335,7 @@ class IceliteTable private (val root: Path) {
 
   /** Remove a tag; returns whether it existed. The pinned snapshot (if out
     * of the chain) becomes reclaimable by the next vacuum. */
-  def dropTag(name: String): Boolean = synchronized {
+  def dropTag(name: String): Boolean = rootLock.synchronized {
     val t = tags
     if (!t.contains(name)) false
     else { writeTags(t - name); true }
@@ -367,7 +381,7 @@ class IceliteTable private (val root: Path) {
   /** Create a branch at `snapshotId` (default: the current snapshot). The
     * fork point must be reachable from an existing ref — main's chain or
     * another branch — so a branch can never pin an orphaned manifest. */
-  def createBranch(name: String, snapshotId: Long = -1L): Long = synchronized {
+  def createBranch(name: String, snapshotId: Long = -1L): Long = rootLock.synchronized {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"invalid branch name '$name'")
     require(name != "main", "'main' is the table pointer itself")
@@ -391,7 +405,7 @@ class IceliteTable private (val root: Path) {
   /** Delete a branch ref; its unpublished snapshots' data files become
     * reclaimable by the next vacuum (manifests stay until then — they are
     * not chain-referenced, so they are inert). Returns whether it existed. */
-  def dropBranch(name: String): Boolean = synchronized {
+  def dropBranch(name: String): Boolean = rootLock.synchronized {
     val b = branches
     if (!b.contains(name)) false
     else { writeBranches(b - name); true }
@@ -405,7 +419,7 @@ class IceliteTable private (val root: Path) {
     * from the new head and replays its lane (its epochs re-apply
     * idempotently). The branch ref is dropped on success: its history IS
     * main's history now. */
-  def fastForward(name: String): Snapshot = synchronized {
+  def fastForward(name: String): Snapshot = rootLock.synchronized {
     val head = branchHead(name)
     val cur = currentSnapshotId
     if (head == cur) { writeBranches(branches - name); return snapshot(head) }
@@ -433,7 +447,7 @@ class IceliteTable private (val root: Path) {
   private var branchEpochCache: Map[String, (Long, Set[Long])] = Map.empty
 
   /** All epochs committed on `name`'s chain (fork ancestry included). */
-  def branchEpochs(name: String): Set[Long] = synchronized {
+  def branchEpochs(name: String): Set[Long] = rootLock.synchronized {
     val head = branchHead(name)
     val cached = branchEpochCache.getOrElse(name, (-2L, Set.empty[Long]))
     if (head == cached._1) return cached._2
@@ -477,7 +491,7 @@ class IceliteTable private (val root: Path) {
     }
 
   /** The COMPLETE bucket -> data-file mapping visible at snapshot `s`. */
-  def bucketFilesOf(s: Snapshot): Map[String, List[DataFile]] = synchronized {
+  def bucketFilesOf(s: Snapshot): Map[String, List[DataFile]] = rootLock.synchronized {
     val hit = resolveCache.get(s.snapshotId)
     if (hit != null) return hit
     var stack = List(s) // deepest unresolved snapshot first
@@ -619,7 +633,7 @@ class IceliteTable private (val root: Path) {
     * pruning complete from lineage. `restoreOf` marks the snapshot so
     * change feeds drop the merge-on-read added-file key refinement and
     * synthesize tombstones for keys the restore removed. */
-  def rollbackTo(snapshotId: Long): Snapshot = synchronized {
+  def rollbackTo(snapshotId: Long): Snapshot = rootLock.synchronized {
     require(snapshotId >= 0 && isAncestor(snapshotId),
       s"rollback target $snapshotId is not an ancestor of the current snapshot")
     val cur = currentSnapshot.get
@@ -666,7 +680,7 @@ class IceliteTable private (val root: Path) {
     * pinning / carried-bookkeeping machinery as the count-based form —
     * commit times are monotone along the chain, so an age cutoff is a
     * chain-suffix keep. */
-  def expireOlderThan(cutoffMillis: Long): Seq[Long] = synchronized {
+  def expireOlderThan(cutoffMillis: Long): Seq[Long] = rootLock.synchronized {
     val chain = snapshotChain
     if (chain.isEmpty) return Seq.empty
     val keepFrom = chain.indexWhere(_.commitMillis >= cutoffMillis) match {
@@ -685,7 +699,7 @@ class IceliteTable private (val root: Path) {
     * the kept chain ONLY if re-listed — so expiration keeps the epoch set of
     * the expired prefix on the new root to preserve exactly-once semantics.
     * Returns the ids of expired snapshots. */
-  def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
+  def expireSnapshots(keepLast: Int): Seq[Long] = rootLock.synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val chain = snapshotChain
     if (chain.size <= keepLast) return Seq.empty
@@ -762,7 +776,7 @@ class IceliteTable private (val root: Path) {
     * snapshots (write-audit-publish) are not chain-referenced, so a vacuum
     * racing an audit could reclaim their data files — keep the grace period
     * above the audit window, or publish/drop before vacuuming. */
-  def vacuum(graceMillis: Long = 0L): Seq[String] = synchronized {
+  def vacuum(graceMillis: Long = 0L): Seq[String] = rootLock.synchronized {
     // union of raw DELTAS across the chain == union of every chain
     // snapshot's resolved file set: each delta list IS the bucket's visible
     // list at the snapshot that wrote it (still in the chain), and every
@@ -865,7 +879,7 @@ class IceliteTable private (val root: Path) {
 
   /** Register a (possibly evolved) schema; returns its id. Reuses the current
     * id if the schema is unchanged. Append-only, like Iceberg's schema list. */
-  def ensureSchema(s: StructType): Int = {
+  def ensureSchema(s: StructType): Int = rootLock.synchronized {
     currentSnapshot match {
       case Some(snap) if schema(snap.schemaId).json == s.json => snap.schemaId
       case _ =>
@@ -923,7 +937,7 @@ class IceliteTable private (val root: Path) {
       // ref instead of the main pointer (see the branches section).
       // Exactly-once is scoped per ref chain — after fastForward the lane's
       // epochs are main's epochs, so replaying the lane stays a no-op.
-      toBranch: Option[String] = None): Snapshot = synchronized {
+      toBranch: Option[String] = None): Snapshot = rootLock.synchronized {
     require(toBranch.isEmpty || (!stage && rebucketTo < 0),
       "staged and rebucket commits are main-only")
     val parent = toBranch match {
@@ -996,7 +1010,7 @@ class IceliteTable private (val root: Path) {
     *     [[Icelite.CommitConflictException]] — the writer re-stages against
     *     the new head (its merge is stale, not just its pointer) and
     *     re-audits. */
-  def publish(stagedId: Long): Snapshot = synchronized {
+  def publish(stagedId: Long): Snapshot = rootLock.synchronized {
     val snapPath = metaDir.resolve(s"snap-$stagedId.json")
     require(Files.exists(snapPath), s"no staged snapshot $stagedId")
     val staged = snapshot(stagedId)
@@ -1016,7 +1030,7 @@ class IceliteTable private (val root: Path) {
     * and every data file it added that no chain snapshot references (on a
     * staged snapshot none are, but the chain check keeps this safe to call
     * on anything unpublished). Refuses to touch published snapshots. */
-  def dropStaged(stagedId: Long): Seq[String] = synchronized {
+  def dropStaged(stagedId: Long): Seq[String] = rootLock.synchronized {
     require(!isAncestor(stagedId), s"snapshot $stagedId is published; use rollbackTo")
     val snapPath = metaDir.resolve(s"snap-$stagedId.json")
     if (!Files.exists(snapPath)) return Seq.empty

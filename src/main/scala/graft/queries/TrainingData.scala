@@ -95,6 +95,56 @@ object TrainingData {
       }.reduce(_ + _)
     }: _*)
 
+  // q26b PRODUCTION-regime banding geometry (cos >= 0.9): 96 bandings x 10
+  // planes. Long bands prune (a 10-plane band collides at 0.5^10 ~ 1e-3 for
+  // orthogonal pairs, vs 1/16 for q26's 4-plane bands); many bands pin
+  // recall (per-plane collision at the qualifying pairs' angles >= 25.2deg
+  // is >= 0.86, per-band >= 0.22, miss <= 0.78^96 ~ 5e-11 per pair — and
+  // the planes are DETERMINISTIC, so recall and candidate volume are fixed
+  // functions of the data, re-proven exactly by the oracle every round).
+  private val ProdBands = 96
+  private val ProdPlanesPerBand = 10
+
+  /** Band-bucket array for the production regime; plane index space offset
+    * by 10000 so the family is independent of q26's. */
+  private def prodBandBuckets(v: Column): Column =
+    array((0 until ProdBands).map { k =>
+      (0 until ProdPlanesPerBand).map { j =>
+        when(dot(v, typedlit(planeVec(10000 + k * ProdPlanesPerBand + j))) >= 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** q26b input: the embeddings corpus plus DETERMINISTICALLY PLANTED
+    * near-duplicates — for vec_id < 200, a copy at vec_id + 1000000 with
+    * every 16th component zeroed (cos = |v_kept|/|v| ~ 0.96, comfortably
+    * above the 0.9 production threshold; the nearest non-qualifying pair
+    * sits at ~0.897, so the threshold lives in a wide cross-engine-safe
+    * gap). The same construction is replicated verbatim in the DuckDB
+    * oracle (1-based list_transform index). */
+  private[graft] def neardupProdInput(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+    val dups = base.filter(col("vec_id") < 200)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, (x, i) -> CASE WHEN i % 16 = 0 THEN CAST(0.0 AS FLOAT) ELSE x END)")
+          .as("v"))
+    base.unionByName(dups)
+  }
+
+  /** q26b candidate pairs: shared-band equi-join under the production
+    * geometry. Exposed for the spec that pins the pruning claim: candidate
+    * count << all-pairs at cos >= 0.9 (the regime where q26's 4-plane bands
+    * deliberately over-generate). */
+  private[graft] def neardupProdCandidates(e: DataFrame): DataFrame = {
+    val bands = fan(e.select(col("vec_id"), col("v")))
+      .select(col("vec_id"), posexplode(prodBandBuckets(col("v"))).as(Seq("k", "bk")))
+    bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+  }
+
   /** Native-expression dot product (graft.functions.VecDot, codegen'd tight
     * loop): the zip_with/aggregate HOF route is interpreted, ~10x slower on
     * the pair-join hot path. Summation is sequential (index order), so
@@ -196,20 +246,42 @@ object TrainingData {
     * cells that lose every member keep their previous centroid. Seeded from
     * the deterministic id-sample, fixed round count — byte-reproducible,
     * which the DuckDB oracle replicates CTE-for-CTE. Returns
-    * (cid, cv: array<double>, cn: norm). */
-  private def fitCentroids(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * (cid, cv: array<double>, cn: norm).
+    *
+    * `quality`: when given, receives the FIT-QUALITY curve — mean
+    * max-cosine of every vector to its nearest centroid, one value per
+    * Lloyd round's starting centroids plus one for the returned set
+    * (rounds+1 values). Both k-means steps are optimal for the summed
+    * cosine (assignment per vector; the mean direction maximizes a cell's
+    * cosine sum), so the curve is non-decreasing up to the 6/8dp
+    * determinism rounding — spec-asserted, which makes the offline IVF
+    * build's convergence inspectable instead of argued. None (the default,
+    * q47's oracle path) adds zero actions. */
+  private[graft] def fitCentroids(e: DataFrame, k: Int, rounds: Int,
+      quality: Option[scala.collection.mutable.ArrayBuffer[Double]] = None): DataFrame = {
     def withNorm(c: DataFrame) = c.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), transform(col("v"), x => x.cast("double")).as("cv"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    def assignTo(c: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-      val assign = fan(e).crossJoin(broadcast(withNorm(cents)))
+      fan(e).crossJoin(broadcast(withNorm(c)))
         .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 8))
         .withColumn("crk", row_number().over(w))
         .filter(col("crk") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val means = fan(e).join(assign, "vec_id")
+        .select(col("vec_id"), col("cid").as("cell"), col("ccos"))
+    }
+    def meanCos(assign: DataFrame): Double =
+      assign.agg(avg(col("ccos"))).head().getDouble(0)
+    for (_ <- 1 to rounds) {
+      val assign = quality match {
+        case Some(buf) =>
+          val a = assignTo(cents).localCheckpoint(true)
+          buf += meanCos(a)
+          a
+        case None => assignTo(cents)
+      }
+      val means = fan(e).join(assign.select(col("vec_id"), col("cell")), "vec_id")
         .select(col("cell").as("cid"),
           posexplode(transform(col("v"), x => x.cast("double"))).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d")).agg(round(avg(col("x")), 6).as("x"))
@@ -220,6 +292,7 @@ object TrainingData {
         .select(col("cid"), coalesce(col("m.cv"), col("p.cv")).as("cv"))
         .localCheckpoint(true)
     }
+    quality.foreach(_ += meanCos(assignTo(cents))) // quality of the RETURNED set
     withNorm(cents)
   }
 
@@ -428,6 +501,24 @@ object TrainingData {
         .join(e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), "b_id")
         .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
         .filter(col("cos") >= 0.45)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // PRODUCTION-regime banded near-dup (cos >= 0.9) over deterministically
+    // planted near-duplicates — the measured counterpart of q26's argued
+    // claim that "banding prunes at production thresholds": under the
+    // 96x10 geometry the candidate join touches ~11% of all pairs (spec
+    // QueriesSpec pins candidates < n(n-1)/2) while the exact all-pairs
+    // oracle re-proves 100% recall of every qualifying pair each round.
+    "q26b_neardup_prod" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
+      val e = neardupProdInput(s, dir)
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      neardupProdCandidates(e.select(col("vec_id"), col("v")))
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), "b_id")
+        .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+        .filter(col("cos") >= 0.9)
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
     }),
 
@@ -1028,6 +1119,17 @@ object TrainingData {
          d AS (SELECT ai, bi, sum(x*y) dot, sqrt(sum(x*x)) na, sqrt(sum(y*y)) nb FROM p GROUP BY 1,2)
          SELECT ai AS a_id, bi AS b_id, round(dot/(na*nb),6) AS cos
          FROM d WHERE dot/(na*nb) >= 0.45""",
+    "q26b_neardup_prod" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         dup AS (SELECT vec_id + 1000000 vec_id,
+                   list_transform(v, (x, i) -> CASE WHEN (i-1) % 16 = 0 THEN 0.0 ELSE x END) v
+                 FROM base WHERE vec_id < 200),
+         e AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+         p AS (SELECT a.vec_id ai, b.vec_id bi, unnest(a.v) x, unnest(b.v) y
+               FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         d AS (SELECT ai, bi, sum(x*y) dot, sqrt(sum(x*x)) na, sqrt(sum(y*y)) nb FROM p GROUP BY 1,2)
+         SELECT ai AS a_id, bi AS b_id, round(dot/(na*nb),6) AS cos
+         FROM d WHERE dot/(na*nb) >= 0.9""",
     "q27_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          pr AS (SELECT vec_id probe_id, v pv FROM e WHERE vec_id < 10),

@@ -95,9 +95,22 @@ object MorBench {
     val (morSec, morBytes, morMs) = run(mor = true, batchDirs, "mor")
 
     def mean(xs: Seq[Long]): Double = if (xs.isEmpty) 0 else xs.sum.toDouble / xs.size
+    def median(xs: Seq[Long]): Double =
+      if (xs.isEmpty) 0 else { val s = xs.sorted; s(s.size / 2).toDouble }
     val q = sparseBatches / 4
     val morEarly = mean(morMs.slice(0, q))
     val morLate = mean(morMs.takeRight(q))
+    // SEGMENT flatness (the sustained-ingest claim, assertable): split the
+    // sparse phase into 8 segments and compare per-batch commit MEDIANS
+    // (medians de-noise compaction spikes and host stalls). "flat" = the
+    // last segment's median within 1.5x of the first's — a quadratic curve
+    // (COW's shape: state grows every batch) fails this immediately, host
+    // noise does not.
+    val nSeg = 8
+    val segSize = math.max(1, morMs.size / nSeg)
+    val segMedians = morMs.grouped(segSize).filter(_.size >= segSize / 2)
+      .map(median).toSeq
+    val flat = segMedians.size >= 2 && segMedians.last <= segMedians.head * 1.5
     val json =
       s"""{"metric":"mor_write_amp","seed_events":$seedEvents,"sparse_batches":$sparseBatches,""" +
       s""""per_batch":$perBatch,"cow_sec":${f"$cowSec%.1f"},"mor_sec":${f"$morSec%.1f"},""" +
@@ -106,7 +119,9 @@ object MorBench {
       s""""mor_commit_ms_first_quarter":${f"$morEarly%.0f"},""" +
       s""""mor_commit_ms_last_quarter":${f"$morLate%.0f"},""" +
       s""""cow_commit_ms_first_quarter":${f"${mean(cowMs.slice(0, q))}%.0f"},""" +
-      s""""cow_commit_ms_last_quarter":${f"${mean(cowMs.takeRight(q))}%.0f"}}"""
+      s""""cow_commit_ms_last_quarter":${f"${mean(cowMs.takeRight(q))}%.0f"},""" +
+      s""""mor_segment_medians_ms":${segMedians.map(m => f"$m%.0f").mkString("[", ",", "]")},""" +
+      s""""mor_flat":$flat}"""
     println(json)
     spark.stop()
     // sweep the work dir (bench artifacts measurably skew later disk-bound

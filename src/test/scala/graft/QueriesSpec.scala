@@ -67,6 +67,63 @@ class QueriesSpec extends AnyFunSuite {
     assert(banded === brute, s"banded recall broke: missing ${brute -- banded}")
   }
 
+  test("IVF k-means fit quality (mean max-cosine) is non-decreasing across Lloyd rounds") {
+    // makes the offline IVF build's convergence measurable: both Lloyd
+    // steps are optimal for the summed cosine, so the quality curve can
+    // only fall by the 6/8dp determinism rounding (epsilon below). The
+    // fit is deterministic — this is a fixed curve, not a flaky bound.
+    graft.functions.VecOps.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VecOps.dot(col("v"), col("v"))))
+    val curve = scala.collection.mutable.ArrayBuffer.empty[Double]
+    graft.queries.TrainingData.fitCentroids(e, k = 16, rounds = 3, quality = Some(curve))
+    assert(curve.size === 4) // 3 round starts + the returned set
+    info(s"fit-quality curve: ${curve.map(v => f"$v%.6f").mkString(" -> ")}")
+    curve.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-4,
+        s"fit quality regressed: ${curve.mkString(" -> ")}")
+      case _ =>
+    }
+    // the fit must actually improve on the raw id-sample seed
+    assert(curve.last > curve.head,
+      s"Lloyd rounds did not improve the seed at all: ${curve.mkString(" -> ")}")
+  }
+
+  test("q26b production-regime banding PRUNES: candidates << all-pairs, recall exact") {
+    // q26's 4-plane bands deliberately over-generate at the test data's
+    // 0.45 threshold (documented); this is the measured counterpart at the
+    // production threshold (cos >= 0.9, planted near-dups): long 10-plane
+    // bands must cut the candidate join well below all-pairs while the
+    // exact brute force proves every qualifying pair still surfaces. The
+    // planes are deterministic, so both numbers are stable, not stochastic.
+    graft.functions.VecOps.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = graft.queries.TrainingData.neardupProdInput(spark, sf)
+      .withColumn("nrm", sqrt(graft.functions.VecOps.dot(col("v"), col("v"))))
+      .localCheckpoint(true)
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2
+    val cand = graft.queries.TrainingData
+      .neardupProdCandidates(e.select(col("vec_id"), col("v")))
+      .localCheckpoint(true)
+    val nCand = cand.count()
+    assert(nCand < allPairs / 2,
+      s"production banding failed to prune: $nCand candidates of $allPairs pairs")
+    val brute = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", graft.functions.VecOps.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 150, s"planted near-dups missing from brute force: ${brute.size}")
+    val got = SparkEntry.queries("q26b_neardup_prod")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, s"q26b recall broke: missing ${brute -- got}")
+  }
+
   test("star-contraction CC equals label-propagation CC on adversarial graphs") {
     import spark.implicits._
     import graft.queries.TrainingData.{connectedComponents, connectedComponentsStar}
