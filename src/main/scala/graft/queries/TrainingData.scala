@@ -106,14 +106,28 @@ object TrainingData {
   private val ProdPlanesPerBand = 10
 
   /** Band-bucket array for the production regime; plane index space offset
-    * by 10000 so the family is independent of q26's. */
-  private def prodBandBuckets(v: Column): Column =
-    array((0 until ProdBands).map { k =>
-      (0 until ProdPlanesPerBand).map { j =>
-        when(dot(v, typedlit(planeVec(10000 + k * ProdPlanesPerBand + j))) >= 0,
-          lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
+    * by 10000 so the family is independent of q26's. Unlike q26's 192-dot
+    * unrolled projection, 960 separate literal-plane VecDot nodes would put
+    * ~61k literal doubles in the plan and blow analysis/codegen time (a
+    * measured ~20 s of pure plan compilation), so the planes ship as ONE
+    * nested-array literal and the dots/buckets fold through higher-order
+    * functions — a constant-size plan; the per-row lambda work is trivial
+    * next to the candidate join it feeds. */
+  private def prodPlaneDots(v: Column): Column = {
+    val planes = typedlit((0 until ProdBands * ProdPlanesPerBand)
+      .map(i => planeVec(10000 + i).toSeq))
+    transform(planes, p => dot(v, p))
+  }
+
+  /** `dots` must be a MATERIALIZED column (withColumn), not the raw
+    * prodPlaneDots expression: inlined, each of the 960 element_at accesses
+    * would re-evaluate the whole dot array. */
+  private def prodBucketsFromDots(dots: Column): Column =
+    transform(sequence(lit(0), lit(ProdBands - 1)), k =>
+      aggregate(sequence(lit(0), lit(ProdPlanesPerBand - 1)), lit(0),
+        (acc, j) => acc * 2 +
+          when(element_at(dots, k * ProdPlanesPerBand + j + 1) >= 0, lit(1))
+            .otherwise(lit(0))))
 
   /** q26b input: the embeddings corpus plus DETERMINISTICALLY PLANTED
     * near-duplicates — for vec_id < 200, a copy at vec_id + 1000000 with
@@ -137,7 +151,8 @@ object TrainingData {
     * deliberately over-generate). */
   private[graft] def neardupProdCandidates(e: DataFrame): DataFrame = {
     val bands = fan(e.select(col("vec_id"), col("v")))
-      .select(col("vec_id"), posexplode(prodBandBuckets(col("v"))).as(Seq("k", "bk")))
+      .withColumn("__pd", prodPlaneDots(col("v")))
+      .select(col("vec_id"), posexplode(prodBucketsFromDots(col("__pd"))).as(Seq("k", "bk")))
     bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") < col("b.vec_id"))
