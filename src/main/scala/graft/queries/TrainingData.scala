@@ -272,8 +272,14 @@ object TrainingData {
     * determinism rounding — spec-asserted, which makes the offline IVF
     * build's convergence inspectable instead of argued. None (the default,
     * q47's oracle path) adds zero actions. */
+  /** `stopEpsilon` > 0 adds an early stop: when a round improves the mean
+    * max-cosine by less than epsilon, remaining rounds are skipped (the
+    * movement-converged Lloyd stop). q47 keeps the fixed 2-round build so
+    * the oracle replicates it CTE-for-CTE; an offline production build
+    * passes e.g. rounds=20, stopEpsilon=1e-4. */
   private[graft] def fitCentroids(e: DataFrame, k: Int, rounds: Int,
-      quality: Option[scala.collection.mutable.ArrayBuffer[Double]] = None): DataFrame = {
+      quality: Option[scala.collection.mutable.ArrayBuffer[Double]] = None,
+      stopEpsilon: Double = 0.0): DataFrame = {
     def withNorm(c: DataFrame) = c.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), transform(col("v"), x => x.cast("double")).as("cv"))
@@ -288,24 +294,32 @@ object TrainingData {
     }
     def meanCos(assign: DataFrame): Double =
       assign.agg(avg(col("ccos"))).head().getDouble(0)
-    for (_ <- 1 to rounds) {
-      val assign = quality match {
-        case Some(buf) =>
-          val a = assignTo(cents).localCheckpoint(true)
-          buf += meanCos(a)
-          a
-        case None => assignTo(cents)
+    var lloydRound = 0
+    var prevQ = Double.NaN
+    var converged = false
+    while (lloydRound < rounds && !converged) {
+      lloydRound += 1
+      val measure = quality.isDefined || stopEpsilon > 0
+      val assign = if (measure) {
+        val a = assignTo(cents).localCheckpoint(true)
+        val q = meanCos(a)
+        quality.foreach(_ += q)
+        if (stopEpsilon > 0 && !prevQ.isNaN && q - prevQ < stopEpsilon) converged = true
+        prevQ = q
+        a
+      } else assignTo(cents)
+      if (!converged) {
+        val means = fan(e).join(assign.select(col("vec_id"), col("cell")), "vec_id")
+          .select(col("cell").as("cid"),
+            posexplode(transform(col("v"), x => x.cast("double"))).as(Seq("d", "x")))
+          .groupBy(col("cid"), col("d")).agg(round(avg(col("x")), 6).as("x"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("d"), col("x")))).as("a"))
+          .select(col("cid"), expr("transform(a, p -> p.x)").as("cv"))
+        cents = cents.as("p").join(means.as("m"), Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("m.cv"), col("p.cv")).as("cv"))
+          .localCheckpoint(true)
       }
-      val means = fan(e).join(assign.select(col("vec_id"), col("cell")), "vec_id")
-        .select(col("cell").as("cid"),
-          posexplode(transform(col("v"), x => x.cast("double"))).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d")).agg(round(avg(col("x")), 6).as("x"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("d"), col("x")))).as("a"))
-        .select(col("cid"), expr("transform(a, p -> p.x)").as("cv"))
-      cents = cents.as("p").join(means.as("m"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("m.cv"), col("p.cv")).as("cv"))
-        .localCheckpoint(true)
     }
     quality.foreach(_ += meanCos(assignTo(cents))) // quality of the RETURNED set
     withNorm(cents)

@@ -89,6 +89,12 @@ class QueriesSpec extends AnyFunSuite {
     // the fit must actually improve on the raw id-sample seed
     assert(curve.last > curve.head,
       s"Lloyd rounds did not improve the seed at all: ${curve.mkString(" -> ")}")
+    // movement-epsilon stop: with a huge epsilon the fit converges after
+    // the first measured improvement instead of burning all rounds
+    val early = scala.collection.mutable.ArrayBuffer.empty[Double]
+    graft.queries.TrainingData.fitCentroids(e, k = 16, rounds = 10,
+      quality = Some(early), stopEpsilon = 0.5)
+    assert(early.size < 11, s"epsilon stop never fired: ${early.size} measurements")
   }
 
   test("q26b production-regime banding PRUNES: candidates << all-pairs, recall exact") {
