@@ -1,0 +1,224 @@
+package graft.streaming.binlog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `cdc-binlog`: a DataSource V2 streaming connector that tails a
+  * [[BinlogServer]] (any host:port speaking the protocol) as a replayable,
+  * offset-addressed micro-batch source — the Kafka-shaped network source the
+  * engine was missing. Spark-first by construction: this is the same
+  * MicroBatchStream/SupportsAdmissionControl surface the real Kafka
+  * connector implements, so everything downstream (checkpointing, AvailableNow
+  * drains, maxRecordsPerTrigger admission control, foreachBatch epochs) is
+  * stock Structured Streaming machinery.
+  *
+  * Emitted schema is Kafka's shape — (partition int, offset long, value
+  * string) — the payload stays opaque at the source and is parsed with
+  * `from_json(value, ChangeEvent.schema)` in the query (see
+  * [[graft.streaming.CdcStream.binlogEvents]]). Exactly-once composes the
+  * standard way: Spark checkpoints the (partition -> offset) vector per
+  * micro-batch, FETCH of a committed range is replay-stable, and the sink
+  * (`CdcEngine.applyBatch`) is idempotent per epoch, so a crash anywhere
+  * between sink-commit and offset-commit replays as a no-op.
+  *
+  * Scale notes: one InputPartition per log partition — on a 1000-executor
+  * cluster a 4000-partition binlog fans out 4000 concurrent socket readers,
+  * and admission control (maxRecordsPerTrigger) bounds per-batch memory.
+  * Readers stream rows off the socket lazily; nothing is materialized.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("cdc-binlog")
+  *     .option("host", h).option("port", p)
+  *     .option("maxRecordsPerTrigger", 100000)   // optional
+  *     .load()
+  * }}}
+  * `spark.read.format("cdc-binlog")` (batch) snapshots the current log.
+  */
+class BinlogSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cdc-binlog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = BinlogSource.SCHEMA
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BinlogTable(new CaseInsensitiveStringMap(properties))
+}
+
+object BinlogSource {
+  /** Kafka-shaped record envelope; `value` is the opaque payload. */
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+}
+
+private[binlog] final class BinlogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val host = options.getOrDefault("host", "127.0.0.1")
+  private val port = {
+    val p = options.get("port")
+    require(p != null, "cdc-binlog requires option 'port'")
+    p.toInt
+  }
+  private val maxPerTrigger = options.getLong("maxRecordsPerTrigger", 0L)
+
+  override def name(): String = s"cdc-binlog://$host:$port"
+  override def schema(): StructType = BinlogSource.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = BinlogSource.SCHEMA
+      override def description(): String = name()
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new BinlogMicroBatchStream(host, port, maxPerTrigger)
+      override def toBatch: Batch = new BinlogBatch(host, port)
+    }
+}
+
+/** Offset = the vector of per-partition next-to-read positions, serialized
+  * as a JSON array (`[3,0,7]`). The base class compares offsets by their
+  * json, so equality is positional equality. */
+private[binlog] final case class BinlogOffset(offs: Array[Long]) extends Offset {
+  override def json(): String = offs.mkString("[", ",", "]")
+}
+
+private[binlog] object BinlogOffset {
+  def parse(json: String): BinlogOffset = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]")
+    BinlogOffset(if (body.isEmpty) Array.empty else body.split(",").map(_.trim.toLong))
+  }
+}
+
+private[binlog] final case class BinlogInputPartition(
+    host: String, port: Int, partition: Int, from: Long, until: Long)
+    extends InputPartition
+
+private[binlog] final class BinlogMicroBatchStream(
+    host: String, port: Int, maxPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Driver-side control-plane client (LATEST polls). Lazy so a checkpoint
+  // restart constructs the stream before the first poll.
+  private def withClient[A](f: BinlogClient => A): A = {
+    val c = new BinlogClient(host, port)
+    try f(c) finally c.close()
+  }
+
+  /** AvailableNow target: high-water marks captured once at query start, so
+    * the drain is bounded even while producers keep publishing. */
+  @volatile private var availableNowTarget: Array[Long] = null
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = withClient(_.latest())
+
+  override def initialOffset(): Offset =
+    BinlogOffset(Array.fill(withClient(_.latest()).length)(0L))
+
+  override def deserializeOffset(json: String): Offset = BinlogOffset.parse(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger > 0) ReadLimit.maxRows(maxPerTrigger) else ReadLimit.allAvailable()
+
+  // Unused once SupportsAdmissionControl is implemented; Spark calls the
+  // two-argument form below.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-controlled source")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[BinlogOffset].offs
+    val headRaw = if (availableNowTarget != null) availableNowTarget else withClient(_.latest())
+    // A restart may bring a start vector shorter than the server's current
+    // partition count only if the server changed shape — refuse loudly.
+    require(headRaw.length == from.length,
+      s"binlog partition count changed: offset has ${from.length}, server has ${headRaw.length}")
+    val head = headRaw.clone()
+    limit match {
+      case rows: ReadMaxRows =>
+        // Proportional admission: cap total new records at maxRows,
+        // allocating each partition its share of the backlog (Kafka's
+        // maxOffsetsPerTrigger policy). Guarantees progress: any nonempty
+        // backlog admits at least one record.
+        val backlog = from.indices.map(i => head(i) - from(i))
+        val total = backlog.sum
+        val max = rows.maxRows()
+        if (total > max) {
+          var budget = max
+          val capped = from.indices.map { i =>
+            val share = math.min(backlog(i), math.max(1L, max * backlog(i) / total))
+            val take = math.min(share, budget)
+            budget -= take
+            from(i) + take
+          }
+          return BinlogOffset(capped.toArray)
+        }
+      case _ => // allAvailable
+    }
+    BinlogOffset(head)
+  }
+
+  override def reportLatestOffset(): Offset =
+    BinlogOffset(if (availableNowTarget != null) availableNowTarget else withClient(_.latest()))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BinlogOffset].offs
+    val e = end.asInstanceOf[BinlogOffset].offs
+    s.indices.collect {
+      case p if e(p) > s(p) => BinlogInputPartition(host, port, p, s(p), e(p))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = BinlogReaderFactory
+
+  override def commit(end: Offset): Unit = () // retention is server policy
+  override def stop(): Unit = ()
+}
+
+/** Bounded (batch) read: snapshot of [0, latest) at scan time. */
+private[binlog] final class BinlogBatch(host: String, port: Int) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val c = new BinlogClient(host, port)
+    val head = try c.latest() finally c.close()
+    head.indices.collect {
+      case p if head(p) > 0 => BinlogInputPartition(host, port, p, 0L, head(p))
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = BinlogReaderFactory
+}
+
+private[binlog] object BinlogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BinlogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val client = new BinlogClient(p.host, p.port)
+      private val records = client.fetch(p.partition, p.from, p.until)
+      private var offset = p.from
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (!records.hasNext) return false
+        val rec = records.next()
+        current = new GenericInternalRow(
+          Array[Any](p.partition, offset, UTF8String.fromString(rec)))
+        offset += 1
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = client.close()
+    }
+  }
+}
