@@ -7,7 +7,7 @@ import java.util.Base64
 import scala.collection.mutable.ArrayBuffer
 
 /** A minimal Kafka-shaped change-log server: P append-only partitions of
-  * opaque string records, addressed by (partition, offset), served over a
+  * opaque records, addressed by (partition, offset), served over a
   * line-oriented TCP protocol. This is the NETWORK stand-in the round-3
   * verdict listed as missing — the piece between a database's binlog/WAL (or
   * a Kafka topic) and the engine's micro-batch MERGE. In production the
@@ -17,21 +17,39 @@ import scala.collection.mutable.ArrayBuffer
   * multi-executor cluster would exercise.
   *
   * Contract (deliberately Kafka's):
-  *   - records within a partition are totally ordered by offset;
+  *   - records within a partition are totally ordered by offset; offsets are
+  *     assigned once and NEVER reused or renumbered — retention (prefix
+  *     truncation) and compaction (last-record-per-key) only remove records,
+  *     leaving a possibly-sparse offset sequence exactly like a compacted
+  *     Kafka topic;
   *   - a (partition, fromOffset, untilOffset) range is REPLAYABLE — the same
-  *     fetch returns the same records until retention truncates them — which
-  *     is what makes exactly-once possible downstream (checkpointed offsets +
-  *     idempotent epoch-keyed sink commits);
+  *     fetch returns the same records until retention/compaction removes
+  *     them — which is what makes exactly-once possible downstream
+  *     (checkpointed offsets + idempotent epoch-keyed sink commits);
   *   - producers choose the partition (here: hash of the key), so per-key
   *     order is preserved per partition. The engine does NOT rely on that —
-  *     its LWW merge orders by (commit_lsn, seq) — but lineage reads nicer.
+  *     its LWW merge orders by (commit_lsn, seq) — but compaction DOES:
+  *     "last record per key" is only the newest VALUE per key if the
+  *     producer publishes a key's records in version order (true of any
+  *     WAL/binlog tail).
   *
-  * Wire protocol, one UTF-8 line per message (records travel base64-encoded
-  * so payloads may contain any character, including newlines):
-  *   LATEST                      ->  "<hw0> <hw1> ... <hwP-1>"
-  *   FETCH <part> <from> <until> ->  one base64 line per record, then "END"
-  *   PUBLISH <part> <base64>     ->  "<assigned offset>"
-  *   QUIT                        ->  connection close
+  * Wire protocol, one UTF-8 line per message (keys/records travel
+  * base64-encoded so payloads may contain any character):
+  *   LATEST                       ->  "<hw0> <hw1> ... <hwP-1>"
+  *   EARLIEST                     ->  "<start0> <start1> ... <startP-1>"
+  *   FETCH <part> <from> <until>  ->  one "<offset> <base64>" line per
+  *                                    surviving record, then "END"; or one
+  *                                    "ERR ..." line when the range starts
+  *                                    below log-start (retention truncated
+  *                                    it) or ends past the high-water
+  *   PUBLISH <part> <b64value>            ->  "<assigned offset>" (unkeyed)
+  *   PUBLISH <part> <b64key> <b64value>   ->  "<assigned offset>" (keyed)
+  *   TRUNCATE <part> <newStart>   ->  "<new log-start>" (retention: drops
+  *                                    the prefix below newStart)
+  *   COMPACT <part>               ->  "<surviving record count>" (keeps the
+  *                                    highest-offset record per key; unkeyed
+  *                                    records always survive)
+  *   QUIT                         ->  connection close
   *
   * Reference analog: the reference polls a REST/file snapshot feed
   * (/root/reference/etl/fact_changed.py:851-875) with no offset semantics —
@@ -41,9 +59,23 @@ import scala.collection.mutable.ArrayBuffer
 final class BinlogServer(val partitions: Int, host: String = null) {
   require(partitions > 0, "partitions must be positive")
 
+  /** One stored record. Payload (and key) are raw BYTES, not Strings: a
+    * 6M-record in-process log as base64 Strings costs ~3x the payload in
+    * heap (UTF-16 chars + object headers) and turns the co-resident Spark
+    * session into a GC fight; bytes are what a real broker stores. Base64
+    * framing happens at the wire (PUBLISH decodes, FETCH encodes — cheap
+    * vs the socket write). `key` is null for unkeyed records. */
+  private final case class Rec(offset: Long, key: String, payload: Array[Byte])
+
   private val bindAddr =
     if (host == null) InetAddress.getLoopbackAddress else InetAddress.getByName(host)
-  private val logs = Array.fill(partitions)(new ArrayBuffer[String])
+  /** Per-partition records in strictly increasing offset order (sparse
+    * after compaction). */
+  private val logs = Array.fill(partitions)(new ArrayBuffer[Rec])
+  /** Per-partition next offset to assign (high-water mark). */
+  private val nextOffset = Array.fill(partitions)(0L)
+  /** Per-partition first retained offset (Kafka's log-start-offset). */
+  private val logStart = Array.fill(partitions)(0L)
   private val server = new ServerSocket(0, 64, bindAddr)
   @volatile private var running = true
   /** Total records served by FETCH since start — lets tests assert each
@@ -53,17 +85,72 @@ final class BinlogServer(val partitions: Int, host: String = null) {
   def port: Int = server.getLocalPort
   def address: String = bindAddr.getHostAddress
 
-  /** Append one record (producer-side, in-process). Returns its offset. */
-  def append(partition: Int, record: String): Long = {
+  /** Append one unkeyed record (producer-side, in-process). */
+  def append(partition: Int, record: String): Long =
+    append(partition, null, record)
+
+  /** Append one record with a compaction key. Returns its offset. */
+  def append(partition: Int, key: String, record: String): Long = {
     val log = logs(partition)
     log.synchronized {
-      log += Base64.getEncoder.encodeToString(record.getBytes(StandardCharsets.UTF_8))
-      (log.size - 1).toLong
+      val off = nextOffset(partition)
+      log += Rec(off, key, record.getBytes(StandardCharsets.UTF_8))
+      nextOffset(partition) = off + 1
+      off
     }
   }
 
   /** Per-partition high-water marks (next offset to be assigned). */
-  def latest: Array[Long] = logs.map(l => l.synchronized(l.size.toLong))
+  def latest: Array[Long] =
+    logs.indices.toArray.map(p => logs(p).synchronized(nextOffset(p)))
+
+  /** Per-partition first retained offsets (log-start). */
+  def earliest: Array[Long] =
+    logs.indices.toArray.map(p => logs(p).synchronized(logStart(p)))
+
+  /** Retention enforcement: drop every record of `partition` below
+    * `newStart` (clamped to [logStart, high-water]). Surviving record
+    * offsets do not change, and appends continue from the same high-water
+    * mark. Returns the new log-start. */
+  def truncate(partition: Int, newStart: Long): Long = {
+    val log = logs(partition)
+    log.synchronized {
+      val clamped = math.max(logStart(partition),
+        math.min(newStart, nextOffset(partition)))
+      val drop = lowerBound(log, clamped)
+      if (drop > 0) log.remove(0, drop)
+      logStart(partition) = clamped
+      logStart(partition)
+    }
+  }
+
+  /** Log compaction: keep only the highest-offset record per key (unkeyed
+    * records always survive), offsets and order preserved — the log becomes
+    * SPARSE, like a compacted Kafka topic. log-start and high-water are
+    * unchanged, so consumers' checkpoints stay valid; a fetch of a range
+    * whose interior was compacted away simply returns fewer records.
+    * Returns the surviving record count. */
+  def compact(partition: Int): Int = {
+    val log = logs(partition)
+    log.synchronized {
+      val lastPerKey = new java.util.HashMap[String, Long]
+      log.foreach(r => if (r.key != null) lastPerKey.put(r.key, r.offset))
+      val kept = log.filter(r => r.key == null || lastPerKey.get(r.key) == r.offset)
+      log.clear()
+      log ++= kept
+      log.size
+    }
+  }
+
+  /** Index of the first record with offset >= target (records are sorted). */
+  private def lowerBound(log: ArrayBuffer[Rec], target: Long): Int = {
+    var lo = 0; var hi = log.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (log(mid).offset < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -95,18 +182,47 @@ final class BinlogServer(val partitions: Int, host: String = null) {
           case "FETCH" =>
             val (p, from, until) = (parts(1).toInt, parts(2).toLong, parts(3).toLong)
             val log = logs(p)
-            val slice = log.synchronized {
-              require(until <= log.size, s"fetch past high-water: $until > ${log.size}")
-              log.slice(from.toInt, until.toInt).toVector
+            // Either an ERR line or the records — never both, so the client
+            // can treat the first line as the verdict.
+            val sliceOrErr = log.synchronized {
+              if (from < logStart(p))
+                Left(s"ERR truncated: partition $p starts at ${logStart(p)}, fetch from $from")
+              else if (until > nextOffset(p))
+                Left(s"ERR past high-water: partition $p ends at ${nextOffset(p)}, fetch until $until")
+              else Right(log.view.slice(lowerBound(log, from), lowerBound(log, until)).toVector)
             }
-            slice.foreach { rec => out.write(rec); out.newLine() }
-            out.write("END"); out.newLine(); out.flush()
-            synchronized { recordsServed += slice.size }
+            sliceOrErr match {
+              case Left(err) =>
+                out.write(err); out.newLine(); out.flush()
+              case Right(slice) =>
+                slice.foreach { rec =>
+                  out.write(rec.offset.toString); out.write(' ')
+                  out.write(Base64.getEncoder.encodeToString(rec.payload)); out.newLine()
+                }
+                out.write("END"); out.newLine(); out.flush()
+                synchronized { recordsServed += slice.size }
+            }
+          case "EARLIEST" =>
+            out.write(earliest.mkString(" ")); out.newLine(); out.flush()
+          case "TRUNCATE" =>
+            out.write(truncate(parts(1).toInt, parts(2).toLong).toString)
+            out.newLine(); out.flush()
+          case "COMPACT" =>
+            out.write(compact(parts(1).toInt).toString)
+            out.newLine(); out.flush()
           case "PUBLISH" =>
-            val off = logs(parts(1).toInt).synchronized {
-              val log = logs(parts(1).toInt)
-              log += parts(2)
-              (log.size - 1).toLong
+            val p = parts(1).toInt
+            // 3 parts = unkeyed value; 4 parts = (key, value)
+            val (key, value) =
+              if (parts.length >= 4)
+                (new String(Base64.getDecoder.decode(parts(2)), StandardCharsets.UTF_8), parts(3))
+              else (null: String, parts(2))
+            val off = logs(p).synchronized {
+              val log = logs(p)
+              val o = nextOffset(p)
+              log += Rec(o, key, Base64.getDecoder.decode(value))
+              nextOffset(p) = o + 1
+              o
             }
             out.write(off.toString); out.newLine(); out.flush()
           case "QUIT" =>
@@ -146,27 +262,59 @@ final class BinlogClient(host: String, port: Int) extends AutoCloseable {
     in.readLine().split(" ").filter(_.nonEmpty).map(_.toLong)
   }
 
-  /** Stream the records of [from, until) lazily — the reader pulls rows off
-    * the socket as Spark consumes them, never materializing the range. */
-  def fetch(partition: Int, from: Long, until: Long): Iterator[String] = {
+  def earliest(): Array[Long] = {
+    send("EARLIEST")
+    in.readLine().split(" ").filter(_.nonEmpty).map(_.toLong)
+  }
+
+  def truncate(partition: Int, newStart: Long): Long = {
+    send(s"TRUNCATE $partition $newStart")
+    in.readLine().toLong
+  }
+
+  def compact(partition: Int): Int = {
+    send(s"COMPACT $partition")
+    in.readLine().toInt
+  }
+
+  /** Stream the surviving records of [from, until) lazily as
+    * (offset, payload) — the reader pulls rows off the socket as Spark
+    * consumes them, never materializing the range. Offsets are explicit on
+    * the wire because compaction leaves gaps. Throws IllegalStateException
+    * if the server reports the range truncated (below log-start) or past
+    * the high-water mark — the Kafka offset-out-of-range analog, surfaced
+    * loudly rather than as silent data loss. */
+  def fetch(partition: Int, from: Long, until: Long): Iterator[(Long, String)] = {
     send(s"FETCH $partition $from $until")
-    new Iterator[String] {
+    new Iterator[(Long, String)] {
       private var nextLine: String = advance()
       private def advance(): String = {
         val l = in.readLine()
+        if (l != null && l.startsWith("ERR "))
+          throw new IllegalStateException(s"binlog fetch failed: ${l.drop(4)}")
         if (l == null || l == "END") null else l
       }
       def hasNext: Boolean = nextLine != null
-      def next(): String = {
-        val r = new String(Base64.getDecoder.decode(nextLine), StandardCharsets.UTF_8)
+      def next(): (Long, String) = {
+        val sp = nextLine.indexOf(' ')
+        val off = nextLine.substring(0, sp).toLong
+        val r = new String(Base64.getDecoder.decode(nextLine.substring(sp + 1)),
+          StandardCharsets.UTF_8)
         nextLine = advance()
-        r
+        (off, r)
       }
     }
   }
 
   def publish(partition: Int, record: String): Long = {
     send(s"PUBLISH $partition " +
+      Base64.getEncoder.encodeToString(record.getBytes(StandardCharsets.UTF_8)))
+    in.readLine().toLong
+  }
+
+  def publish(partition: Int, key: String, record: String): Long = {
+    send(s"PUBLISH $partition " +
+      Base64.getEncoder.encodeToString(key.getBytes(StandardCharsets.UTF_8)) + " " +
       Base64.getEncoder.encodeToString(record.getBytes(StandardCharsets.UTF_8)))
     in.readLine().toLong
   }

@@ -126,8 +126,11 @@ private[binlog] final class BinlogMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = withClient(_.latest())
 
+  /** New streams start at the EARLIEST retained offsets (Kafka's
+    * startingOffsets=earliest): a log whose prefix retention already
+    * truncated must not be addressed from 0. */
   override def initialOffset(): Offset =
-    BinlogOffset(Array.fill(withClient(_.latest()).length)(0L))
+    BinlogOffset(withClient(_.earliest()))
 
   override def deserializeOffset(json: String): Offset = BinlogOffset.parse(json)
 
@@ -146,13 +149,26 @@ private[binlog] final class BinlogMicroBatchStream(
     // partition count only if the server changed shape — refuse loudly.
     require(headRaw.length == from.length,
       s"binlog partition count changed: offset has ${from.length}, server has ${headRaw.length}")
+    // Fail-fast data-loss check (Kafka's failOnDataLoss=true): a checkpoint
+    // below the log-start means retention ran past the consumer — silently
+    // skipping ahead would drop committed-but-unapplied changes.
+    val earliestNow = withClient(_.earliest())
+    from.indices.foreach { p =>
+      if (from(p) < earliestNow(p))
+        throw new IllegalStateException(
+          s"binlog data loss: checkpoint has partition $p at ${from(p)} but the " +
+            s"log now starts at ${earliestNow(p)} — retention truncated past the " +
+            "checkpoint; reset the checkpoint or slow retention")
+    }
     val head = headRaw.clone()
     limit match {
       case rows: ReadMaxRows =>
         // Proportional admission: cap total new records at maxRows,
         // allocating each partition its share of the backlog (Kafka's
         // maxOffsetsPerTrigger policy). Guarantees progress: any nonempty
-        // backlog admits at least one record.
+        // backlog admits at least one record. Like Kafka's, the budget is
+        // in OFFSETS — on a compacted log the admitted row count can be
+        // smaller than the offset span (gaps fetch nothing).
         val backlog = from.indices.map(i => head(i) - from(i))
         val total = backlog.sum
         val max = rows.maxRows()
@@ -188,13 +204,14 @@ private[binlog] final class BinlogMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Bounded (batch) read: snapshot of [0, latest) at scan time. */
+/** Bounded (batch) read: snapshot of [earliest, latest) at scan time. */
 private[binlog] final class BinlogBatch(host: String, port: Int) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val c = new BinlogClient(host, port)
-    val head = try c.latest() finally c.close()
+    val (start, head) = try (c.earliest(), c.latest()) finally c.close()
     head.indices.collect {
-      case p if head(p) > 0 => BinlogInputPartition(host, port, p, 0L, head(p))
+      case p if head(p) > start(p) =>
+        BinlogInputPartition(host, port, p, start(p), head(p))
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = BinlogReaderFactory
@@ -206,15 +223,15 @@ private[binlog] object BinlogReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val client = new BinlogClient(p.host, p.port)
       private val records = client.fetch(p.partition, p.from, p.until)
-      private var offset = p.from
       private var current: InternalRow = _
 
       override def next(): Boolean = {
         if (!records.hasNext) return false
-        val rec = records.next()
+        // offsets come from the server: compaction leaves gaps, so the
+        // position in the range is NOT the offset
+        val (offset, rec) = records.next()
         current = new GenericInternalRow(
           Array[Any](p.partition, offset, UTF8String.fromString(rec)))
-        offset += 1
         true
       }
       override def get(): InternalRow = current

@@ -111,4 +111,151 @@ class BinlogSourceSpec extends AnyFunSuite {
       } finally client.close()
     } finally server.stop()
   }
+
+  test("retention: offsets stay stable across truncation; out-of-range reads fail loudly") {
+    val server = new BinlogServer(1)
+    try {
+      (0 until 10).foreach(i => server.append(0, s"r$i"))
+      assert(server.truncate(0, 4) === 4L)
+      assert(server.earliest.toSeq === Seq(4L) && server.latest.toSeq === Seq(10L))
+      // appended offsets continue from the same high-water mark
+      assert(server.append(0, "r10") === 10L)
+
+      val client = new BinlogClient(server.address, server.port)
+      try {
+        assert(client.earliest().toSeq === Seq(4L))
+        // surviving records keep their pre-truncation offsets
+        assert(client.fetch(0, 4, 6).toSeq === Seq((4L, "r4"), (5L, "r5")))
+        // below log-start and past high-water both refuse, not return garbage
+        assert(intercept[IllegalStateException](client.fetch(0, 3, 6).toSeq)
+          .getMessage.contains("truncated"))
+        assert(intercept[IllegalStateException](client.fetch(0, 9, 12).toSeq)
+          .getMessage.contains("high-water"))
+        // remote retention enforcement + clamping to the high-water mark
+        assert(client.truncate(0, 99) === 11L)
+      } finally client.close()
+
+      // batch read of a truncated (now empty) log plans zero partitions
+      assert(spark.read.format("cdc-binlog")
+        .option("host", server.address).option("port", server.port)
+        .load().count() === 0L)
+    } finally server.stop()
+  }
+
+  test("compaction keeps the last record per key at its original offset; the log goes sparse") {
+    val server = new BinlogServer(1)
+    try {
+      server.append(0, "k1", "v1a") // 0
+      server.append(0, "k2", "v2a") // 1
+      server.append(0, null, "unkeyed") // 2 — must always survive
+      server.append(0, "k1", "v1b") // 3
+      server.append(0, "k2", "v2b") // 4
+      server.append(0, "k1", "v1c") // 5
+      assert(server.compact(0) === 3) // unkeyed@2, v2b@4, v1c@5 survive
+      assert(server.earliest.toSeq === Seq(0L) && server.latest.toSeq === Seq(6L))
+
+      val client = new BinlogClient(server.address, server.port)
+      try {
+        // survivors keep their pre-compaction offsets; the interior is sparse
+        assert(client.fetch(0, 0, 6).toSeq ===
+          Seq((2L, "unkeyed"), (4L, "v2b"), (5L, "v1c")))
+        // a range whose interior was fully compacted away returns empty, not error
+        assert(client.fetch(0, 0, 2).toSeq === Seq.empty)
+        // keyed publish over the socket; appends continue past compaction
+        assert(client.publish(0, "k2", "v2c") === 6L)
+        assert(client.compact(0) === 3) // v2b loses to v2c; unkeyed/v1c keep
+        assert(client.fetch(0, 4, 7).toSeq === Seq((5L, "v1c"), (6L, "v2c")))
+      } finally client.close()
+    } finally server.stop()
+  }
+
+  test("compacted-log replay equals full-log replay (LWW merge over a compacted topic)") {
+    import spark.implicits._
+    val work = SparkTestBase.tmpDir("binlog-compact")
+    val server = new BinlogServer(PARTS)
+    try {
+      // Full-row events only (no carry-forward nulls except tombstones):
+      // compaction keeps just the last record per key, so any state an
+      // earlier record carried exclusively would be lost — exactly why
+      // Debezium topics carry full-row images. Published keyed by (repo,
+      // path) in (commit_lsn, seq) order, the WAL order a producer has.
+      val ev = Synth.events(spark, 4000L, seed = 55, repos = 12, pathsPerRepo = 30)
+        .filter(col("op") === "D" ||
+          (col("commit").isNotNull && col("lang").isNotNull && col("content").isNotNull))
+      val rows = ev.select(
+          (org.apache.spark.sql.functions.abs(
+            org.apache.spark.sql.functions.hash(col("repo"), col("path"))) % PARTS).as("p"),
+          org.apache.spark.sql.functions.concat_ws("|", col("repo"), col("path")).as("k"),
+          to_json(struct(ev.columns.map(col): _*)).as("j"),
+          col("commit_lsn"), col("seq"))
+        .orderBy(col("commit_lsn"), col("seq"))
+        .select(col("p"), col("k"), col("j")).as[(Int, String, String)].collect()
+      rows.foreach { case (p, k, j) => server.append(p, k, j) }
+
+      def drain(dir: String): Map[(String, String), (Long, String)] = {
+        val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
+        val e = new CdcEngine(spark, t, EngineConf(buckets = 8))
+        CdcStream.runBinlogAvailableNow(spark, e, server.address, server.port, s"$dir/ckpt")
+        e.currentState().collect().map { r =>
+          (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path"))) ->
+            (r.getLong(r.fieldIndex("_lsn")),
+              if (r.isNullAt(r.fieldIndex("content"))) null
+              else r.getString(r.fieldIndex("content")))
+        }.toMap
+      }
+
+      val full = drain(s"$work/full")
+      val before = (0 until PARTS).map(p => server.latest(p) - server.earliest(p)).sum
+      (0 until PARTS).foreach(p => server.compact(p))
+      val after = (0 until PARTS).map(p => p -> server.compact(p)).map(_._2.toLong).sum
+      assert(after < before, "compaction must drop superseded records")
+
+      val compacted = drain(s"$work/compacted")
+      assert(compacted === full,
+        "replaying the compacted log must reproduce the full-log state")
+    } finally server.stop()
+  }
+
+  test("streams start at earliest after truncation; a checkpoint below log-start fails fast") {
+    val work = SparkTestBase.tmpDir("binlog-ret")
+    val server = new BinlogServer(PARTS)
+    try {
+      val all = eventsAsJson(1200L)
+      publish(server, all.take(800))
+
+      // Drain wave 1, then retention truncates a prefix of every partition.
+      val table = IceliteTable.create(s"$work/t", Seq("repo", "path"), 8)
+      val engine = new CdcEngine(spark, table, EngineConf(buckets = 8))
+      CdcStream.runBinlogAvailableNow(spark, engine, server.address, server.port, s"$work/ckpt")
+      val applied = engine.currentState().count()
+      (0 until PARTS).foreach(p => server.truncate(p, server.latest(p) / 2))
+
+      // The consumer's checkpoint is AT the high-water mark (>= log-start),
+      // so resume after publishing more is unaffected by the truncation.
+      publish(server, all.drop(800))
+      CdcStream.runBinlogAvailableNow(spark, engine, server.address, server.port, s"$work/ckpt")
+      assert(engine.currentState().count() >= applied)
+
+      // A FRESH stream must start at earliest (not 0): it drains without an
+      // out-of-range fetch and sees only the retained suffix.
+      val t2 = IceliteTable.create(s"$work/t2", Seq("repo", "path"), 8)
+      val e2 = new CdcEngine(spark, t2, EngineConf(buckets = 8))
+      val servedBefore = server.recordsServed
+      CdcStream.runBinlogAvailableNow(spark, e2, server.address, server.port, s"$work/ckpt2")
+      val retained = (0 until PARTS).map(p => server.latest(p) - server.earliest(p)).sum
+      assert(server.recordsServed - servedBefore === retained,
+        "fresh stream must fetch exactly the retained records")
+
+      // Truncate PAST the first consumer's checkpoint: resuming must fail
+      // with the data-loss message, not silently skip the gap.
+      publish(server, all.take(10)) // ensure there is new input to trigger a batch
+      (0 until PARTS).foreach(p => server.truncate(p, server.latest(p)))
+      val err = intercept[Exception] {
+        CdcStream.runBinlogAvailableNow(spark, e2, server.address, server.port, s"$work/ckpt2")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("data loss")), s"got: ${messages(err)}")
+    } finally server.stop()
+  }
 }
