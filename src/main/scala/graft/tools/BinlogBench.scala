@@ -1,0 +1,129 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.engine.{CdcEngine, EngineConf}
+import graft.icelite.IceliteTable
+import graft.streaming.CdcStream
+import graft.streaming.binlog.BinlogServer
+import graft.synth.Synth
+
+/** Network-ingest twin of [[ScalingBench]]: the same two-parallelism-level
+  * protocol, but the events arrive through the `cdc-binlog` TCP source
+  * (fetch → base64 decode → `from_json` parse → MERGE) instead of parquet
+  * replay — i.e. the full CDC INGEST path a production tail exercises, with
+  * Structured Streaming's offset checkpointing and admission control in the
+  * loop. Events are published once to an in-process [[BinlogServer]]; both
+  * levels tail the SAME offsets (the ranges are replayable by contract, each
+  * level under its own checkpoint), so the input is byte-identical.
+  *
+  * Run: sbt "runMain graft.tools.BinlogBench [nEvents] [nBatches] [out.md]"
+  * Defaults: 2,000,000 events, 8 micro-batches (admission-controlled),
+  * BENCH.md appended. SPARK_GRAFT_LEVELS / SPARK_GRAFT_TRIALS as in
+  * ScalingBench.
+  */
+object BinlogBench {
+
+  private val PARTS = 16 // log partitions = max fetch concurrency
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val k = args.lift(1).map(_.toInt).getOrElse(8)
+    val outMd = args.lift(2).getOrElse("BENCH.md")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val levelCores = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val work = ScalingBench.workRoot()
+
+    // Publish ONCE (deterministic, seed=42): producer-side partitioning by
+    // key hash, exactly what a CDC producer does. The publish is driver-side
+    // and excluded from all timings. A small seed=7 log warms codegen.
+    val server = new BinlogServer(PARTS)
+    val warmServer = new BinlogServer(PARTS)
+    locally {
+      val s = ScalingBench.session(32, s"$work/tmp-gen")
+      import org.apache.spark.sql.functions.{abs, col, hash, struct, to_json}
+      def publish(srv: BinlogServer, events: org.apache.spark.sql.DataFrame): Long = {
+        val it = events.select(
+            (abs(hash(col("repo"), col("path"))) % PARTS).as("p"),
+            to_json(struct(events.columns.map(col): _*)).as("j"))
+          .orderBy(col("p"), col("j")) // deterministic publish order
+          .toLocalIterator()
+        var c = 0L
+        while (it.hasNext) { val r = it.next(); srv.append(r.getInt(0), r.getString(1)); c += 1 }
+        c
+      }
+      publish(server, Synth.events(s, n, seed = 42, repos = 200,
+        pathsPerRepo = 2000, hotPct = 30, parts = 64))
+      publish(warmServer, Synth.events(s, 50000, seed = 7, repos = 200,
+        pathsPerRepo = 2000, hotPct = 30, parts = 16))
+      s.stop()
+    }
+
+    // machine ceiling at the same pair (see ScalingBench.calibrate)
+    ScalingBench.calibrate(levelCores.last) // warm the JIT
+    val calib = levelCores.map(c => c -> ScalingBench.calibrate(c)).toMap
+    val ceiling = (calib(levelCores.head) / calib(levelCores.last)) /
+      (levelCores.last.toDouble / levelCores.head)
+    println(f"  machine pure-CPU ceiling ${levelCores.head}->${levelCores.last}: " +
+      f"efficiency $ceiling%.2f")
+
+    val perTrigger = (n + k - 1) / k // admission control -> ~k micro-batches
+
+    def ingest(spark: org.apache.spark.sql.SparkSession, srv: BinlogServer,
+        tableDir: String, ckpt: String, maxPerTrigger: Long): Double = {
+      val table = IceliteTable.create(tableDir, Seq("repo", "path"), buckets = 64)
+      val engine = new CdcEngine(spark, table, EngineConf(buckets = 64))
+      val t0 = System.nanoTime()
+      CdcStream.runBinlogAvailableNow(spark, engine, srv.address, srv.port,
+        ckpt, maxRecordsPerTrigger = maxPerTrigger)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val levels = levelCores.map { cores =>
+      val s = ScalingBench.session(cores, s"$work/tmp-$cores")
+      ingest(s, warmServer, s"$work/warm-$cores", s"$work/warmckpt-$cores", 50000)
+      val secs = (1 to trials).map { t =>
+        val sec = ingest(s, server, s"$work/table-$cores-$t",
+          s"$work/ckpt-$cores-$t", perTrigger)
+        println(f"  local[$cores] trial $t: $sec%.1fs")
+        sec
+      }.min
+      s.stop()
+      ScalingBench.Level(cores, secs, n / secs)
+    }
+    val small = levels.head; val big = levels.last
+    val speedup = small.seconds / big.seconds
+    val eff = speedup / (big.cores.toDouble / small.cores)
+    val json =
+      s"""{"metric":"binlog_ingest_scaling","events":$n,"batches":$k,"partitions":$PARTS,""" +
+        levels.map(l => s""""local${l.cores}_sec":${f"${l.seconds}%.2f"},"local${l.cores}_eps":${f"${l.eventsPerSec}%.0f"}""").mkString(",") +
+        s""","speedup":${f"$speedup%.3f"},"efficiency":${f"$eff%.3f"},"machine_ceiling":${f"$ceiling%.3f"}}"""
+    println(json)
+    val md =
+      s"""
+         |## Binlog (network) ingest scaling — measured ${java.time.LocalDate.now()}
+         |
+         |Same deterministic event stream (seed=42, ${n / 1000000.0}M events, 30% hot-repo
+         |skew) published once to an in-process $PARTS-partition TCP binlog server,
+         |then tailed through the `cdc-binlog` DSv2 source (socket fetch → base64 →
+         |`from_json` → MERGE, ~$k admission-controlled micro-batches, checkpointed
+         |offsets) into a fresh icelite table at two parallelism levels. Unlike the
+         |parquet-replay ScalingBench this times the full NETWORK ingest path.
+         |
+         || level | wall s | events/sec |
+         ||---|---|---|
+         || local[${small.cores}] | ${f"${small.seconds}%.1f"} | ${f"${small.eventsPerSec}%,.0f"} |
+         || local[${big.cores}] | ${f"${big.seconds}%.1f"} | ${f"${big.eventsPerSec}%,.0f"} |
+         |
+         |Speedup ${f"$speedup%.2f"}x over a ${big.cores / small.cores}x core increase ⇒
+         |**scaling efficiency ${f"$eff%.2f"}** (machine ceiling ${f"$ceiling%.2f"}).
+         |Note the single-process server serializes all partitions through one
+         |loopback NIC and one JVM — a real broker adds brokers with executors.
+         |""".stripMargin
+    Files.writeString(Paths.get(outMd), md,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    server.stop(); warmServer.stop()
+    ScalingBench.deleteRecursivelyPublic(Paths.get(work))
+  }
+}

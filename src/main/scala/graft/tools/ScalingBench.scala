@@ -208,6 +208,10 @@ object ScalingBench {
 
   private def log(s: String): Unit = println(s)
 
+  /** Shared with BinlogBench. */
+  private[tools] def deleteRecursivelyPublic(p: java.nio.file.Path): Unit =
+    deleteRecursively(p)
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
       val stream = Files.walk(p)
