@@ -98,6 +98,31 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodec.sampleFrames(bytes.take(10), 1))
   }
 
+  // ---- randomized round trips (seeded, so failures replay) ----
+
+  test("property: BMP encode->decode is identity for random dims and pixels") {
+    val rnd = new scala.util.Random(4711)
+    for (_ <- 0 until 50) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val img = decodeBmp(encodeBmp(w, h, (x, y) => px(y * w + x)))
+      assert(img.width == w && img.height == h && img.gray.toSeq == px.toSeq,
+        s"mismatch at ${w}x$h")
+    }
+  }
+
+  test("property: WAV encode->decode is identity for random rates/channels/samples") {
+    val rnd = new scala.util.Random(1337)
+    for (_ <- 0 until 50) {
+      val rate = 1 + rnd.nextInt(96000)
+      val ch = 1 + rnd.nextInt(4)
+      val samples = Array.fill(ch * (1 + rnd.nextInt(500)))(rnd.nextInt().toShort)
+      val a = decodeWav(encodeWavPcm16(rate, ch, samples))
+      assert(a.sampleRate == rate && a.channels == ch &&
+        a.samples.toSeq == samples.toSeq)
+    }
+  }
+
   // ---- Spark pipelines (q69/q70) ----
 
   test("q69 image pipeline: decoded features match the closed form") {

@@ -19,6 +19,10 @@ class QueriesSpec extends AnyFunSuite {
     for ((name, fn) <- SparkEntry.queries) {
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
+      // per-query caches end with the query — the same discipline Verify
+      // and Bench apply (q42/q54/q55 deliberately cache one shared plan;
+      // without this, the later ones log re-cache warnings)
+      spark.sharedState.cacheManager.clearCache()
     }
   }
 
