@@ -27,6 +27,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"), "scan reads columns the query never uses")
   }
 
+  test("q69/q70 media decode: the scan is pruned to the two driver columns") {
+    // The typed mapPartitions decode stage sits behind a select of
+    // (doc_id, n_chars) — at 100 TB the difference between reading 2 of 5
+    // columns and all 5 (incl. the fat `text`) is the whole scan budget.
+    for (q <- Seq("q69_media_image", "q70_media_audio")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema"), s"$q plan lacks a parquet scan")
+      assert(!p.contains("text"), s"$q scan reads `text`, which it never uses:\n$p")
+      assert(!p.contains("lang") && !p.contains("source"),
+        s"$q scan reads unused metadata columns")
+    }
+  }
+
   test("q03: star-schema dims are broadcast, not shuffled") {
     val p = plan("q03_star_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
