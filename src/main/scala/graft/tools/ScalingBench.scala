@@ -112,6 +112,24 @@ object ScalingBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Generate ONCE (deterministic, seed=42), pre-split by micro-batch
+    * (directory per batch = binlog offset range), so both levels replay
+    * byte-identical input. Also writes a tiny warmup log (`warmevents`)
+    * that compiles the codegen. */
+  def generate(work: String, n: Long, k: Int): Unit = {
+    val per = (n + k - 1) / k
+    val s = session(32, s"$work/tmp-gen")
+    import org.apache.spark.sql.functions.{col, floor}
+    Synth.events(s, n, seed = 42, repos = 200, pathsPerRepo = 2000, hotPct = 30, parts = 64)
+      .withColumn("__batch", floor(col("commit_lsn") / per))
+      .repartition(64, col("__batch"), col("commit_lsn"))
+      .write.partitionBy("__batch").parquet(s"$work/events")
+    Synth.events(s, 100000, seed = 7, repos = 200, pathsPerRepo = 2000, hotPct = 30, parts = 16)
+      .withColumn("__batch", floor(col("commit_lsn") / 100000))
+      .write.partitionBy("__batch").parquet(s"$work/warmevents")
+    s.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(4000000L)
     val k = args.lift(1).map(_.toInt).getOrElse(8)
@@ -119,23 +137,7 @@ object ScalingBench {
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
     val work = workRoot()
     val input = s"$work/events"
-
-    // Generate ONCE (deterministic, seed=42), pre-split by micro-batch
-    // (directory per batch = binlog offset range), so both levels replay
-    // byte-identical input. A separate tiny warmup log compiles the codegen.
-    val per = (n + k - 1) / k
-    locally {
-      val s = session(32, s"$work/tmp-gen")
-      import org.apache.spark.sql.functions.{col, floor}
-      Synth.events(s, n, seed = 42, repos = 200, pathsPerRepo = 2000, hotPct = 30, parts = 64)
-        .withColumn("__batch", floor(col("commit_lsn") / per))
-        .repartition(64, col("__batch"), col("commit_lsn"))
-        .write.partitionBy("__batch").parquet(input)
-      Synth.events(s, 100000, seed = 7, repos = 200, pathsPerRepo = 2000, hotPct = 30, parts = 16)
-        .withColumn("__batch", floor(col("commit_lsn") / 100000))
-        .write.partitionBy("__batch").parquet(s"$work/warmevents")
-      s.stop()
-    }
+    generate(work, n, k)
 
     // parallelism pair: N and 4N. Default 4→16: this VM's 32 vCPUs deliver
     // only ~15 effective cores (see calibrate()), so 8→32 is hardware-capped

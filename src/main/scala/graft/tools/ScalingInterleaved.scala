@@ -1,0 +1,96 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Drift-proof variant of [[ScalingBench]]: the sequential protocol (all
+  * local[N] trials, then all local[4N]) is structurally vulnerable to this
+  * sandbox's host swings — if the machine's effective capacity changes
+  * between the two phases, the ratio measures the HOST's drift, not the
+  * engine's scaling (observed both directions: a 0.26 "efficiency" from a
+  * degraded 4N phase, and a meaningless 1.33 super-linear one from a
+  * degraded N phase). Here each ROUND runs calibrate(N), calibrate(4N),
+  * replay(N), replay(4N) back-to-back (~3-5 min of adjacency instead of
+  * ~15), emits its own JSON line with its own machine ceiling, and the
+  * summary reports the round with the highest ceiling — the sample taken
+  * in the healthiest, most self-consistent window.
+  *
+  * Run: sbt "runMain graft.tools.ScalingInterleaved [nEvents] [nBatches]
+  * [rounds] [out.md]". Defaults: 16M, 4, 3 rounds, BENCH.md appended.
+  * SPARK_GRAFT_LEVELS as in ScalingBench.
+  */
+object ScalingInterleaved {
+
+  case class Round(idx: Int, ceiling: Double, smallSec: Double, bigSec: Double) {
+    def speedup: Double = smallSec / bigSec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(16000000L)
+    val k = args.lift(1).map(_.toInt).getOrElse(4)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val outMd = args.lift(3).getOrElse("BENCH.md")
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val (nc, bc) = (levels.head, levels.last)
+    val factor = bc.toDouble / nc
+    val work = ScalingBench.workRoot()
+    ScalingBench.generate(work, n, k)
+    ScalingBench.calibrate(bc) // JIT warm
+
+    val results = (1 to rounds).map { r =>
+      val ceil = (ScalingBench.calibrate(nc) / ScalingBench.calibrate(bc)) / factor
+      val sSmall = {
+        val s = ScalingBench.session(nc, s"$work/tmp-$nc-$r")
+        ScalingBench.replay(s, s"$work/warmevents", s"$work/warm-$nc-$r", 1)
+        val t = ScalingBench.replay(s, s"$work/events", s"$work/table-$nc-$r", k)
+        s.stop(); t
+      }
+      val sBig = {
+        val s = ScalingBench.session(bc, s"$work/tmp-$bc-$r")
+        ScalingBench.replay(s, s"$work/warmevents", s"$work/warm-$bc-$r", 1)
+        val t = ScalingBench.replay(s, s"$work/events", s"$work/table-$bc-$r", k)
+        s.stop(); t
+      }
+      val round = Round(r, ceil, sSmall, sBig)
+      println(f"""{"metric":"cdc_scaling_round","round":$r,"ceiling":$ceil%.3f,""" +
+        f""""local${nc}_sec":$sSmall%.2f,"local${bc}_sec":$sBig%.2f,""" +
+        f""""local${bc}_eps":${n / sBig}%.0f,"efficiency":${round.speedup / factor}%.3f}""")
+      round
+    }
+
+    // The healthiest self-consistent window = the round with the highest
+    // same-round ceiling. Rounds whose ratio exceeds the ceiling by >25%
+    // are flagged: super-linear means the host moved WITHIN the round.
+    val best = results.maxBy(_.ceiling)
+    val bestEff = best.speedup / factor
+    val consistent = bestEff <= best.ceiling / 0.8 * 1.25
+    val json =
+      f"""{"metric":"cdc_scaling_interleaved","events":$n,"batches":$k,"rounds":$rounds,""" +
+        f""""best_round":${best.idx},"best_ceiling":${best.ceiling}%.3f,""" +
+        f""""local${nc}_sec":${best.smallSec}%.2f,"local${bc}_sec":${best.bigSec}%.2f,""" +
+        f""""local${nc}_eps":${n / best.smallSec}%.0f,"local${bc}_eps":${n / best.bigSec}%.0f,""" +
+        f""""speedup":${best.speedup}%.3f,"efficiency":$bestEff%.3f,""" +
+        s""""within_round_consistent":$consistent}"""
+    println(json)
+    val md =
+      s"""
+         |## CDC replay scaling, INTERLEAVED protocol — measured ${java.time.LocalDate.now()}
+         |
+         |Same 16M-event replay as ScalingBench, but each round runs
+         |calibrate($nc), calibrate($bc), replay($nc), replay($bc) back-to-back and
+         |carries its own machine ceiling — immune to the host drifting between
+         |the N and 4N phases (which produced both a spurious 0.26 and a
+         |spurious 1.33 under the sequential protocol on this VM).
+         |
+         || round | ceiling | local[$nc] s | local[$bc] s | efficiency |
+         ||---|---|---|---|---|
+         |${results.map(r => f"| ${r.idx} | ${r.ceiling}%.2f | ${r.smallSec}%.1f | ${r.bigSec}%.1f | ${r.speedup / factor}%.2f |").mkString("\n")}
+         |
+         |Best-ceiling round: **efficiency ${f"$bestEff%.2f"} at ceiling
+         |${f"${best.ceiling}%.2f"}** (${f"${n / best.bigSec}%,.0f"} ev/s at local[$bc]).
+         |""".stripMargin
+    Files.writeString(Paths.get(outMd), md,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    ScalingBench.deleteRecursivelyPublic(Paths.get(work))
+  }
+}

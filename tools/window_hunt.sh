@@ -7,7 +7,11 @@ set -u
 cd /root/repo
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 LOG=${LOG:-/tmp/window_hunt.log}
-THRESH=${THRESH:-0.80}
+# 0.78 not 0.80: the probe mirrors ScalingBench's in-run estimator but still
+# reads slightly below it (cold-process JIT/placement); the recorded sample's
+# validity is decided by the IN-RUN ceiling anyway, so a marginal trigger
+# only costs one bounded run.
+THRESH=${THRESH:-0.78}
 POLL_S=${POLL_S:-240}
 MAX_RUNS=${MAX_RUNS:-3}
 DEADLINE_S=${DEADLINE_S:-18000}
