@@ -59,11 +59,17 @@ object ScalingInterleaved {
     }
 
     // The healthiest self-consistent window = the round with the highest
-    // same-round ceiling. Rounds whose ratio exceeds the ceiling by >25%
-    // are flagged: super-linear means the host moved WITHIN the round.
-    val best = results.maxBy(_.ceiling)
+    // same-round ceiling AMONG consistent rounds. A round whose efficiency
+    // exceeds its own ceiling by >25% is inconsistent: super-linear scaling
+    // is impossible, so the host moved WITHIN the round.
+    def isConsistent(r: Round): Boolean = r.speedup / factor <= r.ceiling * 1.25
+    val pool = results.filter(isConsistent) match {
+      case Seq() => results
+      case ok => ok
+    }
+    val best = pool.maxBy(_.ceiling)
     val bestEff = best.speedup / factor
-    val consistent = bestEff <= best.ceiling / 0.8 * 1.25
+    val consistent = isConsistent(best)
     val json =
       f"""{"metric":"cdc_scaling_interleaved","events":$n,"batches":$k,"rounds":$rounds,""" +
         f""""best_round":${best.idx},"best_ceiling":${best.ceiling}%.3f,""" +
