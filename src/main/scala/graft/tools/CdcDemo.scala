@@ -32,9 +32,33 @@ object CdcDemo {
     val ckpt = s"$work/ckpt"
     val tableDir = s"$work/table"
     val table = IceliteTable.createOrLoad(tableDir, Seq("repo", "path"), buckets = 16)
-    val engine = new CdcEngine(spark, table, EngineConf(buckets = 16))
+    val resumed = table.currentSnapshotId >= 0
+    // Adopt the table's CURRENT layout: a previous run ends with an online
+    // rebucket to 64, and a restarted tail must follow the layout it finds.
+    val engine = new CdcEngine(spark, table, EngineConf(buckets = table.currentBuckets))
 
     println(s"== work dir: $work")
+    if (resumed) {
+      // ---- RESUME probe (run on a dir a previous invocation completed):
+      // redeliver wave 1 in full — LWW must absorb the replay with zero row
+      // drift — then prove a no-input run commits nothing.
+      val preRows = engine.currentState().count()
+      println(s"== RESUME on existing table: snap=${table.currentSnapshotId} " +
+        s"buckets=${table.currentBuckets} rows=$preRows")
+      Synth.events(spark, 20000, seed = 7, repos = 50, hotPct = 40)
+        .coalesce(1).write.mode("append").parquet(input)
+      CdcStream.runAvailableNow(spark, engine, input, ckpt)
+      val postRows = engine.currentState().count()
+      val snapAfter = table.currentSnapshotId
+      CdcStream.runAvailableNow(spark, engine, input, ckpt)
+      println(s"== redelivery probe: rows $preRows -> $postRows " +
+        (if (postRows == preRows) "(unchanged, LWW absorbed the replay)" else "(BUG!)") +
+        s"; no-input re-run: snapshot $snapAfter -> ${table.currentSnapshotId}" +
+        (if (snapAfter == table.currentSnapshotId) " (no-op, exactly-once holds)"
+         else " (BUG!)"))
+      spark.stop()
+      return
+    }
     // wave 1: 20k events as two files
     val ev = Synth.events(spark, 20000, seed = 7, repos = 50, hotPct = 40)
     ev.filter("commit_lsn < 10000").coalesce(1).write.mode("append").parquet(input)

@@ -70,31 +70,42 @@ object ScalingInterleaved {
     val best = pool.maxBy(_.ceiling)
     val bestEff = best.speedup / factor
     val consistent = isConsistent(best)
+    // The CONSERVATIVE sample: the lowest-efficiency consistent round. Host
+    // drift mostly stretches the long local[N] leg, which can only FLATTER
+    // the ratio — so the minimum over consistent rounds is the defensible
+    // lower bound on the engine's true scaling.
+    val cons = pool.minBy(_.speedup)
+    val consEff = cons.speedup / factor
     val json =
       f"""{"metric":"cdc_scaling_interleaved","events":$n,"batches":$k,"rounds":$rounds,""" +
         f""""best_round":${best.idx},"best_ceiling":${best.ceiling}%.3f,""" +
         f""""local${nc}_sec":${best.smallSec}%.2f,"local${bc}_sec":${best.bigSec}%.2f,""" +
         f""""local${nc}_eps":${n / best.smallSec}%.0f,"local${bc}_eps":${n / best.bigSec}%.0f,""" +
         f""""speedup":${best.speedup}%.3f,"efficiency":$bestEff%.3f,""" +
+        f""""conservative_round":${cons.idx},"conservative_efficiency":$consEff%.3f,""" +
+        f""""conservative_ceiling":${cons.ceiling}%.3f,""" +
         s""""within_round_consistent":$consistent}"""
     println(json)
     val md =
       s"""
-         |## CDC replay scaling, INTERLEAVED protocol — measured ${java.time.LocalDate.now()}
-         |
-         |Same 16M-event replay as ScalingBench, but each round runs
-         |calibrate($nc), calibrate($bc), replay($nc), replay($bc) back-to-back and
-         |carries its own machine ceiling — immune to the host drifting between
-         |the N and 4N phases (which produced both a spurious 0.26 and a
-         |spurious 1.33 under the sequential protocol on this VM).
-         |
-         || round | ceiling | local[$nc] s | local[$bc] s | efficiency |
-         ||---|---|---|---|---|
-         |${results.map(r => f"| ${r.idx} | ${r.ceiling}%.2f | ${r.smallSec}%.1f | ${r.bigSec}%.1f | ${r.speedup / factor}%.2f |").mkString("\n")}
-         |
-         |Best-ceiling round: **efficiency ${f"$bestEff%.2f"} at ceiling
-         |${f"${best.ceiling}%.2f"}** (${f"${n / best.bigSec}%,.0f"} ev/s at local[$bc]).
-         |""".stripMargin
+         !## CDC replay scaling, INTERLEAVED protocol — measured ${java.time.LocalDate.now()}
+         !
+         !Same 16M-event replay as ScalingBench, but each round runs
+         !calibrate($nc), calibrate($bc), replay($nc), replay($bc) back-to-back and
+         !carries its own machine ceiling — immune to the host drifting between
+         !the N and 4N phases (which produced both a spurious 0.26 and a
+         !spurious 1.33 under the sequential protocol on this VM).
+         !
+         !| round | ceiling | local[$nc] s | local[$bc] s | efficiency |
+         !|---|---|---|---|---|
+         !${results.map(r => f"| ${r.idx} | ${r.ceiling}%.2f | ${r.smallSec}%.1f | ${r.bigSec}%.1f | ${r.speedup / factor}%.2f |").mkString("\n")}
+         !
+         !Best-ceiling consistent round: **efficiency ${f"$bestEff%.2f"} at ceiling
+         !${f"${best.ceiling}%.2f"}** (${f"${n / best.bigSec}%,.0f"} ev/s at local[$bc]).
+         !Conservative bound (lowest-efficiency consistent round ${cons.idx}):
+         !**efficiency ${f"$consEff%.2f"} at ceiling ${f"${cons.ceiling}%.2f"}**
+         !(${f"${n / cons.bigSec}%,.0f"} ev/s at local[$bc]).
+         !""".stripMargin('!')
     Files.writeString(Paths.get(outMd), md,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     ScalingBench.deleteRecursivelyPublic(Paths.get(work))

@@ -1,19 +1,29 @@
 #!/bin/bash
 # Poll the host's pure-CPU ceiling every POLL_S seconds; when a window reads
 # >= THRESH, immediately run the 16M-event N/4N CDC scaling protocol in that
-# window. Appends every probe and every scaling result to LOG. Stops after
-# MAX_RUNS scaling runs or DEADLINE_S seconds.
+# window — the INTERLEAVED variant (graft.tools.ScalingInterleaved), whose
+# per-round same-window ceilings make each sample self-attributing even if
+# the host drifts mid-run. Appends every probe and every scaling result to
+# LOG; scaling markdown goes to OUT_MD. While a scaling run is in flight the
+# script holds LOCK — other heavy JVM work must check it to avoid polluting
+# the measurement. Stops after MAX_RUNS scaling runs or DEADLINE_S seconds.
 set -u
 cd /root/repo
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# SparkSession outside spark-submit on JDK17 needs the module opens that
+# build.sbt injects for forked sbt runs (JavaModuleOptions.defaultModuleOptions).
+ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 LOG=${LOG:-/tmp/window_hunt.log}
+OUT_MD=${OUT_MD:-/tmp/scaling_hunt.md}
+LOCK=${LOCK:-/tmp/scaling_run.lock}
 # 0.78 not 0.80: the probe mirrors ScalingBench's in-run estimator but still
 # reads slightly below it (cold-process JIT/placement); the recorded sample's
-# validity is decided by the IN-RUN ceiling anyway, so a marginal trigger
-# only costs one bounded run.
+# validity is decided by the IN-RUN per-round ceiling anyway, so a marginal
+# trigger only costs one bounded run.
 THRESH=${THRESH:-0.78}
 POLL_S=${POLL_S:-240}
 MAX_RUNS=${MAX_RUNS:-3}
+ROUNDS=${ROUNDS:-2}
 DEADLINE_S=${DEADLINE_S:-18000}
 runs=0
 start=$(date +%s)
@@ -24,9 +34,11 @@ while true; do
   ceil=$(echo "$probe" | sed -n 's/.*"ceiling_4_16":\([0-9.]*\).*/\1/p')
   echo "$(date -u +%H:%M:%S) probe $probe" >> "$LOG"
   if [ -n "$ceil" ] && awk -v c="$ceil" -v t="$THRESH" 'BEGIN{exit !(c>=t)}'; then
-    echo "$(date -u +%H:%M:%S) HEALTHY window (ceiling $ceil) -> scaling run" >> "$LOG"
-    SPARK_GRAFT_TRIALS=2 java -Xmx96g -cp "$CP" graft.tools.ScalingBench \
-      16000000 4 /tmp/scaling_hunt.md >> "$LOG" 2>&1
+    echo "$(date -u +%H:%M:%S) HEALTHY window (ceiling $ceil) -> interleaved scaling run" >> "$LOG"
+    touch "$LOCK"
+    java $ADD_OPENS -Dspark.ui.enabled=false -Xmx96g -cp "$CP" \
+      graft.tools.ScalingInterleaved 16000000 4 "$ROUNDS" "$OUT_MD" >> "$LOG" 2>&1
+    rm -f "$LOCK"
     runs=$((runs + 1))
     [ "$runs" -ge "$MAX_RUNS" ] && { echo "$(date -u +%H:%M:%S) max runs" >> "$LOG"; break; }
   fi
