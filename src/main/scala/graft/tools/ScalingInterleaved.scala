@@ -20,8 +20,29 @@ import java.nio.file.{Files, Paths}
   */
 object ScalingInterleaved {
 
-  case class Round(idx: Int, ceiling: Double, smallSec: Double, bigSec: Double) {
+  case class Round(idx: Int, ceiling: Double, ceilingValid: Boolean,
+      smallSec: Double, bigSec: Double) {
     def speedup: Double = smallSec / bigSec
+  }
+
+  /** Per-round machine ceiling, made robust the way HostProbe is: the
+    * single-shot ScalingBench.calibrate legs are 0.1-0.5 s — far too short
+    * to be stable on this VM (observed per-round readings of 0.41 and 4.46
+    * bracketing replay legs that were themselves rock-steady). Each level
+    * here runs ~2-5 s of busy work, best-of-2 (min = fastest observed, robust
+    * to one-sided stalls), and the result is validity-checked: a pure-CPU
+    * N→4N efficiency above 1.05 is physically impossible and one below 0.05
+    * means a leg stalled outright — retry once, then mark the round's
+    * ceiling invalid rather than let a glitched 100 ms measurement pick (or
+    * veto) the reporting round. */
+  def robustCeiling(nc: Int, bc: Int, factor: Double): (Double, Boolean) = {
+    def leg(thr: Int): Double =
+      (1 to 2).map(_ => ScalingBench.calibrate(thr, units = 256)).min
+    def once(): Double = (leg(nc) / leg(bc)) / factor
+    def plausible(c: Double): Boolean = c > 0.05 && c <= 1.05
+    val first = once()
+    if (plausible(first)) (first, true)
+    else { val second = once(); (second, plausible(second)) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -38,7 +59,7 @@ object ScalingInterleaved {
     ScalingBench.calibrate(bc) // JIT warm
 
     val results = (1 to rounds).map { r =>
-      val ceil = (ScalingBench.calibrate(nc) / ScalingBench.calibrate(bc)) / factor
+      val (ceil, ceilValid) = robustCeiling(nc, bc, factor)
       val sSmall = {
         val s = ScalingBench.session(nc, s"$work/tmp-$nc-$r")
         ScalingBench.replay(s, s"$work/warmevents", s"$work/warm-$nc-$r", 1)
@@ -51,20 +72,27 @@ object ScalingInterleaved {
         val t = ScalingBench.replay(s, s"$work/events", s"$work/table-$bc-$r", k)
         s.stop(); t
       }
-      val round = Round(r, ceil, sSmall, sBig)
+      val round = Round(r, ceil, ceilValid, sSmall, sBig)
       println(f"""{"metric":"cdc_scaling_round","round":$r,"ceiling":$ceil%.3f,""" +
+        f""""ceiling_valid":$ceilValid,""" +
         f""""local${nc}_sec":$sSmall%.2f,"local${bc}_sec":$sBig%.2f,""" +
         f""""local${bc}_eps":${n / sBig}%.0f,"efficiency":${round.speedup / factor}%.3f}""")
       round
     }
 
     // The healthiest self-consistent window = the round with the highest
-    // same-round ceiling AMONG consistent rounds. A round whose efficiency
-    // exceeds its own ceiling by >25% is inconsistent: super-linear scaling
-    // is impossible, so the host moved WITHIN the round.
-    def isConsistent(r: Round): Boolean = r.speedup / factor <= r.ceiling * 1.25
+    // same-round VALID ceiling AMONG consistent rounds. A round whose
+    // efficiency exceeds its own ceiling by >25% is inconsistent:
+    // super-linear scaling is impossible, so the host moved WITHIN the
+    // round. Rounds whose ceiling measurement itself failed validity can
+    // neither win nor veto — fall back progressively rather than crash.
+    def isConsistent(r: Round): Boolean =
+      r.ceilingValid && r.speedup / factor <= r.ceiling * 1.25
     val pool = results.filter(isConsistent) match {
-      case Seq() => results
+      case Seq() => results.filter(_.ceilingValid) match {
+        case Seq() => results
+        case valid => valid
+      }
       case ok => ok
     }
     val best = pool.maxBy(_.ceiling)
@@ -98,7 +126,7 @@ object ScalingInterleaved {
          !
          !| round | ceiling | local[$nc] s | local[$bc] s | efficiency |
          !|---|---|---|---|---|
-         !${results.map(r => f"| ${r.idx} | ${r.ceiling}%.2f | ${r.smallSec}%.1f | ${r.bigSec}%.1f | ${r.speedup / factor}%.2f |").mkString("\n")}
+         !${results.map(r => f"| ${r.idx} | ${r.ceiling}%.2f${if (r.ceilingValid) "" else " (invalid)"} | ${r.smallSec}%.1f | ${r.bigSec}%.1f | ${r.speedup / factor}%.2f |").mkString("\n")}
          !
          !Best-ceiling consistent round: **efficiency ${f"$bestEff%.2f"} at ceiling
          !${f"${best.ceiling}%.2f"}** (${f"${n / best.bigSec}%,.0f"} ev/s at local[$bc]).
