@@ -565,6 +565,7 @@ class CdcEngine(
       b -> fpByBucket.get(b).map(bm => fs.map(_.copy(keyFp = Some(bm)))).getOrElse(fs)
     }
 
+    val tc0 = System.nanoTime()
     val snap = table.commit(epoch, sid, manifestFiles, lineage, rowDelta = events,
       append = mor, stage = stage, toBranch = branch,
       // CAS only where staleness loses data: a COW main commit rewrites
@@ -572,9 +573,11 @@ class CdcEngine(
       // parent inside the commit lock, staged commits move no pointer,
       // branch commits validate their own head
       expectedParentId = if (branch.isEmpty && !mor && !stage) observedParent else -2L)
+    val commitMs = ms(tc0)
     // maintenance acts on the PUBLISHED chain — a staged snapshot defers
     // both to publishStaged, a branch commit to publishBranch (dropping
     // either must leave the table untouched)
+    val tp0 = System.nanoTime()
     if (!stage && branch.isEmpty) {
       if (mor && conf.morCompactThreshold > 0) {
         // the delta manifest lists exactly the touched buckets (with their
@@ -592,9 +595,11 @@ class CdcEngine(
       }
       maybeExpire(newSnapshots = if (mor && conf.morCompactThreshold > 0) 2 else 1)
     }
+    val maintMs = ms(tp0)
     val totalMs = ms(t0)
     appendMetrics(epoch, snap.snapshotId, events, affected.size, totalMs,
       s""","lineageMs":$lineageMs,"mergeWriteMs":$mergeWriteMs,"manifestMs":$manifestMs""" +
+        s""","commitMs":$commitMs,"maintMs":$maintMs""" +
         (if (stage) ""","staged":true""" else "") +
         (if (rejected > 0) s""","rejected":$rejected""" else "") +
         branch.map(n => s""","branch":"$n"""").getOrElse(""))

@@ -58,18 +58,39 @@ object ScalingBench {
       Files.createTempDirectory(Paths.get("/dev/shm"), "graft-scaling").toString
     else Files.createTempDirectory("graft-scaling").toString
 
-  def session(cores: Int, localDir: String): SparkSession = {
+  /** `partsPerCore` > 1 gives the scheduler work-stealing slack: with
+    * shuffle.partitions == cores the slowest of N equal chunks sets every
+    * stage barrier (a straggler tail that behaves like serial time in the
+    * N-vs-4N model); finer partitions let fast cores absorb it. `aqe`
+    * re-enables adaptive execution (coalescing + skew splits) at the price
+    * of per-stage driver re-planning rounds. Both default to the
+    * long-standing protocol values so recorded numbers stay comparable. */
+  /** Protocol default for partsPerCore: 1 (shuffle partitions == cores),
+    * kept after a two-sided A/B. The straggler hypothesis (parts == cores
+    * leaves no work-stealing slack, so the slowest chunk sets every stage
+    * barrier) PREDICTED 2x to win, and a ReplayProfile A/B seemed to
+    * confirm it dramatically (112/58.6 s vs 30.6/34.7 s at local[16]) —
+    * but matched-window INTERLEAVED runs, the cleaner instrument, measured
+    * 2x a consistent ~9% SLOWER at local[16] (33.2-35.5 s vs 29.0-31.2 s)
+    * and neutral at local[4]: the profile harness's config-1 readings were
+    * its own JIT-cold first trial plus tmpfs table accumulation, not the
+    * config. Per-task overhead beats straggler slack at this scale.
+    * SPARK_GRAFT_PARTS_PER_CORE overrides for future re-tests. */
+  def partsPerCoreDefault: Int =
+    sys.env.get("SPARK_GRAFT_PARTS_PER_CORE").map(_.toInt).getOrElse(1)
+
+  def session(cores: Int, localDir: String, partsPerCore: Int = -1,
+      aqe: Boolean = false): SparkSession = {
+    val ppc = if (partsPerCore > 0) partsPerCore else partsPerCoreDefault
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"cdc-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (cores * ppc).toString)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)
-      // partition counts are set explicitly per level; AQE's per-stage
-      // re-planning only adds serial driver rounds to every micro-batch
-      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -124,8 +145,13 @@ object ScalingBench {
       .withColumn("__batch", floor(col("commit_lsn") / per))
       .repartition(64, col("__batch"), col("commit_lsn"))
       .write.partitionBy("__batch").parquet(s"$work/events")
-    Synth.events(s, 100000, seed = 7, repos = 200, pathsPerRepo = 2000, hotPct = 30, parts = 16)
-      .withColumn("__batch", floor(col("commit_lsn") / 100000))
+    // 1M warm events, not 100k: the first production-scale replay in a JVM
+    // pays the JIT compilation of the whole merge hot path, and at 100k the
+    // warm leaves most of it cold — every first local[4] leg of a fresh JVM
+    // measured systematically ~1.7x slow (164-191 s vs 89-109 s for later
+    // same-window rounds) until the warm was widened.
+    Synth.events(s, 1000000, seed = 7, repos = 200, pathsPerRepo = 2000, hotPct = 30, parts = 16)
+      .withColumn("__batch", floor(col("commit_lsn") / 1000000))
       .write.partitionBy("__batch").parquet(s"$work/warmevents")
     s.stop()
   }
