@@ -84,10 +84,27 @@ object ScalingInterleaved {
     // same-round VALID ceiling AMONG consistent rounds. A round whose
     // efficiency exceeds its own ceiling by >25% is inconsistent:
     // super-linear scaling is impossible, so the host moved WITHIN the
-    // round. Rounds whose ceiling measurement itself failed validity can
-    // neither win nor veto — fall back progressively rather than crash.
+    // round. That rule is one-sided — it cannot see a 4N leg that COLLAPSED
+    // mid-round (under-scaling is always "possible"), observed as a 70.9 s
+    // local[16] leg bracketed by 24-26 s readings of the same input while
+    // the round's own local[4] leg ran at record speed. The LEG-BALANCE
+    // check is the symmetric complement: score each leg against the run's
+    // best observation of THAT leg; a round whose two legs sit at very
+    // different health (ratio > 1.67, i.e. one leg >40% further from its
+    // best than the other) had the host move between its legs, whichever
+    // direction, and cannot report a meaningful ratio. Rounds whose ceiling
+    // measurement failed validity can neither win nor veto — fall back
+    // progressively rather than crash.
+    val bestSmall = results.map(_.smallSec).min
+    val bestBig = results.map(_.bigSec).min
+    def legBalance(r: Round): Double = {
+      val smallHealth = bestSmall / r.smallSec // 1.0 = this run's best leg
+      val bigHealth = bestBig / r.bigSec
+      math.max(smallHealth, bigHealth) / math.min(smallHealth, bigHealth)
+    }
     def isConsistent(r: Round): Boolean =
-      r.ceilingValid && r.speedup / factor <= r.ceiling * 1.25
+      r.ceilingValid && r.speedup / factor <= r.ceiling * 1.25 &&
+        legBalance(r) <= 1.67
     val pool = results.filter(isConsistent) match {
       case Seq() => results.filter(_.ceilingValid) match {
         case Seq() => results
@@ -112,7 +129,8 @@ object ScalingInterleaved {
         f""""speedup":${best.speedup}%.3f,"efficiency":$bestEff%.3f,""" +
         f""""conservative_round":${cons.idx},"conservative_efficiency":$consEff%.3f,""" +
         f""""conservative_ceiling":${cons.ceiling}%.3f,""" +
-        s""""within_round_consistent":$consistent}"""
+        s""""within_round_consistent":$consistent,""" +
+        s""""round_leg_balance":[${results.map(r => f"${legBalance(r)}%.2f").mkString(",")}]}"""
     println(json)
     val md =
       s"""
