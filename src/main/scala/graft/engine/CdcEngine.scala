@@ -400,20 +400,51 @@ class CdcEngine(
         case None => spark.conf.unset("spark.sql.shuffle.partitions")
       }
     }
+    // The CAS pin has a second loss mode besides the conflict at commit
+    // time: the merge READS the pinned snapshot unprotected, so a
+    // concurrent winner whose commit triggers retention/vacuum can expire
+    // that snapshot and reclaim its manifest or data files MID-merge. That
+    // surfaces as FileNotFound deep inside the read job, not as a
+    // CommitConflictException — attributable to the race only when the
+    // head actually moved during the attempt, in which case the correct
+    // response is the same re-merge against the fresh state.
+    def vanishedRead(e: Throwable): Boolean = {
+      var t = e
+      while (t != null) {
+        val msg = t.getMessage
+        if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          t.isInstanceOf[java.nio.file.NoSuchFileException] ||
+          (msg != null && (msg.contains("FileNotFoundException") ||
+            msg.contains("NoSuchFileException")))) return true
+        t = t.getCause
+      }
+      false
+    }
+    val casProtected = branch.isEmpty && !stage && !table.meta.mergeOnRead
     var conflicts = 0
     while (true) {
+      val headBefore = table.currentSnapshotId
+      def loseRace(detail: String): Option[CommitResult] = {
+        conflicts += 1
+        if (conflicts > conf.maxCommitRetries)
+          throw new Icelite.CommitConflictException(
+            s"epoch $epoch lost ${conflicts} consecutive commit races " +
+              s"(maxCommitRetries=${conf.maxCommitRetries}): $detail")
+        // the winner may have BEEN this epoch (re-delivery race):
+        // exactly-once resolves it as a skip, not a re-merge
+        if (branch.isEmpty && table.committedEpochs.contains(epoch))
+          Some(CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0))
+        else None
+      }
       try return attempt()
       catch {
         case e: Icelite.CommitConflictException =>
-          conflicts += 1
-          if (conflicts > conf.maxCommitRetries)
-            throw new Icelite.CommitConflictException(
-              s"epoch $epoch lost ${conflicts} consecutive commit races " +
-                s"(maxCommitRetries=${conf.maxCommitRetries}): ${e.getMessage}")
-          // the winner may have BEEN this epoch (re-delivery race):
-          // exactly-once resolves it as a skip, not a re-merge
-          if (branch.isEmpty && table.committedEpochs.contains(epoch))
-            return CommitResult(epoch, table.currentSnapshotId, skipped = true, 0, 0, 0)
+          loseRace(e.getMessage).foreach(return _)
+        case scala.util.control.NonFatal(e)
+            if casProtected && table.currentSnapshotId != headBefore &&
+              vanishedRead(e) =>
+          loseRace(s"pinned read vanished under concurrent expire: ${e.getMessage}")
+            .foreach(return _)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -787,11 +818,21 @@ class CdcEngine(
     * concurrent-audit setup. */
   def abandonBranch(name: String, vacuumGraceMillis: Long = -1L): Seq[String] = {
     // lane-only epochs (strictly above the fork): their quarantine dirs go
-    // with the lane — collected BEFORE the ref is dropped
+    // with the lane — collected BEFORE the ref is dropped. "Lane-only"
+    // means reachable from NO other ref: a branch forked from another
+    // branch shares its parent lane's snapshots, and abandoning the child
+    // must not delete quarantine dirs the still-live parent lane needs for
+    // replay-after-fix — so every other branch head and tag bounds the
+    // walk, not just the main chain.
     val laneEpochs = scala.util.Try {
+      val otherHeads =
+        table.branches.collect { case (n, h) if n != name => h } ++
+          table.tags.values
+      def sharedElsewhere(id: Long): Boolean =
+        table.isAncestor(id) || otherHeads.exists(table.isAncestorFrom(id, _))
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
       var id = table.branchHead(name)
-      while (id >= 0 && !table.isAncestor(id)) {
+      while (id >= 0 && !sharedElsewhere(id)) {
         val s = table.snapshot(id)
         if (s.batchEpoch >= 0) out += s.batchEpoch
         id = s.parentId

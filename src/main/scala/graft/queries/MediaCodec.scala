@@ -89,6 +89,13 @@ object MediaCodec {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: bad magic/size")
     val dataOff = rd32(bytes, 10)
+    // hostile-header safety: every size derived from the header is checked
+    // in LONG arithmetic against the actual byte count BEFORE any indexing,
+    // so an adversarial width/height/offset (e.g. 2^20 x 2^20, whose pixel
+    // size overflows Int to a small/negative number) fails the require —
+    // the IllegalArgumentException contract the DLQ routing depends on —
+    // instead of escaping as AIOOBE/NegativeArraySize from the pixel loop
+    require(dataOff >= 54 && dataOff <= bytes.length, s"bad pixel offset $dataOff")
     require(rd32(bytes, 14) >= 40, "unsupported DIB header")
     val width = rd32(bytes, 18)
     val rawH = rd32(bytes, 22)
@@ -99,7 +106,8 @@ object MediaCodec {
     require(rd16(bytes, 28) == 24, s"unsupported bpp ${rd16(bytes, 28)}")
     require(rd32(bytes, 30) == 0, "compressed BMP unsupported")
     val rowBytes = bmpRowBytes(width)
-    require(bytes.length >= dataOff + height * rowBytes, "truncated pixel data")
+    require(bytes.length.toLong >= dataOff.toLong + height.toLong * rowBytes,
+      "truncated pixel data")
     val gray = new Array[Int](width * height)
     var y = 0
     while (y < height) {
@@ -192,13 +200,17 @@ object MediaCodec {
     while (off + 8 <= bytes.length && samples == null) {
       val tag = tagAt(off)
       val len = rd32(bytes, off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk $tag")
+      // LONG arithmetic: a chunk length near Int.MaxValue would wrap
+      // off + 8 + len negative and sail past an Int bounds check
+      require(len >= 0 && off + 8L + len <= bytes.length, s"truncated chunk $tag")
       tag match {
         case "fmt " =>
           require(len >= 16, "short fmt chunk")
           require(rd16(bytes, off + 8) == 1, "non-PCM WAV unsupported")
           channels = rd16(bytes, off + 10)
           sampleRate = rd32(bytes, off + 12)
+          require(channels >= 1, s"bad channel count $channels")
+          require(sampleRate > 0, s"bad sample rate $sampleRate")
           require(rd16(bytes, off + 22) == 16, "only PCM-16 supported")
         case "data" =>
           require(sampleRate > 0, "data chunk before fmt")
@@ -218,6 +230,7 @@ object MediaCodec {
   /** RMS amplitude, rounded to 3dp (double math is exact enough at the
     * test amplitudes; rounding pins the cross-engine hash). */
   def rms(a: Audio): Double = {
+    if (a.samples.isEmpty) return 0.0 // a zero-length data chunk is valid WAV
     var s = 0.0
     var i = 0
     while (i < a.samples.length) { val v = a.samples(i).toDouble; s += v * v; i += 1 }
@@ -253,9 +266,12 @@ object MediaCodec {
     require(bytes.length >= 16 && bytes(0) == 'G' && bytes(1) == 'R' &&
       bytes(2) == 'V' && bytes(3) == '1', "not a GRV1 container")
     val w = rd32(bytes, 4); val h = rd32(bytes, 8); val n = rd32(bytes, 12)
-    val fb = w * h
-    require(w > 0 && h > 0 && n > 0 && bytes.length >= 16 + fb.toLong * n,
-      "truncated GRV1")
+    // dims validated BEFORE w*h: 65536x65536 would overflow fb to 0 and
+    // silently return empty frames instead of rejecting the container
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20), s"bad dims ${w}x$h")
+    val fbL = w.toLong * h
+    require(n > 0 && bytes.length >= 16 + fbL * n, "truncated GRV1")
+    val fb = fbL.toInt // fits: fbL * n <= bytes.length <= Int.MaxValue
     (0 until n by stride).map { f =>
       val off = 16 + f * fb
       val gray = new Array[Int](fb)

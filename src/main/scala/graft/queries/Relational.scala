@@ -34,6 +34,58 @@ object Relational {
     f.join(edges, col("node") === col("src"))
   }
 
+  /** Frontier-size cutoff for [[frontierExpand]]'s broadcast (rows). */
+  private def bfsThreshold(s: SparkSession): Long =
+    s.conf.getOption("graft.bfs.broadcastThreshold").map(_.toLong).getOrElse(1000000L)
+
+  /** The temporal connection list both earliest-arrival queries relax over:
+    * consecutive same-user events as (src, dst, dep, arr) legs. */
+  private def temporalConnections(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .withColumn("arr", lead(col("ts"), 1).over(w))
+      .filter(col("dst").isNotNull && col("arr") > col("ts"))
+      .select(col("event_type").as("src"), col("dst"), col("ts").as("dep"), col("arr"))
+      .distinct().cache()
+  }
+
+  /** Shared fixpoint loop of the earliest-arrival family (q40/q46): each
+    * round expands the frontier through [[frontierExpand]]'s size guard,
+    * keeps usable connections (departing at or after the node's current
+    * arrival), projects candidates with `step`, reduces back to one row per
+    * node with `reduce`, and stops when the order-insensitive signature —
+    * row count + modular hash sum over `sigCols` (mod 2^31 keeps the
+    * ANSI-mode sum overflow-free at any node count) — stops moving.
+    * Callers guarantee monotonicity (arrivals/journeys only improve per
+    * node), so the signature detects the fixpoint with one cheap aggregate
+    * per round — the connectedComponents pattern. Rounds-to-fixpoint <=
+    * |V|: an optimal temporal journey never revisits a node. */
+  private def relaxToFixpoint(start: DataFrame, conns: DataFrame,
+      threshold: Long, sigCols: Seq[String],
+      step: DataFrame => DataFrame, reduce: DataFrame => DataFrame): DataFrame = {
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(
+        sum(pmod(xxhash64(sigCols.map(col): _*), lit(2147483647L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var arrival = start.localCheckpoint(true)
+    var prev = sig(arrival)
+    var converged = false
+    var round = 0
+    while (!converged && round < 64) {
+      val cand = step(frontierExpand(arrival, conns, threshold)
+        .filter(col("dep") >= col("arr_ts")))
+      arrival = reduce(arrival.unionByName(cand)).localCheckpoint(true)
+      val now = sig(arrival)
+      converged = now == prev
+      prev = now
+      round += 1
+    }
+    require(converged, "earliest-arrival relaxation did not converge within 64 rounds")
+    arrival
+  }
+
   /** Single-deletion variants of a name column: the name itself (i = 0) and
     * the name with character i removed, i = 1..len. DISTINCT per key so
     * repeated characters do not duplicate candidates. */
@@ -478,8 +530,7 @@ object Relational {
           greatest(col("l_partkey"), col("next_part")).as("dst"))
         .distinct()
       val edges = dir1.unionAll(dir1.select(col("dst").as("src"), col("src").as("dst"))).cache()
-      val threshold = s.conf.getOption("graft.bfs.broadcastThreshold")
-        .map(_.toLong).getOrElse(1000000L)
+      val threshold = bfsThreshold(s)
       val seed = lit(1L) // partkey 1 exists at every sf
       var frontier = s.range(1).select(seed.as("node"), lit(0).as("hop")).localCheckpoint(true)
       var visited = frontier
@@ -513,8 +564,7 @@ object Relational {
           greatest(col("l_partkey"), col("next_part")).as("dst"))
         .distinct()
       val edges = dir1.unionAll(dir1.select(col("dst").as("src"), col("src").as("dst"))).cache()
-      val threshold = s.conf.getOption("graft.bfs.broadcastThreshold")
-        .map(_.toLong).getOrElse(1000000L)
+      val threshold = bfsThreshold(s)
       def seg(c: Column) = lpad(c.cast("string"), 6, "0")
       var frontier = s.range(1)
         .select(lit(1L).as("node"), lit(0).as("hop"), seg(lit(1L)).as("path"))
@@ -627,43 +677,13 @@ object Relational {
     // temporal journey never revisits a node (revisiting cannot lower an
     // earlier arrival), so its leg count is < |V|.
     "q40_earliest_arrival" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val conns = t(s, dir, "events")
-        .withColumn("dst", lead(col("event_type"), 1).over(w))
-        .withColumn("arr", lead(col("ts"), 1).over(w))
-        .filter(col("dst").isNotNull && col("arr") > col("ts"))
-        .select(col("event_type").as("src"), col("dst"), col("ts").as("dep"), col("arr"))
-        .distinct().cache()
-      val threshold = s.conf.getOption("graft.bfs.broadcastThreshold")
-        .map(_.toLong).getOrElse(1000000L)
-      var arrival = t(s, dir, "events").filter(col("event_type") === "click")
+      val start = t(s, dir, "events").filter(col("event_type") === "click")
         .agg(min(col("ts")).as("arr_ts"))
         .select(lit("click").as("node"), col("arr_ts"))
-        .localCheckpoint(true)
-      // fixpoint signature: row count + order-insensitive modular hash sum
-      // (mod 2^31 keeps the ANSI-mode sum overflow-free at any node count)
-      def sig(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)), coalesce(
-          sum(pmod(xxhash64(col("node"), col("arr_ts")), lit(2147483647L))), lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      var prev = sig(arrival)
-      var converged = false
-      var round = 0
-      while (!converged && round < 64) {
-        val cand = frontierExpand(arrival, conns, threshold)
-          .filter(col("dep") >= col("arr_ts"))
-          .select(col("dst").as("node"), col("arr").as("arr_ts"))
-        arrival = arrival.unionByName(cand)
-          .groupBy(col("node")).agg(min(col("arr_ts")).as("arr_ts"))
-          .localCheckpoint(true)
-        val now = sig(arrival)
-        converged = now == prev
-        prev = now
-        round += 1
-      }
-      require(converged, "earliest-arrival relaxation did not converge within 64 rounds")
-      arrival
+      relaxToFixpoint(start, temporalConnections(s, dir), bfsThreshold(s),
+        sigCols = Seq("node", "arr_ts"),
+        step = c => c.select(col("dst").as("node"), col("arr").as("arr_ts")),
+        reduce = u => u.groupBy(col("node")).agg(min(col("arr_ts")).as("arr_ts")))
     }),
 
     // Earliest-arrival WITH JOURNEY reconstruction — the reference's
@@ -682,47 +702,19 @@ object Relational {
     // journey set with arrival exactly A(v) is finite (legs strictly
     // increase time, so no connection repeats within a journey).
     "q46_earliest_journey" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val conns = t(s, dir, "events")
-        .withColumn("dst", lead(col("event_type"), 1).over(w))
-        .withColumn("arr", lead(col("ts"), 1).over(w))
-        .filter(col("dst").isNotNull && col("arr") > col("ts"))
-        .select(col("event_type").as("src"), col("dst"), col("ts").as("dep"), col("arr"))
-        .distinct().cache()
-      val threshold = s.conf.getOption("graft.bfs.broadcastThreshold")
-        .map(_.toLong).getOrElse(1000000L)
-      var arrival = t(s, dir, "events").filter(col("event_type") === "click")
+      val start = t(s, dir, "events").filter(col("event_type") === "click")
         .agg(min(col("ts")).as("arr_ts"))
         .select(lit("click").as("node"), col("arr_ts"), lit("click").as("journey"))
-        .localCheckpoint(true)
-      // fixpoint signature hashes the journey too: a round can lower a
-      // journey lexicographically without moving any arrival time (mod 2^31
-      // keeps the ANSI-mode sum overflow-free at any node count)
-      def sig(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)), coalesce(sum(pmod(xxhash64(col("node"),
-          col("arr_ts"), col("journey")), lit(2147483647L))), lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      var prev = sig(arrival)
-      var converged = false
-      var round = 0
-      while (!converged && round < 64) {
-        val cand = frontierExpand(arrival, conns, threshold)
-          .filter(col("dep") >= col("arr_ts"))
-          .select(col("dst").as("node"), col("arr").as("arr_ts"),
-            concat(col("journey"), lit("->"), col("dst")).as("journey"))
-        arrival = arrival.unionByName(cand)
-          .groupBy(col("node"))
+      // the signature hashes the journey too: a round can lower a journey
+      // lexicographically without moving any arrival time
+      relaxToFixpoint(start, temporalConnections(s, dir), bfsThreshold(s),
+        sigCols = Seq("node", "arr_ts", "journey"),
+        step = c => c.select(col("dst").as("node"), col("arr").as("arr_ts"),
+          concat(col("journey"), lit("->"), col("dst")).as("journey")),
+        reduce = u => u.groupBy(col("node"))
           .agg(min(struct(col("arr_ts"), col("journey"))).as("m"))
-          .select(col("node"), col("m.arr_ts").as("arr_ts"), col("m.journey").as("journey"))
-          .localCheckpoint(true)
-        val now = sig(arrival)
-        converged = now == prev
-        prev = now
-        round += 1
-      }
-      require(converged, "earliest-journey relaxation did not converge within 64 rounds")
-      arrival
+          .select(col("node"), col("m.arr_ts").as("arr_ts"),
+            col("m.journey").as("journey")))
     }),
 
     // F12: higher-order array functions — filter / transform / aggregate

@@ -60,8 +60,25 @@ object CdcStream {
       port: Int,
       checkpointDir: String,
       maxRecordsPerTrigger: Long = 0L): Unit = {
-    import org.apache.spark.sql.functions.col
-    val q = binlogEvents(spark, host, port, maxRecordsPerTrigger)
+    import org.apache.spark.sql.functions.{col, from_json, lit}
+    var reader = spark.readStream.format("cdc-binlog")
+      .option("host", host).option("port", port)
+    if (maxRecordsPerTrigger > 0)
+      reader = reader.option("maxRecordsPerTrigger", maxRecordsPerTrigger)
+    // The raw value survives next to the parsed struct, and parsing runs
+    // PERMISSIVE with a corrupt-record column (a malformed payload parses
+    // to a struct of NULLS, not a null struct, so the corrupt column is the
+    // only reliable detector): records that fail to parse must reach the
+    // quarantine with their original bytes — silently filtering them would
+    // lose them irrecoverably once the checkpoint advances (the file-based
+    // path quarantines the same rows with full payload).
+    val parseSchema = ChangeEvent.schema
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val q = reader.load()
+      .select(col("partition"), col("offset"), col("value"),
+        from_json(col("value"), parseSchema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("evt"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -70,10 +87,25 @@ object CdcStream {
         // offset range crosses the wire once (re-fetch stays CORRECT — the
         // range is replayable — this is purely an efficiency pin, and
         // BinlogSourceSpec measures it via the server's served counter).
-        val batch = df.drop("__src_partition", "__src_offset")
-          .filter(col("repo").isNotNull).persist()
-        try engine.applyBatch(batchId, batch): Unit
-        finally { batch.unpersist(); () }
+        val pinned = df.persist()
+        try {
+          val corrupt = col("evt").isNull || col("evt._corrupt").isNotNull
+          if (engine.conf.dlqDir.nonEmpty) {
+            val bad = pinned.filter(corrupt)
+            // limit(1) probe keeps clean batches free of quarantine writes;
+            // overwrite per wire-epoch dir keeps redelivery idempotent
+            if (bad.limit(1).count() > 0)
+              bad.select(col("partition"), col("offset"),
+                  col("value").as("payload"))
+                .withColumn("_reason", lit("unparseable"))
+                .write.mode("overwrite")
+                .parquet(s"${engine.conf.dlqDir}/wire-epoch=$batchId")
+          }
+          // rows that PARSED but carry a null envelope (null repo/op/lsn)
+          // flow to the engine, whose own DLQ quarantines them with reason
+          engine.applyBatch(batchId,
+            pinned.filter(!corrupt).select(col("evt.*")).drop("_corrupt")): Unit
+        } finally { pinned.unpersist(); () }
       }
       .start()
     q.awaitTermination()

@@ -175,8 +175,13 @@ final class BinlogServer(val partitions: Int, host: String = null) {
     try {
       var line = in.readLine()
       while (line != null) {
-        val parts = line.split(" ")
-        parts(0) match {
+        // limit -1 keeps trailing empty tokens: an empty payload publishes
+        // as an empty base64 token ("PUBLISH p " / "PUBLISH p <key> "),
+        // which the default split would silently drop — turning an unkeyed
+        // empty record into a protocol error and a keyed empty record into
+        // an UNKEYED record whose payload is the key bytes.
+        val parts = line.split(" ", -1)
+        try parts(0) match {
           case "LATEST" =>
             out.write(latest.mkString(" ")); out.newLine(); out.flush()
           case "FETCH" =>
@@ -229,6 +234,14 @@ final class BinlogServer(val partitions: Int, host: String = null) {
             sock.close(); return
           case other =>
             out.write(s"ERR unknown command $other"); out.newLine(); out.flush()
+        } catch {
+          // a malformed command (missing args, bad base64, out-of-range
+          // partition) must kill neither the handler nor the connection —
+          // the client gets a parseable ERR verdict instead of a hang
+          case e @ (_: IndexOutOfBoundsException | _: NumberFormatException |
+                    _: IllegalArgumentException) =>
+            out.write(s"ERR malformed command: ${e.getMessage}")
+            out.newLine(); out.flush()
         }
         line = in.readLine()
       }

@@ -42,10 +42,10 @@ object BinlogBench {
     val warmServer = new BinlogServer(PARTS)
     locally {
       val s = ScalingBench.session(32, s"$work/tmp-gen")
-      import org.apache.spark.sql.functions.{abs, col, hash, struct, to_json}
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod, struct, to_json}
       def publish(srv: BinlogServer, events: org.apache.spark.sql.DataFrame): Long = {
         val it = events.select(
-            (abs(hash(col("repo"), col("path"))) % PARTS).as("p"),
+            (pmod(hash(col("repo"), col("path")), lit(PARTS))).as("p"),
             to_json(struct(events.columns.map(col): _*)).as("j"))
           .orderBy(col("p"), col("j")) // deterministic publish order
           .toLocalIterator()

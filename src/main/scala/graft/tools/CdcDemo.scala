@@ -237,14 +237,14 @@ object CdcDemo {
     // nothing; compaction then shrinks the log and a full re-tail from a
     // FRESH checkpoint reproduces the same state (LWW absorbs the gaps).
     locally {
-      import org.apache.spark.sql.functions.{abs, col, hash, struct, to_json, concat_ws}
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod, struct, to_json, concat_ws}
       val server = new graft.streaming.binlog.BinlogServer(4)
       try {
         val evB = Synth.events(spark, 8000, seed = 91, repos = 30, pathsPerRepo = 40)
           .filter(col("op") === "D" ||
             (col("commit").isNotNull && col("lang").isNotNull && col("content").isNotNull))
         val rows = evB.select(
-            (abs(hash(col("repo"), col("path"))) % 4).as("p"),
+            (pmod(hash(col("repo"), col("path")), lit(4))).as("p"),
             concat_ws("|", col("repo"), col("path")).as("k"),
             to_json(struct(evB.columns.map(col): _*)).as("j"),
             col("commit_lsn"), col("seq"))

@@ -29,8 +29,9 @@ class BinlogSourceSpec extends AnyFunSuite {
     import spark.implicits._
     val ev = Synth.events(spark, n, seed = 33, repos = 15, pathsPerRepo = 40)
     ev.select(
-        (org.apache.spark.sql.functions.abs(
-          org.apache.spark.sql.functions.hash(col("repo"), col("path"))) % PARTS).as("p"),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("repo"), col("path")),
+          org.apache.spark.sql.functions.lit(PARTS)).as("p"),
         to_json(struct(ev.columns.map(col): _*)).as("j"))
       .orderBy(col("j")) // deterministic publish order; LWW is order-insensitive
       .as[(Int, String)].collect().toSeq
@@ -108,7 +109,75 @@ class BinlogSourceSpec extends AnyFunSuite {
       try {
         assert(client.publish(0, "via-socket") === 2L)
         assert(client.latest().toSeq === Seq(3L, 2L))
+        // EMPTY payloads over the wire: an empty base64 token is a trailing
+        // empty split field — the unkeyed form must store an empty record
+        // (not error), and the keyed form must keep the KEY as the key (not
+        // silently reparse as an unkeyed record whose payload is the key)
+        assert(client.publish(0, "") === 3L)
+        assert(client.publish(1, "the-key", "") === 2L)
+        assert(client.fetch(0, 3L, 4L).toSeq === Seq((3L, "")))
+        assert(client.fetch(1, 2L, 3L).toSeq === Seq((2L, "")))
+        server.append(1, "the-key", "replaces")
+        server.compact(1) // keyed empty record participates in compaction
+        assert(client.fetch(1, 3L, 4L).toSeq === Seq((3L, "replaces")))
       } finally client.close()
+    } finally server.stop()
+  }
+
+  test("unparseable wire payloads reach the quarantine with their raw bytes; parsed rows apply") {
+    val work = SparkTestBase.tmpDir("binlogdlq")
+    val server = new BinlogServer(1)
+    try {
+      // two valid events bracketing garbage that from_json cannot parse
+      val ev = eventsAsJson(2L).map(_._2)
+      server.append(0, ev.head)
+      server.append(0, "this is not json {")
+      server.append(0, ev(1))
+      val table = IceliteTable.create(s"$work/t", Seq("repo", "path"), 8)
+      val engine = new CdcEngine(spark, table,
+        EngineConf(buckets = 8, dlqDir = s"$work/dlq"))
+      CdcStream.runBinlogAvailableNow(spark, engine, server.address, server.port,
+        s"$work/ckpt")
+      // the parsed rows merged; the garbage landed in wire-epoch quarantine
+      // with partition, offset, and the raw payload for replay-after-fix
+      assert(engine.currentState().count() === 2)
+      val wire = spark.read.parquet(s"${work}/dlq/wire-epoch=0")
+      val r = wire.collect()
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getAs[Int]("partition") === 0)
+      assert(row.getAs[Long]("offset") === 1L)
+      assert(row.getAs[String]("payload") === "this is not json {")
+      assert(row.getAs[String]("_reason") === "unparseable")
+      // redelivery from a fresh checkpoint overwrites idempotently
+      val e2 = new CdcEngine(spark,
+        IceliteTable.create(s"$work/t2", Seq("repo", "path"), 8),
+        EngineConf(buckets = 8, dlqDir = s"$work/dlq2"))
+      CdcStream.runBinlogAvailableNow(spark, e2, server.address, server.port,
+        s"$work/ckpt2")
+      assert(spark.read.parquet(s"$work/dlq2/wire-epoch=0").count() === 1)
+      assert(e2.currentState().count() === 2)
+    } finally server.stop()
+  }
+
+  test("malformed wire commands get an ERR verdict; the handler and connection survive") {
+    val server = new BinlogServer(1)
+    try {
+      server.append(0, "x")
+      val sock = new java.net.Socket(server.address, server.port)
+      try {
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream))
+        out.println("FETCH 0") // missing args
+        assert(in.readLine().startsWith("ERR"))
+        out.println("PUBLISH 99 cGF5bG9hZA==") // partition out of range
+        assert(in.readLine().startsWith("ERR"))
+        out.println("FETCH 0 0 1") // the SAME connection still works
+        assert(in.readLine() === "0 " + java.util.Base64.getEncoder
+          .encodeToString("x".getBytes("UTF-8")))
+        assert(in.readLine() === "END")
+      } finally sock.close()
     } finally server.stop()
   }
 
@@ -183,8 +252,9 @@ class BinlogSourceSpec extends AnyFunSuite {
         .filter(col("op") === "D" ||
           (col("commit").isNotNull && col("lang").isNotNull && col("content").isNotNull))
       val rows = ev.select(
-          (org.apache.spark.sql.functions.abs(
-            org.apache.spark.sql.functions.hash(col("repo"), col("path"))) % PARTS).as("p"),
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(col("repo"), col("path")),
+            org.apache.spark.sql.functions.lit(PARTS)).as("p"),
           org.apache.spark.sql.functions.concat_ws("|", col("repo"), col("path")).as("k"),
           to_json(struct(ev.columns.map(col): _*)).as("j"),
           col("commit_lsn"), col("seq"))

@@ -108,6 +108,28 @@ class DlqSpec extends AnyFunSuite {
       "abandonBranch must remove the lane epochs' quarantine dirs")
   }
 
+  test("abandoning a child branch keeps the parent lane's quarantine dirs") {
+    val dlq = SparkTestBase.tmpDir("dlqfork") + "/q"
+    val engine = newEngine(dlq)
+    engine.applyBatch(0, Synth.events(spark, 100, seed = 41))
+    def poisoned(seed: Int) = Synth.events(spark, 100, seed = seed)
+      .withColumn("op", when(col("commit_lsn") < 5, lit(null: String)).otherwise(col("op")))
+    engine.createBranch("parent")
+    engine.applyBatchToBranch(1, poisoned(42), "parent")
+    assert(Files.exists(Paths.get(s"$dlq/epoch=1")))
+    // fork a CHILD off the parent's head: it shares the parent's snapshot,
+    // so abandoning the child must not delete epoch 1's quarantine — the
+    // still-live parent lane needs it for replay-after-fix
+    engine.createBranch("child", engine.table.branchHead("parent"))
+    engine.applyBatchToBranch(2, poisoned(43), "child")
+    assert(Files.exists(Paths.get(s"$dlq/epoch=2")))
+    engine.abandonBranch("child", vacuumGraceMillis = 0L)
+    assert(!Files.exists(Paths.get(s"$dlq/epoch=2")),
+      "the child's own epoch goes with the child")
+    assert(Files.exists(Paths.get(s"$dlq/epoch=1")),
+      "the parent lane's epoch must survive the child's abandonment")
+  }
+
   test("an all-malformed batch quarantines everything and commits an empty epoch") {
     val dlq = SparkTestBase.tmpDir("dlqout3") + "/q"
     val engine = newEngine(dlq)

@@ -49,6 +49,42 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](decodeBmp(good.take(60))) // truncated pixels
   }
 
+  test("adversarial headers fail as IllegalArgumentException, never as overflow escapes") {
+    // every size a hostile header can inflate must die in a require (the
+    // DLQ-routing contract), not escape as AIOOBE/NegativeArraySize/OOM
+    // from Int overflow in the bounds math
+    def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val bmp = encodeBmp(4, 4, (_, _) => 7)
+    // 2^20 x 2^20 passes the per-dimension cap but its pixel size (3.3e12)
+    // overflows Int — the Long-math truncation check must reject it
+    val huge = bmp.clone(); le32(huge, 18, 1 << 20); le32(huge, 22, 1 << 20)
+    intercept[IllegalArgumentException](decodeBmp(huge))
+    val negOff = bmp.clone(); le32(negOff, 10, -8)
+    intercept[IllegalArgumentException](decodeBmp(negOff))
+    val farOff = bmp.clone(); le32(farOff, 10, bmp.length + 100)
+    intercept[IllegalArgumentException](decodeBmp(farOff))
+
+    val wav = encodeWavPcm16(8000, 1, Array[Short](1, 2, 3))
+    // LIST chunk length near Int.MaxValue would wrap off+8+len negative
+    val wrapLen = wav.clone(); le32(wrapLen, 40, Int.MaxValue - 2)
+    intercept[IllegalArgumentException](decodeWav(wrapLen))
+    val zeroCh = wav.clone(); zeroCh(22) = 0; zeroCh(23) = 0
+    intercept[IllegalArgumentException](decodeWav(zeroCh))
+
+    // GRV1 with 65536x65536: w*h overflows Int to exactly 0, which the old
+    // bounds check accepted (silently returning empty frames)
+    val grv = new Array[Byte](32)
+    grv(0) = 'G'; grv(1) = 'R'; grv(2) = 'V'; grv(3) = '1'
+    le32(grv, 4, 65536); le32(grv, 8, 65536); le32(grv, 12, 1)
+    intercept[IllegalArgumentException](MediaCodec.sampleFrames(grv, 1))
+
+    // zero-length data chunk is VALID WAV; rms must be 0.0, not NaN
+    assert(MediaCodec.rms(decodeWav(encodeWavPcm16(8000, 1, Array.empty[Short]))) == 0.0)
+  }
+
   test("nearest-neighbor resize uses the standard sample grid") {
     // 4x4 ramp downsampled to 2x2 picks pixels (0,0),(2,0),(0,2),(2,2)
     val src = Image(4, 4, Array.tabulate(16)(identity))
