@@ -48,7 +48,17 @@ object Bench {
       val ok = outcomes.collect { case Right(t) => t }
       name -> (if (ok.nonEmpty) Right(ok.min) else Left(outcomes.head.swap.getOrElse("?")))
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // control characters too: Spark error messages routinely carry \n, and
+    // the driver parses this output as ONE json line
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => "\"" + k + "\":" + jstr(m) }

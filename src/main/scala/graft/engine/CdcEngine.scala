@@ -161,7 +161,11 @@ class CdcEngine(
     * Reserved names would silently collide with the engine's internal
     * columns (cell envelope, bucket/salt partitioners) — reject loudly. */
   private def payloadOf(df: DataFrame): StructType = {
-    val reserved = Set(OpCell, TsCell, "__b", SaltCol)
+    // _lsn/_seq/_op/_ts are the flat-read envelope and content_sha256 the
+    // derived invariant column — a payload under any of these names would
+    // silently collide with (or be replaced by) engine output on every read
+    val reserved = Set(OpCell, TsCell, "__b", SaltCol,
+      "_op", "_ts", "_lsn", "_seq", "content_sha256")
     val bad = df.schema.fieldNames.filter(reserved.contains)
     require(bad.isEmpty,
       s"batch uses reserved column name(s): ${bad.mkString(", ")}")
@@ -169,6 +173,25 @@ class CdcEngine(
     require(missing.isEmpty,
       s"batch is missing envelope column(s): ${missing.mkString(", ")} " +
         s"(required: ${ChangeEvent.envelopeCols.mkString(", ")})")
+    // envelope TYPES are load-bearing, not just presence: commit_lsn/seq
+    // drive LWW ordering as struct fields — a string lsn would coerce the
+    // whole cell envelope to string and order "9" above "10" with no error
+    // anywhere. Reject loudly; only ts may arrive as a castable string
+    // (routed through the fallible-cast quarantine).
+    // NullType (an all-null literal column) is always acceptable: it casts
+    // losslessly and every such row is quarantined per-row as null_*
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def ok(c: String, accept: DataType => Boolean, want: String): Unit =
+      require(types(c) == NullType || accept(types(c)),
+        s"envelope column $c must be $want, got ${types(c).sql}")
+    def integral(dt: DataType): Boolean =
+      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+    ok("op", _ == StringType, "STRING")
+    ok("commit_lsn", integral, "an integral type")
+    ok("seq", integral, "an integral type")
+    ok("ts", t => t == TimestampType || t == StringType,
+      "TIMESTAMP (or a castable STRING)")
+    keyCols.foreach(k => ok(k, _ == StringType, "STRING"))
     StructType(df.schema.fields.filterNot(f => ChangeEvent.envelopeCols.contains(f.name)))
   }
 
@@ -1052,6 +1075,7 @@ class CdcEngine(
     * up-cast) rather than pinned to the window end. */
   def appendedSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None,
       toSnapshotId: Long = -1L): DataFrame = {
+    checkLayout() // caller-supplied bucket ids are meaningless across a rebucket
     val payload = tablePayload
     val groups = table.fileGroupsAddedSince(sinceSnapshotId, buckets, toSnapshotId)
       .getOrElse(table.currentFileGroups(buckets))
@@ -1060,9 +1084,11 @@ class CdcEngine(
   }
 
   /** Files `appendedSince(sinceSnapshotId)` would read (tests/inspection). */
-  def filesAddedSince(sinceSnapshotId: Long): Seq[String] =
+  def filesAddedSince(sinceSnapshotId: Long): Seq[String] = {
+    checkLayout()
     table.fileGroupsAddedSince(sinceSnapshotId, None)
       .getOrElse(table.currentFileGroups(None)).values.flatten.toSeq
+  }
 
   /** Point read of ONE key, pruned at three levels before any row is read:
     * the manifest prunes to the key's hash BUCKET (computed driver-side with
@@ -1229,6 +1255,12 @@ class CdcEngine(
       return new CdcEngine(spark, table, newConf)
     }
     val payload = tablePayload
+    // CAS pin: the rewrite reads the WHOLE table at this snapshot and its
+    // commit replaces the entire bucket map (manifest forced full), so a
+    // concurrent commit landing between the read and the commit would be
+    // silently erased — its epoch stays marked committed while its rows
+    // vanish. Same protection compact() and rollbackTo carry.
+    val observedParent = table.currentSnapshotId
     val cells = readStateCells(None, payload) // merged cells, tombstones included
     val newBucketCol =
       pmod(xxhash64(keyColumns: _*), lit(newBuckets)).cast(IntegerType)
@@ -1243,7 +1275,8 @@ class CdcEngine(
     val sid = table.ensureSchema(stateSchema(payload))
     val bucketFiles =
       collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
-    table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0, rebucketTo = newBuckets)
+    table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0, rebucketTo = newBuckets,
+      expectedParentId = observedParent)
     new CdcEngine(spark, table, newConf)
   }
 

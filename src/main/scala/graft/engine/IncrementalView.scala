@@ -180,13 +180,19 @@ class IncrementalView(
     * bounds disk like the table's own snapshot retention. */
   private def prune(keep: Set[Long]): Unit = {
     val live = keep.filter(_ >= 0).map(id => s"v$id")
-    Files.list(root).forEach { p =>
+    val listing = Files.list(root)
+    try listing.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("v") && !live.contains(n) && Files.isDirectory(p)) {
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        val walk = Files.walk(p)
+        // streams closed explicitly: prune runs once per refresh, and a
+        // per-batch refresh loop would otherwise leak two directory fds
+        // per call until "Too many open files"
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
       }
-    }
+    } finally listing.close()
   }
 }
 

@@ -868,8 +868,42 @@ class IceliteTable private (val root: Path) {
         finally stream.close()
     }
     maxSeenId = math.max(maxSeenId, parentId) + 1
+    // another INSTANCE on the same root may have allocated ids this
+    // instance's cache has never seen (a staged WAP snapshot moves no
+    // pointer, so parentId doesn't reveal it either; a branch lane's head
+    // is only in branches.json) — handing out such an id would overwrite
+    // that writer's snapshot via REPLACE_EXISTING and silently lose its
+    // merge. Probe forward past every id that is provably LIVE off-chain
+    // (registered staged, branch-reachable, tag-pinned). An existing file
+    // that is live by NONE of those is crash debris — a writer that died
+    // between manifest write and pointer move — and reusing (overwriting)
+    // its id is the documented recovery path.
+    while (Files.exists(metaDir.resolve(s"snap-$maxSeenId.json")) &&
+      liveOffChain(maxSeenId)) maxSeenId += 1
     maxSeenId
   }
+
+  /** Is `id` reachable by anything OTHER than the main pointer chain —
+    * registered as staged, on (or under) a branch, or tag-pinned? Main
+    * ancestors never qualify as allocation candidates (candidates start
+    * above the parent), so they need no check here. */
+  private def liveOffChain(id: Long): Boolean =
+    stagedIds.contains(id) ||
+      tags.valuesIterator.contains(id) ||
+      branches.valuesIterator.exists(h => h == id || isAncestorFrom(id, h))
+
+  /** On-disk registry of live staged (WAP) snapshot ids — the one snapshot
+    * class reachable from NO ref, which id allocation in any instance must
+    * still never clobber. Registered before the staged manifest is written
+    * (a crash in between leaks one skipped id, never a clobber);
+    * deregistered at publish/drop. */
+  private def stagedFile: Path = metaDir.resolve("staged.json")
+  private def stagedIds: Set[Long] =
+    if (Files.exists(stagedFile))
+      Serialization.read[List[Long]](Files.readString(stagedFile)).toSet
+    else Set.empty
+  private def writeStaged(ids: Set[Long]): Unit =
+    write(stagedFile, Serialization.writePretty(ids.toList.sorted))
 
   private def nextSchemaId: Int = {
     var i = 0
@@ -955,6 +989,9 @@ class IceliteTable private (val root: Path) {
       throw new CommitConflictException(
         s"table advanced to snapshot $parentId past the writer's view $expectedParentId")
     val id = allocSnapshotId(parentId)
+    // staged ids register BEFORE their manifest exists: the registry is
+    // what stops another instance's allocator from clobbering the file
+    if (stage) writeStaged(stagedIds + id)
     // DELTA manifest: serialize only the touched buckets (each with its
     // complete post-commit list — append mode folds the parent's list in);
     // untouched buckets are inherited by the parent walk at read time
@@ -1023,6 +1060,7 @@ class IceliteTable private (val root: Path) {
         s"table advanced to snapshot $currentSnapshotId past staged $stagedId's " +
           s"parent ${staged.parentId}; re-stage and re-audit")
     write(pointer, stagedId.toString)
+    writeStaged(stagedIds - stagedId) // now an ordinary main ancestor
     staged
   }
 
@@ -1056,6 +1094,7 @@ class IceliteTable private (val root: Path) {
       }
     }
     Files.deleteIfExists(snapPath)
+    writeStaged(stagedIds - stagedId)
     doomed
   }
 

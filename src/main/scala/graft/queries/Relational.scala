@@ -1025,10 +1025,12 @@ object Relational {
     "q36_trigram_similarity" ->
       """WITH cn AS (SELECT c_custkey, lower(c_name) nm FROM customer WHERE c_mktsegment='BUILDING'),
          sn AS (SELECT s_suppkey, lower(s_name) nm FROM supplier),
-         cg0 AS (SELECT DISTINCT c_custkey, substr(nm, i, 3) g FROM cn,
-                (SELECT unnest(generate_series(1, 100)) i) WHERE i <= greatest(len(nm)-2, 1)),
-         sg0 AS (SELECT DISTINCT s_suppkey, substr(nm, i, 3) g FROM sn,
-                (SELECT unnest(generate_series(1, 100)) i) WHERE i <= greatest(len(nm)-2, 1)),
+         cg0 AS (SELECT DISTINCT c_custkey, substr(nm, i, 3) g
+                FROM (SELECT c_custkey, nm,
+                        unnest(generate_series(1, greatest(len(nm)-2, 1))) i FROM cn)),
+         sg0 AS (SELECT DISTINCT s_suppkey, substr(nm, i, 3) g
+                FROM (SELECT s_suppkey, nm,
+                        unnest(generate_series(1, greatest(len(nm)-2, 1))) i FROM sn)),
          nt AS (SELECT (SELECT count(*) FROM cn) + (SELECT count(*) FROM sn) n),
          gdf AS (SELECT g, count(*) gdf FROM (SELECT g FROM cg0 UNION ALL SELECT g FROM sg0) GROUP BY 1),
          keep AS (SELECT g FROM gdf, nt WHERE gdf * 4 <= n),

@@ -348,11 +348,17 @@ object TrainingData {
     * it against q42's recursive-closure oracle). */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val s = pairs.sparkSession
+    // full endpoint set BEFORE self-loops are dropped: a node appearing
+    // only as (a, a) must still come out labeled with itself, exactly as
+    // connectedComponents labels it — the "identical contract" claim
+    val nodes = pairs.select(col("a").as("n"))
+      .unionAll(pairs.select(col("b").as("n"))).distinct().localCheckpoint(true)
     var edges = pairs.select(col("a").as("n"), col("b").as("r"))
       .filter(col("n") =!= col("r"))
       .select(greatest(col("n"), col("r")).as("n"), least(col("n"), col("r")).as("r"))
       .distinct().localCheckpoint(true)
-    if (edges.isEmpty) return edges.select(col("n").as("doc_id"), col("r").as("cluster"))
+    if (edges.isEmpty)
+      return nodes.select(col("n").as("doc_id"), col("n").as("cluster"))
     def signature(e: DataFrame): (Long, Long) = {
       val row = e.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(n, r))"), lit(0L))).head()
@@ -394,9 +400,14 @@ object TrainingData {
     require(converged, s"star contraction did not converge within $maxRounds rounds")
     // fixpoint is a star forest: every edge is (node, component-min);
     // roots label themselves
-    edges.select(col("n").as("doc_id"), col("r").as("cluster"))
+    val labeled = edges.select(col("n").as("doc_id"), col("r").as("cluster"))
       .unionAll(edges.select(col("r").as("doc_id"), col("r").as("cluster")).distinct())
       .distinct()
+    // endpoints that survived in no edge (self-pair-only nodes) are their
+    // own singleton clusters
+    labeled.unionAll(
+      nodes.join(labeled, col("n") === col("doc_id"), "left_anti")
+        .select(col("n").as("doc_id"), col("n").as("cluster")))
   }
 
   /** exact-jaccard verification of candidate (da, db) pairs against shingle sets. */

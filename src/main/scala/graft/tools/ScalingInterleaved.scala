@@ -72,6 +72,12 @@ object ScalingInterleaved {
         val t = ScalingBench.replay(s, s"$work/events", s"$work/table-$bc-$r", k)
         s.stop(); t
       }
+      // sweep this round's tables off tmpfs (RAM!) immediately: letting
+      // 2 legs x N rounds of parquet pile up in /dev/shm puts later rounds
+      // under memory pressure earlier rounds didn't have — the exact
+      // measurement confound the ReplayProfile harness taught us about
+      for (c <- Seq(nc, bc); d <- Seq("tmp", "warm", "table"))
+        ScalingBench.deleteRecursivelyPublic(Paths.get(s"$work/$d-$c-$r"))
       val round = Round(r, ceil, ceilValid, sSmall, sBig)
       println(f"""{"metric":"cdc_scaling_round","round":$r,"ceiling":$ceil%.3f,""" +
         f""""ceiling_valid":$ceilValid,""" +

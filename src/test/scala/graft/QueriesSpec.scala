@@ -145,14 +145,17 @@ class QueriesSpec extends AnyFunSuite {
       (100L to 111L).sliding(2).map(s => (s(0), s(1))).toSeq ++
       Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 1L)) ++
       Seq((20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L)) ++
-      Seq((50L, 51L), (60L, 61L), (51L, 50L))
+      Seq((50L, 51L), (60L, 61L), (51L, 50L)) ++
+      // self-pairs: one on an isolated node (a singleton cluster of its
+      // own) and one on a clustered node — both implementations must agree
+      Seq((77L, 77L), (1L, 1L))
     ).toDF("a", "b")
     val expected = labels(connectedComponents(edges))
     assert(labels(connectedComponentsStar(edges)) === expected)
     // and on a random graph (seeded): same fixpoint
     val rnd = new scala.util.Random(7)
     val randomEdges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
-      .filter { case (a, b) => a != b }.toDF("a", "b")
+      .toDF("a", "b") // self-pairs stay in: the contract covers them too
     assert(labels(connectedComponentsStar(randomEdges)) ===
       labels(connectedComponents(randomEdges)))
   }

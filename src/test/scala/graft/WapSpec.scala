@@ -146,6 +146,30 @@ class WapSpec extends AnyFunSuite {
     assert(engine.stateAt(staged.snapshotId).count() === stagedRows)
   }
 
+  test("a staged snapshot survives commits from a SECOND table instance on the same root") {
+    // the id-allocation cache is per instance: instance B has never seen
+    // A's staged id (a staged snapshot moves no pointer, so B's parent
+    // doesn't reveal it) — B must probe the metadata dir and skip it, not
+    // overwrite snap-N.json with REPLACE_EXISTING
+    val dir = SparkTestBase.tmpDir("wap2i")
+    val tA = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
+    val eA = new CdcEngine(spark, tA, EngineConf(buckets = 8))
+    val ev = Synth.events(spark, N, seed = 79)
+    val bs = Synth.batches(ev, 3, N)
+    eA.applyBatch(0, bs(0))
+    // instance B initializes its id cache BEFORE A stages
+    val tB = IceliteTable.createOrLoad(s"$dir/t", Seq("repo", "path"), 8)
+    val eB = new CdcEngine(spark, tB, EngineConf(buckets = 8))
+    eB.applyBatch(1, bs(1)) // fills B's maxSeenId from disk
+    val staged = eA.stageBatch(2, bs(2))
+    val stagedRows = eA.stateAt(staged.snapshotId).count()
+    val later = eB.applyBatch(3, Synth.events(spark, 500, seed = 80))
+    assert(later.snapshotId !== staged.snapshotId,
+      "instance B must not re-allocate A's staged snapshot id")
+    assert(eA.stateAt(staged.snapshotId).count() === stagedRows,
+      "A's staged manifest must survive B's commit")
+  }
+
   test("merge-on-read: stage defers compaction to publish; state equals direct apply") {
     val ev = Synth.events(spark, N, seed = 75)
     val bs = Synth.batches(ev, 4, N)
