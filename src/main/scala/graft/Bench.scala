@@ -118,5 +118,9 @@ object Bench {
       s""""host_ceiling":${f"$ceiling%.3f"},"host_busy_1x":${f"${c1 / 8.0 * 32.0}%.3f"},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
+    // sweep the CDC work dir (~0.5 GB/run; leaked dirs from repeated driver
+    // rounds once filled the disk). SPARK_GRAFT_KEEP_WORK keeps it.
+    if (!sys.env.contains("SPARK_GRAFT_KEEP_WORK"))
+      graft.tools.ScalingBench.deleteRecursivelyPublic(java.nio.file.Paths.get(work))
   }
 }

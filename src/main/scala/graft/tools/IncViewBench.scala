@@ -99,5 +99,7 @@ object IncViewBench {
         java.nio.file.StandardOpenOption.APPEND)
     }
     spark.stop()
+    if (!sys.env.contains("SPARK_GRAFT_KEEP_WORK"))
+      ScalingBench.deleteRecursivelyPublic(Paths.get(work))
   }
 }

@@ -237,7 +237,7 @@ object ScalingBench {
   private def log(s: String): Unit = println(s)
 
   /** Shared with BinlogBench. */
-  private[tools] def deleteRecursivelyPublic(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursivelyPublic(p: java.nio.file.Path): Unit =
     deleteRecursively(p)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

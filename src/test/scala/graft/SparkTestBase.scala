@@ -15,9 +15,28 @@ object SparkTestBase {
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
 
+  // deleteOnExit() removes only EMPTY directories, so every spec's table
+  // dir used to leak into /tmp (a few thousand runs filled the disk).
+  // Track every dir handed out and recursively delete them all in one
+  // shutdown hook instead.
+  private val created = new scala.collection.mutable.ListBuffer[java.nio.file.Path]
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    created.synchronized(created.toList).foreach { p =>
+      try deleteRecursively(p) catch { case _: Exception => () }
+    }))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively(_)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
+    created.synchronized(created += p)
     p.toString
   }
 }
