@@ -1,0 +1,247 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.util.Random
+
+import graft.engine.{CdcEngine, EngineConf}
+import graft.icelite.IceliteTable
+import graft.synth.Synth
+
+/** Model-based LIFECYCLE fuzz: a seeded random interleaving of every
+  * state-changing operation the engine exposes — batch applies (with
+  * duplicates, deletes, carry-forward nulls, out-of-order delivery),
+  * epoch re-delivery, duplicate content under fresh epochs, compaction,
+  * bucket evolution, rollback (including across a rebucket boundary),
+  * write-audit-publish, branch lanes (published and abandoned), snapshot
+  * expiry, vacuum, tags — checked after every mutation against the naive
+  * [[TestOracle]] fold of exactly the events that should be visible, plus
+  * time-travel and point-lookup reads against per-snapshot models.
+  *
+  * The targeted specs each pin ONE mechanism; this spec exercises the
+  * interleavings between them, where the recent bug classes lived (staged
+  * ids clobbered by a second allocator, rebucket erasing a concurrent
+  * commit, stale bucket layouts silently mis-pruning).
+  */
+class LifecyclePropSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val payload = Seq("commit", "lang", "content")
+  private type Model = Map[(String, String), TestOracle.KeyState]
+
+  /** Compare a flat state read (currentState/stateAt shape) to a model. */
+  private def assertMatches(df: DataFrame, model: Model, label: String): Unit = {
+    val got = df.collect()
+    val gotMap = got.map { r =>
+      (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path"))) -> r
+    }.toMap
+    assert(gotMap.size === got.length, s"$label: duplicate keys in state")
+    assert(gotMap.keySet === model.keySet, s"$label: visible key set mismatch")
+    for ((k, ks) <- model) {
+      val r = gotMap(k)
+      assert(r.getString(r.fieldIndex("_op")) === ks.op, s"$label: op mismatch at $k")
+      assert(r.getLong(r.fieldIndex("_lsn")) === ks.lsn, s"$label: lsn mismatch at $k")
+      assert(r.getInt(r.fieldIndex("_seq")) === ks.seq, s"$label: seq mismatch at $k")
+      for (c <- payload) {
+        val v = if (r.isNullAt(r.fieldIndex(c))) null else r.get(r.fieldIndex(c))
+        assert(v === ks.cols.getOrElse(c, null), s"$label: column $c mismatch at $k")
+      }
+      val expSha = ks.cols.get("content").map(c => TestOracle.sha256Hex(c.toString)).orNull
+      val gotSha = if (r.isNullAt(r.fieldIndex("content_sha256"))) null
+        else r.getString(r.fieldIndex("content_sha256"))
+      assert(gotSha === expSha, s"$label: content sha mismatch at $k")
+    }
+  }
+
+  private def runLifecycle(mor: Boolean, seed: Int, steps: Int): Unit = {
+    val rnd = new Random(seed)
+    val n = 1800L
+    val ev = Synth.events(spark, n, seed = seed, repos = 10, pathsPerRepo = 25,
+      hotPct = 30, dupPct = 10)
+    // hash-split delivery: batches arrive out of commit order
+    val queue = scala.collection.mutable.Queue(
+      Synth.batches(ev, 10, n, seed = seed, shuffleDelivery = true)
+        .map(b => (b, b.collect().toSeq)): _*)
+
+    val dir = SparkTestBase.tmpDir("lifecycle")
+    var engine = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = mor),
+      EngineConf(buckets = 8, morCompactThreshold = if (mor) 3 else 0))
+
+    var nextEpoch = 0L
+    def freshEpoch(): Long = { val e = nextEpoch; nextEpoch += 1; e }
+
+    // epoch -> its event rows, for every epoch that ever committed on main
+    val rowsOfEpoch = scala.collection.mutable.Map.empty[Long, Seq[Row]]
+    // epochs currently VISIBLE on main, in commit order (rollback truncates)
+    var surviving = Vector.empty[Long]
+    // main snapshot id -> surviving epochs at that commit (time-travel model)
+    val snapModels = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+    // everything that ever committed on main: re-delivery must be a no-op
+    // even after the epoch was rolled back
+    val committed = scala.collection.mutable.ArrayBuffer.empty[(Long, DataFrame)]
+    val tagModels = scala.collection.mutable.Map.empty[String, Model]
+    val opsHit = scala.collection.mutable.Set.empty[String]
+
+    def modelOf(epochs: Vector[Long]): Model =
+      TestOracle.finalState(epochs.flatMap(rowsOfEpoch), payload)
+    def record(): Unit = snapModels(engine.table.currentSnapshotId) = surviving
+    // rollback across a rebucket boundary restores the target's LAYOUT too;
+    // the engine instance must then be rebuilt against it, like any resume
+    def adoptLayout(): Unit =
+      if (engine.table.currentBuckets != engine.conf.buckets)
+        engine = new CdcEngine(spark, engine.table,
+          engine.conf.copy(buckets = engine.table.currentBuckets))
+    def check(label: String): Unit =
+      assertMatches(engine.currentState(), modelOf(surviving), label)
+
+    // seed the table with the first batch so every op has state to act on
+    locally {
+      val (df, rows) = queue.dequeue()
+      val e = freshEpoch()
+      engine.applyBatch(e, df)
+      rowsOfEpoch(e) = rows; surviving :+= e; committed += ((e, df))
+      record(); check("seed")
+    }
+
+    for (step <- 1 to steps) {
+      val roll = rnd.nextInt(100)
+      if (roll < 30 && queue.nonEmpty) {
+        // ordinary micro-batch apply
+        val (df, rows) = queue.dequeue()
+        val e = freshEpoch()
+        opsHit += "apply"
+        val res = engine.applyBatch(e, df)
+        assert(!res.skipped, s"step $step: fresh epoch $e must not skip")
+        rowsOfEpoch(e) = rows; surviving :+= e; committed += ((e, df))
+        record(); check(s"step $step apply")
+      } else if (roll < 38 && committed.nonEmpty) {
+        // exact re-delivery of a committed epoch — no-op even if rolled back
+        val (e, df) = committed(rnd.nextInt(committed.size))
+        val res = engine.applyBatch(e, df)
+        opsHit += "redeliver"
+        assert(res.skipped, s"step $step: re-delivered epoch $e must skip")
+        check(s"step $step re-delivery")
+      } else if (roll < 45 && committed.nonEmpty) {
+        // same CONTENT under a fresh epoch (at-least-once upstream): the ACI
+        // merge re-absorbs it; if the original epoch was rolled back this
+        // legitimately re-adds its events
+        val (orig, df) = committed(rnd.nextInt(committed.size))
+        val e = freshEpoch()
+        engine.applyBatch(e, df)
+        opsHit += "dupcontent"
+        rowsOfEpoch(e) = rowsOfEpoch(orig); surviving :+= e; committed += ((e, df))
+        record(); check(s"step $step dup-content")
+      } else if (roll < 53) {
+        opsHit += "compact"
+        engine.compact()
+        record(); check(s"step $step compact")
+      } else if (roll < 59) {
+        val choices = Seq(4, 8, 12, 16).filterNot(_ == engine.conf.buckets)
+        opsHit += "rebucket"
+        engine = engine.rebucket(choices(rnd.nextInt(choices.size)))
+        record(); check(s"step $step rebucket")
+      } else if (roll < 67 && snapModels.size > 1) {
+        val target = snapModels.keys.toSeq.sorted.apply(rnd.nextInt(snapModels.size))
+        opsHit += "rollback"
+        engine.table.rollbackTo(target)
+        surviving = snapModels(target)
+        adoptLayout()
+        record(); check(s"step $step rollback->$target")
+      } else if (roll < 72) {
+        val expired = engine.table.expireSnapshots(keepLast = 4)
+        opsHit += "expire"
+        expired.foreach(snapModels.remove)
+        check(s"step $step expire(${expired.size})")
+      } else if (roll < 77) {
+        opsHit += "vacuum"
+        engine.table.vacuum(0L) // single-writer test: immediate reclaim is safe
+        check(s"step $step vacuum")
+      } else if (roll < 84 && snapModels.nonEmpty) {
+        // time travel against the model recorded at that snapshot
+        val (id, epochs) = snapModels.toSeq.sortBy(_._1).apply(rnd.nextInt(snapModels.size))
+        opsHit += "timetravel"
+        assertMatches(engine.stateAt(id), modelOf(epochs), s"step $step stateAt($id)")
+      } else if (roll < 89 && committed.nonEmpty) {
+        // point lookup vs the model (exercises bucket + fingerprint pruning)
+        val pool = rowsOfEpoch(committed(rnd.nextInt(committed.size))._1)
+        val r = pool(rnd.nextInt(pool.size))
+        val key = (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path")))
+        val m = modelOf(surviving)
+        opsHit += "pointlookup"
+        val got = engine.pointLookup(key._1, key._2).collect()
+        m.get(key) match {
+          case Some(ks) =>
+            assert(got.length === 1, s"step $step: pointLookup $key must find the key")
+            assert(got.head.getLong(got.head.fieldIndex("_lsn")) === ks.lsn,
+              s"step $step: pointLookup $key lsn")
+          case None =>
+            assert(got.isEmpty, s"step $step: pointLookup $key must be empty (tombstoned/absent)")
+        }
+      } else if (roll < 94 && queue.nonEmpty) {
+        // write-audit-publish: stage, then publish or drop
+        val (df, rows) = queue.dequeue()
+        val e = freshEpoch()
+        opsHit += "wap"
+        val res = engine.stageBatch(e, df)
+        check(s"step $step staged-invisible") // staged must not be visible
+        if (rnd.nextBoolean()) {
+          engine.publishStaged(res.snapshotId)
+          rowsOfEpoch(e) = rows; surviving :+= e; committed += ((e, df))
+          record(); check(s"step $step publishStaged")
+        } else {
+          engine.dropStaged(res.snapshotId)
+          queue.enqueue((df, rows)) // re-deliverable later under a fresh epoch
+          check(s"step $step dropStaged")
+        }
+      } else if (queue.size >= 2) {
+        // branch lane: fork, apply 1-2 batches on the lane, then publish
+        // (fast-forward) or abandon; main is frozen in between
+        val name = s"lane$step"
+        opsHit += "branch"
+        engine.createBranch(name)
+        val k = 1 + rnd.nextInt(2)
+        val laneBatches = (1 to k).map { _ =>
+          val (df, rows) = queue.dequeue()
+          val e = freshEpoch()
+          engine.applyBatchToBranch(e, df, name)
+          (e, df, rows)
+        }
+        check(s"step $step lane-invisible") // lane commits must not show on main
+        if (rnd.nextBoolean()) {
+          engine.publishBranch(name)
+          laneBatches.foreach { case (e, df, rows) =>
+            rowsOfEpoch(e) = rows; surviving :+= e; committed += ((e, df))
+          }
+          record(); check(s"step $step publishBranch")
+        } else {
+          engine.abandonBranch(name)
+          laneBatches.foreach { case (_, df, rows) => queue.enqueue((df, rows)) }
+          check(s"step $step abandonBranch")
+        }
+      } else if (rnd.nextBoolean()) {
+        val name = s"t$step"
+        engine.tagSnapshot(name)
+        tagModels(name) = modelOf(surviving)
+      } else {
+        engine.table.vacuum(0L)
+        check(s"step $step vacuum-fallback")
+      }
+    }
+
+    // the interleaving must have exercised the op space, not a skewed corner
+    assert(opsHit.size >= 10, s"op coverage too thin: $opsHit")
+
+    // tags survive everything that happened after them (expiry included)
+    for ((name, m) <- tagModels)
+      assertMatches(engine.stateAtTag(name), m, s"tag $name")
+  }
+
+  test("copy-on-write: random lifecycle interleaving matches the model at every step") {
+    runLifecycle(mor = false, seed = 101, steps = 34)
+  }
+
+  test("merge-on-read: random lifecycle interleaving matches the model at every step") {
+    runLifecycle(mor = true, seed = 202, steps = 34)
+  }
+}
