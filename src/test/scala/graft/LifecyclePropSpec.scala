@@ -53,7 +53,7 @@ class LifecyclePropSpec extends AnyFunSuite {
     }
   }
 
-  private def runLifecycle(mor: Boolean, seed: Int, steps: Int): Unit = {
+  private def runLifecycle(mor: Boolean, seed: Int, steps: Int, minOps: Int = 8): Unit = {
     val rnd = new Random(seed)
     val n = 1800L
     val ev = Synth.events(spark, n, seed = seed, repos = 10, pathsPerRepo = 25,
@@ -230,7 +230,7 @@ class LifecyclePropSpec extends AnyFunSuite {
     }
 
     // the interleaving must have exercised the op space, not a skewed corner
-    assert(opsHit.size >= 10, s"op coverage too thin: $opsHit")
+    assert(opsHit.size >= minOps, s"op coverage too thin: $opsHit")
 
     // tags survive everything that happened after them (expiry included)
     for ((name, m) <- tagModels)
@@ -238,10 +238,22 @@ class LifecyclePropSpec extends AnyFunSuite {
   }
 
   test("copy-on-write: random lifecycle interleaving matches the model at every step") {
-    runLifecycle(mor = false, seed = 101, steps = 34)
+    runLifecycle(mor = false, seed = 101, steps = 34, minOps = 10)
   }
 
   test("merge-on-read: random lifecycle interleaving matches the model at every step") {
-    runLifecycle(mor = true, seed = 202, steps = 34)
+    runLifecycle(mor = true, seed = 202, steps = 34, minOps = 10)
+  }
+
+  // widen the hunt without widening the default suite: extra seeds on demand
+  // (SPARK_GRAFT_FUZZ_SEEDS=301,302,... runs each in both modes)
+  for (s <- sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toInt)) {
+    test(s"extra fuzz seed $s (copy-on-write)") {
+      runLifecycle(mor = false, seed = s, steps = 34)
+    }
+    test(s"extra fuzz seed $s (merge-on-read)") {
+      runLifecycle(mor = true, seed = s, steps = 34)
+    }
   }
 }
