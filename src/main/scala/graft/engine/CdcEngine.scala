@@ -700,6 +700,11 @@ class CdcEngine(
     else base
   }
 
+  /** Inspection metadata tables (Iceberg's `table.snapshots` / `.history` /
+    * `.files` / `.partitions` / `.refs`, plus queryable per-partition
+    * lineage) — see [[Inspect]]. */
+  def inspect: Inspect = new Inspect(spark, table)
+
   /** Raw cell-form state (for tests / debugging). */
   def currentCells(buckets: Option[Set[Int]] = None): DataFrame =
     readStateCells(buckets, tablePayload)
