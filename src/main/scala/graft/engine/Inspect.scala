@@ -175,6 +175,46 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
     else spark.emptyDataFrame
   }
 
+  /** Vacuum DRY-RUN (Iceberg's `remove_orphan_files(dry_run => true)`): every
+    * file `vacuum(graceMillis)` would reclaim right now — data files no
+    * retained snapshot, tag, or branch references, and dead off-chain
+    * manifests — with size and age, so retention policy can be audited
+    * before any delete. Shares the live-set computation with `vacuum`
+    * itself (one code path, they cannot disagree). */
+  def orphans(graceMillis: Long = 0L): DataFrame = {
+    val rows = table.vacuumDryRun(graceMillis).toList.map { case (rel, kind) =>
+      val abs = table.root.resolve(rel)
+      OrphanRow(
+        file_path = rel,
+        kind = kind,
+        size_bytes =
+          if (Files.isRegularFile(abs)) Some(Files.size(abs)) else None,
+        modified_at =
+          if (Files.isRegularFile(abs))
+            Some(new Timestamp(Files.getLastModifiedTime(abs).toMillis))
+          else None)
+    }
+    rows.toDF()
+  }
+
+  /** Register every inspection table as a temp view —
+    * `<prefix>_snapshots`, `_history`, `_refs`, `_files`, `_partitions`,
+    * `_lineage`, `_metrics`, `_orphans` — so the whole metadata surface is
+    * one `spark.sql` away (Iceberg's `db.table.snapshots` idiom, spelled as
+    * views because this table format lives outside any catalog). Views are
+    * materialized AT registration (driver-built local frames); re-register
+    * after commits to see newer metadata. */
+  def register(prefix: String): Unit = {
+    snapshots.createOrReplaceTempView(s"${prefix}_snapshots")
+    history.createOrReplaceTempView(s"${prefix}_history")
+    refs.createOrReplaceTempView(s"${prefix}_refs")
+    files().createOrReplaceTempView(s"${prefix}_files")
+    partitions().createOrReplaceTempView(s"${prefix}_partitions")
+    lineage.createOrReplaceTempView(s"${prefix}_lineage")
+    metrics.createOrReplaceTempView(s"${prefix}_metrics")
+    orphans().createOrReplaceTempView(s"${prefix}_orphans")
+  }
+
   /** Per-partition source lineage, flattened across the chain: which source
     * LSN range each commit applied to each bucket, with event and row
     * counts. This is the engine's `source offset range -> snapshot id`
@@ -248,6 +288,12 @@ object Inspect {
       min_lsn: Option[Long],
       max_lsn: Option[Long],
       has_key_fp: Boolean)
+
+  case class OrphanRow(
+      file_path: String,
+      kind: String,
+      size_bytes: Option[Long],
+      modified_at: Option[Timestamp])
 
   case class LineageRow(
       snapshot_id: Long,

@@ -777,14 +777,51 @@ class IceliteTable private (val root: Path) {
     * racing an audit could reclaim their data files — keep the grace period
     * above the audit window, or publish/drop before vacuuming. */
   def vacuum(graceMillis: Long = 0L): Seq[String] = rootLock.synchronized {
-    // union of raw DELTAS across the chain == union of every chain
-    // snapshot's resolved file set: each delta list IS the bucket's visible
-    // list at the snapshot that wrote it (still in the chain), and every
-    // resolution only selects from delta lists — no resolution needed here.
-    // Tag-pinned snapshots keep their files live even off-chain: an
-    // on-chain tag's delta is covered by the chain union already, and an
-    // off-chain (expired) tag was re-materialized FULL at expiry, so its
-    // raw bucketDelta IS its complete file set.
+    val (orphans, deadManifests) =
+      garbageScan(System.currentTimeMillis() - graceMillis)
+    orphans.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
+    // sweep now-empty directories bottom-up
+    val dataDir = root.resolve("data")
+    if (Files.exists(dataDir)) {
+      val dirStream = Files.walk(dataDir)
+      try dirStream.iterator().asScala.toList.reverse
+        .filter(p => Files.isDirectory(p) && p != dataDir)
+        .foreach { d =>
+          val ls = Files.list(d)
+          val empty = try !ls.iterator().hasNext finally ls.close()
+          if (empty) Files.deleteIfExists(d)
+        }
+      finally dirStream.close()
+    }
+    deadManifests.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
+    orphans ++ deadManifests
+  }
+
+  /** What [[vacuum]] with the same grace WOULD reclaim, without touching
+    * anything — Iceberg's `remove_orphan_files(dry_run)` contract. Pairs of
+    * (relative path, kind) where kind is `"data"` for unreferenced data
+    * files and `"manifest"` for dead off-chain snapshot manifests. */
+  def vacuumDryRun(graceMillis: Long = 0L): Seq[(String, String)] =
+    rootLock.synchronized {
+      val (orphans, deadManifests) =
+        garbageScan(System.currentTimeMillis() - graceMillis)
+      orphans.map((_, "data")) ++ deadManifests.map((_, "manifest"))
+    }
+
+  /** Garbage candidates at `cutoff` (mtime <= cutoff): data files referenced
+    * by no retained snapshot/tag/branch, and off-chain manifests no ref
+    * needs. Shared by [[vacuum]] (which deletes) and [[vacuumDryRun]]
+    * (which reports) so the two can never disagree about the live set.
+    *
+    * union of raw DELTAS across the chain == union of every chain
+    * snapshot's resolved file set: each delta list IS the bucket's visible
+    * list at the snapshot that wrote it (still in the chain), and every
+    * resolution only selects from delta lists — no resolution needed here.
+    * Tag-pinned snapshots keep their files live even off-chain: an
+    * on-chain tag's delta is covered by the chain union already, and an
+    * off-chain (expired) tag was re-materialized FULL at expiry, so its
+    * raw bucketDelta IS its complete file set. */
+  private def garbageScan(cutoff: Long): (List[String], List[String]) = {
     val tagRefs = tags.values.toList.distinct
       .filter(id => Files.exists(metaDir.resolve(s"snap-$id.json")))
       .flatMap(id => snapshot(id).bucketDelta.valuesIterator.flatten.map(_.path))
@@ -797,9 +834,8 @@ class IceliteTable private (val root: Path) {
     val referenced: Set[String] =
       (snapshotChain.flatMap(_.bucketDelta.valuesIterator.flatten.map(_.path)) ++
         tagRefs ++ branchRefs).toSet
-    val cutoff = System.currentTimeMillis() - graceMillis
     val dataDir = root.resolve("data")
-    if (!Files.exists(dataDir)) return Seq.empty
+    if (!Files.exists(dataDir)) return (Nil, Nil)
     val stream = Files.walk(dataDir)
     val orphans =
       try stream.iterator().asScala
@@ -809,17 +845,6 @@ class IceliteTable private (val root: Path) {
         .filterNot(referenced.contains)
         .toList
       finally stream.close()
-    orphans.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
-    // sweep now-empty directories bottom-up
-    val dirStream = Files.walk(dataDir)
-    try dirStream.iterator().asScala.toList.reverse
-      .filter(p => Files.isDirectory(p) && p != dataDir)
-      .foreach { d =>
-        val ls = Files.list(d)
-        val empty = try !ls.iterator().hasNext finally ls.close()
-        if (empty) Files.deleteIfExists(d)
-      }
-    finally dirStream.close()
     // Off-chain manifest GC: snap-N.json files pinned at expiry for tags or
     // branch forks, or left by dropped staged snapshots, are not
     // chain-referenced — once the last tag/branch that needed one is gone
@@ -844,8 +869,7 @@ class IceliteTable private (val root: Path) {
         }
         .map(relativize).toList
       finally metaStream.close()
-    deadManifests.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
-    orphans ++ deadManifests
+    (orphans, deadManifests)
   }
 
   // Highest snapshot id ever seen by this instance (>= any manifest on

@@ -179,6 +179,59 @@ class InspectSpec extends AnyFunSuite {
     assert(files.agg(sum("rows")).head.getLong(0) === engine2.currentCells().count())
   }
 
+  test("orphans is an exact vacuum dry-run; register exposes the SQL surface") {
+    val dir = SparkTestBase.tmpDir("inspect-orphans")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
+    val engine = new CdcEngine(spark, t, EngineConf(buckets = 8))
+    val ev = Synth.events(spark, 1600, seed = 71)
+    Synth.batches(ev, 2, 1600).zipWithIndex.foreach { case (b, i) =>
+      engine.applyBatch(i.toLong, b)
+    }
+    val insp = engine.inspect
+
+    // with the full chain retained every DATA file is referenced: the only
+    // reclaimable entries are the parquet writer's side-cars (_SUCCESS,
+    // .crc), which vacuum sweeps and the dry-run must therefore report
+    val preOrph = insp.orphans().collect()
+    assert(preOrph.forall(r =>
+      !r.getAs[String]("file_path").endsWith(".parquet")))
+
+    // expiring the first snapshot strands its copy-on-write pre-images
+    t.expireSnapshots(keepLast = 1)
+    val orph = insp.orphans().collect()
+    assert(orph.nonEmpty)
+    assert(orph.forall(r => r.getAs[String]("kind") == "data" ||
+      r.getAs[String]("kind") == "manifest"))
+    // expiry stranded real parquet pre-images, not just writer side-cars
+    val strandedParquet = orph.filter(_.getAs[String]("file_path").endsWith(".parquet"))
+    assert(strandedParquet.nonEmpty)
+    assert(strandedParquet.forall(_.getAs[Long]("size_bytes") > 0L))
+    assert(orph.forall(r => Files.isRegularFile(
+      Paths.get(s"$dir/t").resolve(r.getAs[String]("file_path")))))
+    // live files never appear in the orphan report
+    val live = insp.files().collect().map(_.getAs[String]("file_path")).toSet
+    val predicted = orph.map(_.getAs[String]("file_path")).toSet
+    assert(predicted.intersect(live).isEmpty)
+
+    // the dry run IS vacuum's delete set — same code path, proven equal
+    val deleted = t.vacuum(0L).toSet
+    assert(deleted === predicted)
+    assert(insp.orphans().count() === 0L)
+    // and vacuum touched nothing the report did not name
+    assert(insp.files().collect().forall(r => Files.isRegularFile(
+      Paths.get(s"$dir/t").resolve(r.getAs[String]("file_path")))))
+
+    // register: the whole surface is one spark.sql away
+    insp.register("it")
+    assert(spark.sql("SELECT count(*) FROM it_snapshots").head.getLong(0) === 1L)
+    assert(spark.sql("SELECT sum(rows) FROM it_partitions").head.getLong(0) ===
+      engine.currentCells().count())
+    assert(spark.sql(
+      "SELECT count(*) FROM it_refs WHERE name = 'main'").head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM it_orphans").head.getLong(0) === 0L)
+    assert(spark.sql("SELECT max(lsn_max) FROM it_lineage").head.getLong(0) <= 1599L)
+  }
+
   test("empty table yields empty, well-typed inspection tables") {
     val dir = SparkTestBase.tmpDir("inspect-empty")
     val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
@@ -191,6 +244,7 @@ class InspectSpec extends AnyFunSuite {
     assert(insp.partitions().count() === 0L)
     assert(insp.lineage.count() === 0L)
     assert(insp.metrics.count() === 0L)
+    assert(insp.orphans().count() === 0L)
     // schema is stable even when empty
     assert(insp.files().columns.contains("origin"))
   }

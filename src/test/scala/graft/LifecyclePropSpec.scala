@@ -235,6 +235,45 @@ class LifecyclePropSpec extends AnyFunSuite {
     // tags survive everything that happened after them (expiry included)
     for ((name, m) <- tagModels)
       assertMatches(engine.stateAtTag(name), m, s"tag $name")
+
+    // the inspection surface must describe the final state exactly,
+    // whatever interleaving produced it
+    inspectInvariants(engine, mor)
+  }
+
+  /** End-of-lifecycle inspection invariants: metadata tables vs physical
+    * reality after an arbitrary op interleaving. */
+  private def inspectInvariants(engine: CdcEngine, mor: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    val insp = engine.inspect
+    val files = insp.files()
+    val fileRows = files.collect()
+    // every listed file exists on disk
+    assert(fileRows.forall(r => java.nio.file.Files.isRegularFile(
+      engine.table.root.resolve(r.getAs[String]("file_path")))),
+      "inspect.files lists a missing file")
+    // physical rows: exact for copy-on-write, >= merged for delta piles
+    val merged = engine.currentCells().count()
+    val phys = if (fileRows.isEmpty) 0L
+      else files.agg(sum("rows")).head.getLong(0)
+    if (mor) assert(phys >= merged, "MOR physical rows < merged keys")
+    else assert(phys === merged, "COW physical rows != merged keys")
+    // partitions is an exact rollup of files
+    assert(insp.partitions().agg(coalesce(sum("files"), lit(0L))).head.getLong(0)
+      === files.count(), "partitions rollup disagrees with files")
+    // the snapshot table's head is the table's head
+    assert(insp.snapshots.agg(max("snapshot_id")).head.getLong(0) ===
+      engine.table.currentSnapshotId, "snapshots head != current snapshot")
+    // refs always includes main at the current head
+    assert(insp.refs.filter(col("name") === "main")
+      .head.getAs[Long]("snapshot_id") === engine.table.currentSnapshotId)
+    // the orphan dry-run names exactly what vacuum then reclaims, and the
+    // orphan set drains to empty afterwards
+    val predicted = insp.orphans(0L).collect()
+      .map(_.getAs[String]("file_path")).toSet
+    val deleted = engine.table.vacuum(0L).toSet
+    assert(deleted === predicted, "vacuum dry-run disagrees with vacuum")
+    assert(insp.orphans(0L).count() === 0L, "orphans survive a vacuum")
   }
 
   test("copy-on-write: random lifecycle interleaving matches the model at every step") {
