@@ -279,6 +279,30 @@ object CdcDemo {
           (if (replayEqual) "matches" else "DIVERGES (BUG!)"))
       } finally server.stop()
     }
+
+    // ---- round-4 surface: INSPECTION metadata tables — the table-format
+    // metadata surface (snapshots/history/refs/files/partitions/lineage/
+    // metrics/orphans) registered as SQL views, plus the vacuum dry-run
+    // contract: the report IS the delete set, and it drains to empty.
+    locally {
+      val insp = engine32.inspect
+      insp.register("tbl")
+      val kinds = spark.sql(
+        "SELECT kind, count(*) AS n FROM tbl_snapshots GROUP BY kind ORDER BY kind")
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+      val hot = spark.sql(
+        "SELECT bucket, rows FROM tbl_partitions ORDER BY rows DESC, bucket LIMIT 1").head()
+      val lineageEvents = spark.sql("SELECT sum(events) FROM tbl_lineage").head().getLong(0)
+      val predicted = insp.orphans().count()
+      val reclaimed = engine32.table.vacuum(0L).size
+      val drained = insp.orphans().count()
+      println(s"== inspect: snapshot kinds {$kinds}; hottest bucket ${hot.getInt(0)} " +
+        s"(${hot.getLong(1)} rows); lineage accounts $lineageEvents events; " +
+        s"vacuum dry-run named $predicted files, vacuum reclaimed $reclaimed — " +
+        (if (reclaimed.toLong == predicted && drained == 0L)
+          "dry-run exact, orphan set drained"
+         else "DRY-RUN MISMATCH (BUG!)"))
+    }
     spark.stop()
   }
 }

@@ -110,6 +110,51 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  for (mor <- Seq(false, true)) {
+    val label = if (mor) "merge-on-read" else "copy-on-write"
+    test(s"$label: pinned reader is isolated from a concurrent writer + compaction + vacuum") {
+      val dir = SparkTestBase.tmpDir(s"snapiso-$mor")
+      val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = mor)
+      val writer = new CdcEngine(spark, t, EngineConf(buckets = 8))
+      val reader = new CdcEngine(spark, IceliteTable.load(s"$dir/t"),
+        EngineConf(buckets = 8))
+      val ev = Synth.events(spark, 3000, seed = 73)
+      val bs = Synth.batches(ev, 6, 3000).map(_.localCheckpoint(true))
+      bs.take(2).zipWithIndex.foreach { case (b, i) => writer.applyBatch(i.toLong, b) }
+
+      // pin a snapshot and take its reference image once
+      val pinId = t.currentSnapshotId
+      val reference = reader.stateAt(pinId).collect().map(_.toString).sorted.toSeq
+      assert(reference.nonEmpty)
+
+      // storm: the writer keeps committing, compacting and vacuuming (zero
+      // grace — safe single-writer, and the pinned snapshot stays RETAINED)
+      // while the reader re-materializes the pinned snapshot concurrently.
+      // Iceberg's isolation contract: maintenance never rewrites or reclaims
+      // a retained snapshot's files, so every re-read is byte-stable.
+      val mismatches = new AtomicInteger(0)
+      runConcurrently(Seq(
+        () => bs.drop(2).zipWithIndex.foreach { case (b, i) =>
+          writer.applyBatch((i + 2).toLong, b)
+          if (i % 2 == 1) { writer.compact(); writer.table.vacuum(0L) }
+        },
+        () => (1 to 6).foreach { _ =>
+          val again = reader.stateAt(pinId).collect().map(_.toString).sorted.toSeq
+          if (again != reference) mismatches.incrementAndGet()
+        }))
+      assert(mismatches.get() === 0, "pinned read changed under concurrent maintenance")
+      // and after the storm, time travel to the pin is still exact
+      assert(reader.stateAt(pinId).collect().map(_.toString).sorted.toSeq === reference)
+
+      // retention is the isolation boundary, and it fails LOUDLY: once the
+      // pin is expired off the chain and vacuumed, re-reading it must raise,
+      // never silently return wrong data
+      t.expireSnapshots(keepLast = 1)
+      t.vacuum(0L)
+      intercept[Exception] { reader.stateAt(pinId).collect() }
+    }
+  }
+
   test("copy-on-write CAS: a stale writer conflicts instead of clobbering, then re-merges") {
     val dir = SparkTestBase.tmpDir("race-cas")
     val t1 = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 4)
