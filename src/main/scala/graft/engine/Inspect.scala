@@ -36,7 +36,11 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
 
   private def kindOf(s: Icelite.Snapshot, parentEff: Option[Int]): String =
     if (s.restoreOf >= 0) "restore"
-    else if (parentEff.exists(_ != table.effectiveBuckets(s))) "rebucket"
+    // the persisted marker survives chain re-roots (a re-rooted rebucket
+    // commit has no parent to compare against); the adjacency fallback
+    // classifies legacy manifests written before the marker existed
+    else if (s.rebucket || parentEff.exists(_ != table.effectiveBuckets(s)))
+      "rebucket"
     else if (s.batchEpoch >= 0) "merge"
     else "maintenance" // compaction and other epoch-less service commits
 
@@ -71,10 +75,15 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
 
   /** Iceberg `table.history`: when each snapshot became reachable and from
     * which ref. Main-chain snapshots are current ancestors; snapshots held
-    * only by a tag or an unpublished branch lane are listed with
-    * `is_current_ancestor = false` (Iceberg's marker for
-    * rolled-back/off-chain history). `made_current_at` is the commit time —
-    * exact for main, and for branch lanes the moment the lane head advanced. */
+    * by a tag or an unpublished branch lane are listed with
+    * `is_current_ancestor = false`. Reachability is BY REF: a snapshot
+    * rolled away by `rollbackTo` reappears here only while a tag or branch
+    * still points at it — otherwise it is unreferenced garbage awaiting
+    * vacuum, not history (narrower than Iceberg, whose metadata log also
+    * retains ref-less rolled-back entries). `made_current_at` is the commit
+    * time — exact for main, and for branch lanes the moment the lane head
+    * advanced. Refs whose manifest a concurrent drop+vacuum already
+    * reclaimed are skipped, mirroring vacuum's own existence guards. */
   def history: DataFrame = {
     val main = chain
     val onMain = main.map(_.snapshotId).toSet
@@ -82,14 +91,16 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
       new Timestamp(s.commitMillis), s.snapshotId,
       if (s.parentId < 0) None else Some(s.parentId), "main",
       is_current_ancestor = true))
-    val branchRows = table.branches.toList.sortBy(_._1).flatMap { case (name, head) =>
-      table.chainFrom(head).filterNot(s => onMain(s.snapshotId)).map(s =>
-        HistoryRow(new Timestamp(s.commitMillis), s.snapshotId,
-          if (s.parentId < 0) None else Some(s.parentId), name,
-          is_current_ancestor = false))
-    }
+    val branchRows = table.branches.toList.sortBy(_._1)
+      .filter { case (_, head) => table.hasSnapshot(head) }
+      .flatMap { case (name, head) =>
+        table.chainFrom(head).filterNot(s => onMain(s.snapshotId)).map(s =>
+          HistoryRow(new Timestamp(s.commitMillis), s.snapshotId,
+            if (s.parentId < 0) None else Some(s.parentId), name,
+            is_current_ancestor = false))
+      }
     val tagRows = table.tags.toList.sortBy(_._1).collect {
-      case (name, id) if !onMain(id) =>
+      case (name, id) if !onMain(id) && table.hasSnapshot(id) =>
         val s = table.snapshot(id)
         HistoryRow(new Timestamp(s.commitMillis), s.snapshotId,
           if (s.parentId < 0) None else Some(s.parentId), name,
@@ -154,7 +165,10 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
     * dashboard: a hot bucket shows up as the row with the outlier
     * `rows`/`files` before it becomes a straggler. */
   def partitions(snapshotId: Long = -1L): DataFrame =
-    files(snapshotId).groupBy("bucket").agg(
+    partitionsOf(files(snapshotId))
+
+  private def partitionsOf(fileTable: DataFrame): DataFrame =
+    fileTable.groupBy("bucket").agg(
       count(lit(1)).as("files"),
       sum("rows").as("rows"),
       sum(coalesce(col("size_bytes"), lit(0L))).as("bytes"),
@@ -171,7 +185,10 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
     * schemaless-empty) when no commit has run. */
   def metrics: DataFrame = {
     val p = table.root.resolve("metrics.jsonl")
-    if (Files.isRegularFile(p)) spark.read.json(p.toString)
+    // spark.read paths are Hadoop GLOBS: escape metacharacters that are
+    // legal in directory names, or a table rooted at e.g. .../run[3]/t
+    // silently matches nothing
+    if (Files.isRegularFile(p)) spark.read.json(globEscape(p.toString))
     else spark.emptyDataFrame
   }
 
@@ -181,8 +198,8 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
     * manifests — with size and age, so retention policy can be audited
     * before any delete. Shares the live-set computation with `vacuum`
     * itself (one code path, they cannot disagree). */
-  def orphans(graceMillis: Long = 0L): DataFrame = {
-    val rows = table.vacuumDryRun(graceMillis).toList.map { case (rel, kind) =>
+  def orphans(graceMillis: Long = 0L, asOfMillis: Long = -1L): DataFrame = {
+    val rows = table.vacuumDryRun(graceMillis, asOfMillis).toList.map { case (rel, kind) =>
       val abs = table.root.resolve(rel)
       OrphanRow(
         file_path = rel,
@@ -208,8 +225,12 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
     snapshots.createOrReplaceTempView(s"${prefix}_snapshots")
     history.createOrReplaceTempView(s"${prefix}_history")
     refs.createOrReplaceTempView(s"${prefix}_refs")
-    files().createOrReplaceTempView(s"${prefix}_files")
-    partitions().createOrReplaceTempView(s"${prefix}_partitions")
+    // one manifest walk + per-file stat pass serves both file-level views
+    // (files() is a driver-built local relation — reusing the DataFrame
+    // reuses the materialized rows)
+    val f = files()
+    f.createOrReplaceTempView(s"${prefix}_files")
+    partitionsOf(f).createOrReplaceTempView(s"${prefix}_partitions")
     lineage.createOrReplaceTempView(s"${prefix}_lineage")
     metrics.createOrReplaceTempView(s"${prefix}_metrics")
     orphans().createOrReplaceTempView(s"${prefix}_orphans")
@@ -237,6 +258,11 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
 }
 
 object Inspect {
+  /** Escape Hadoop-glob metacharacters so a literal filesystem path stays
+    * literal when handed to `spark.read` (which globs its input paths). */
+  private[engine] def globEscape(path: String): String =
+    path.replaceAll("([\\[\\]{}*?])", "\\\\$1")
+
   /** Commit kind that wrote a data file, from the data-dir naming scheme. */
   private[engine] def originOf(relPath: String): String = {
     val seg = relPath.split('/') match {

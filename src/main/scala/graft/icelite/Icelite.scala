@@ -129,7 +129,13 @@ object Icelite {
       // commit and PROPAGATED to every descendant; -1 = inherit the
       // creation-time TableMeta.buckets (legacy manifests). Layout flips
       // atomically with the pointer — no second metadata file to race.
-      buckets: Int = -1)
+      buckets: Int = -1,
+      // true = this commit CHANGED the bucket layout (rebucketTo). Persisted
+      // so the commit kind survives a chain re-root: once expireSnapshots
+      // makes a rebucket commit the root, its parent — and with it any
+      // adjacency-derived classification — is gone. false on legacy
+      // manifests (readers fall back to parent adjacency there).
+      rebucket: Boolean = false)
 
   /** `mergeOnRead` = the table's write discipline: false = copy-on-write
     * (each commit rewrites affected buckets, reads are plain scans), true =
@@ -246,6 +252,13 @@ class IceliteTable private (val root: Path) {
     manifestReads += 1
     Serialization.read[Snapshot](Files.readString(metaDir.resolve(s"snap-$id.json")))
   }
+
+  /** Is `id`'s manifest still on disk? A ref (tag/branch head) can outlive
+    * its manifest when another instance drops the ref and vacuums between a
+    * reader's ref listing and its manifest walk — read-only consumers guard
+    * with this instead of racing into NoSuchFileException. */
+  def hasSnapshot(id: Long): Boolean =
+    Files.exists(metaDir.resolve(s"snap-$id.json"))
 
   def currentSnapshot: Option[Snapshot] = {
     val id = currentSnapshotId
@@ -776,9 +789,9 @@ class IceliteTable private (val root: Path) {
     * snapshots (write-audit-publish) are not chain-referenced, so a vacuum
     * racing an audit could reclaim their data files — keep the grace period
     * above the audit window, or publish/drop before vacuuming. */
-  def vacuum(graceMillis: Long = 0L): Seq[String] = rootLock.synchronized {
+  def vacuum(graceMillis: Long = 0L, asOfMillis: Long = -1L): Seq[String] = rootLock.synchronized {
     val (orphans, deadManifests) =
-      garbageScan(System.currentTimeMillis() - graceMillis)
+      garbageScan(vacuumCutoff(graceMillis, asOfMillis))
     orphans.foreach(rel => Files.deleteIfExists(root.resolve(rel)))
     // sweep now-empty directories bottom-up
     val dataDir = root.resolve("data")
@@ -800,13 +813,23 @@ class IceliteTable private (val root: Path) {
   /** What [[vacuum]] with the same grace WOULD reclaim, without touching
     * anything — Iceberg's `remove_orphan_files(dry_run)` contract. Pairs of
     * (relative path, kind) where kind is `"data"` for unreferenced data
-    * files and `"manifest"` for dead off-chain snapshot manifests. */
-  def vacuumDryRun(graceMillis: Long = 0L): Seq[(String, String)] =
+    * files and `"manifest"` for dead off-chain snapshot manifests.
+    *
+    * For an audit-then-delete flow with a NONZERO grace, pass the same
+    * `asOfMillis` to both calls: each call otherwise anchors the grace
+    * window at its own invocation instant, so a file written just inside
+    * the grace at audit time could age past it by delete time and be
+    * reclaimed without ever appearing in the audited report. */
+  def vacuumDryRun(graceMillis: Long = 0L, asOfMillis: Long = -1L): Seq[(String, String)] =
     rootLock.synchronized {
       val (orphans, deadManifests) =
-        garbageScan(System.currentTimeMillis() - graceMillis)
+        garbageScan(vacuumCutoff(graceMillis, asOfMillis))
       orphans.map((_, "data")) ++ deadManifests.map((_, "manifest"))
     }
+
+  /** Grace anchored at `asOfMillis` when given (>= 0), else at now. */
+  private def vacuumCutoff(graceMillis: Long, asOfMillis: Long): Long =
+    (if (asOfMillis >= 0) asOfMillis else System.currentTimeMillis()) - graceMillis
 
   /** Garbage candidates at `cutoff` (mtime <= cutoff): data files referenced
     * by no retained snapshot/tag/branch, and off-chain manifests no ref
@@ -1039,7 +1062,8 @@ class IceliteTable private (val root: Path) {
       // count — which is why table.json's bucket count must never be
       // rewritten once a chain exists)
       buckets = if (rebucketTo > 0) rebucketTo
-        else parent.map(_.buckets).getOrElse(meta.buckets))
+        else parent.map(_.buckets).getOrElse(meta.buckets),
+      rebucket = rebucketTo > 0)
     write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
     if (stage) return snap // manifest on disk, pointer untouched: invisible
     toBranch match {

@@ -132,15 +132,29 @@ class ConcurrencySpec extends AnyFunSuite {
       // while the reader re-materializes the pinned snapshot concurrently.
       // Iceberg's isolation contract: maintenance never rewrites or reclaims
       // a retained snapshot's files, so every re-read is byte-stable.
+      // The latch pins the overlap: the reader's later re-reads are
+      // GUARANTEED to run after at least one compact+vacuum has completed
+      // (and concurrently with the writer's remaining commits), so the test
+      // cannot pass vacuously by finishing its reads before maintenance ran.
       val mismatches = new AtomicInteger(0)
+      val firstMaintenanceDone = new CountDownLatch(1)
       runConcurrently(Seq(
         () => bs.drop(2).zipWithIndex.foreach { case (b, i) =>
           writer.applyBatch((i + 2).toLong, b)
-          if (i % 2 == 1) { writer.compact(); writer.table.vacuum(0L) }
+          if (i % 2 == 1) {
+            writer.compact(); writer.table.vacuum(0L)
+            firstMaintenanceDone.countDown()
+          }
         },
-        () => (1 to 6).foreach { _ =>
-          val again = reader.stateAt(pinId).collect().map(_.toString).sorted.toSeq
-          if (again != reference) mismatches.incrementAndGet()
+        () => {
+          def reRead(): Unit = {
+            val again = reader.stateAt(pinId).collect().map(_.toString).sorted.toSeq
+            if (again != reference) mismatches.incrementAndGet()
+          }
+          (1 to 2).foreach(_ => reRead())
+          assert(firstMaintenanceDone.await(300, TimeUnit.SECONDS),
+            "writer never compacted")
+          (1 to 3).foreach(_ => reRead())
         }))
       assert(mismatches.get() === 0, "pinned read changed under concurrent maintenance")
       // and after the storm, time travel to the pin is still exact

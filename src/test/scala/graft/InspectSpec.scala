@@ -177,6 +177,15 @@ class InspectSpec extends AnyFunSuite {
     assert(files.select("bucket").collect().map(_.getInt(0)).toSet
       .subsetOf((0 until 16).toSet))
     assert(files.agg(sum("rows")).head.getLong(0) === engine2.currentCells().count())
+
+    // the rebucket kind SURVIVES a chain re-root: once expiry makes the
+    // rebucket commit the root there is no parent to compare layouts
+    // against — the persisted marker, not adjacency, must classify it
+    engine2.applyBatch(1L, Synth.events(spark, 400, seed = 54))
+    engine2.table.expireSnapshots(keepLast = 2)
+    val rootKinds = engine2.inspect.snapshots.orderBy("snapshot_id")
+      .collect().map(_.getAs[String]("kind")).toSeq
+    assert(rootKinds === Seq("rebucket", "merge"))
   }
 
   test("orphans is an exact vacuum dry-run; register exposes the SQL surface") {
@@ -213,8 +222,19 @@ class InspectSpec extends AnyFunSuite {
     val predicted = orph.map(_.getAs[String]("file_path")).toSet
     assert(predicted.intersect(live).isEmpty)
 
+    // grace protects young files — every file here was written seconds ago
+    val grace = 3600000L
+    assert(insp.orphans(grace).count() === 0L)
+    // an audit-then-delete flow anchors BOTH calls at one asOf, so the
+    // grace window cannot drift between the audited report and the delete;
+    // anchoring at now+2*grace makes everything eligible (cutoff > now),
+    // which must agree with the zero-grace report
+    val asOf = System.currentTimeMillis() + 2 * grace
+    assert(insp.orphans(grace, asOf).collect()
+      .map(_.getAs[String]("file_path")).toSet === predicted)
+
     // the dry run IS vacuum's delete set — same code path, proven equal
-    val deleted = t.vacuum(0L).toSet
+    val deleted = t.vacuum(grace, asOf).toSet
     assert(deleted === predicted)
     assert(insp.orphans().count() === 0L)
     // and vacuum touched nothing the report did not name
