@@ -931,6 +931,31 @@ class CdcEngine(
     false
   }
 
+  /** Shared pruning resolution for the incremental readers over a window
+    * (since, to]. Returns (crosses, bsel, unbounded):
+    *   - crosses — the window straddles a rebucket: same keys and cells,
+    *     relocated files, MIXED hash regimes, so bucket pruning must be
+    *     abandoned entirely (the caller's `buckets`, interpreted in the
+    *     window-END layout, is re-applied as a row filter downstream);
+    *   - bsel — effective bucket selection: lineage-touched ∩ the caller's;
+    *   - unbounded — the touched set could not be proven complete (`since`
+    *     expired / re-rooted chain): readers must fall back to conservative
+    *     full redelivery. */
+  private def diffPruning(sinceSnapshotId: Long, buckets: Option[Set[Int]],
+      toId: Long): (Boolean, Option[Set[Int]], Boolean) = {
+    val crosses = sinceSnapshotId >= 0 && toId >= 0 &&
+      table.isAncestorFrom(sinceSnapshotId, toId) &&
+      table.windowCrossesRebucket(sinceSnapshotId, toId)
+    val touched = if (crosses) None else bucketsTouchedSince(sinceSnapshotId, toId)
+    val bsel = if (crosses) None
+      else (touched, buckets) match {
+        case (Some(t), Some(u)) => Some(t intersect u)
+        case (Some(t), None) => Some(t)
+        case (None, u) => u
+      }
+    (crosses, bsel, touched.isEmpty)
+  }
+
   /** Incremental change feed as a SNAPSHOT DIFF: every row whose visible
     * merged cells differ between `sinceSnapshotId` and now — inserts,
     * updates (any cell, not just the op cell) and tombstones (`_op = "D"`
@@ -971,20 +996,7 @@ class CdcEngine(
           !table.isAncestor(sinceSnapshotId),
         s"changesSince window is reversed or crosses branches: " +
           s"snapshot $sinceSnapshotId is not an ancestor of $toSnapshotId")
-    // a rebucket inside a LIVE window changes no values (same keys, same
-    // cells, relocated files) — diff exactly, just without any bucket
-    // pruning (mixed hash regimes; the caller's `buckets`, interpreted in
-    // the window-END layout, is re-applied as a row filter at the end)
-    val crosses = sinceSnapshotId >= 0 && toId >= 0 &&
-      table.isAncestorFrom(sinceSnapshotId, toId) &&
-      table.windowCrossesRebucket(sinceSnapshotId, toId)
-    val touched = if (crosses) None else bucketsTouchedSince(sinceSnapshotId, toId)
-    val bsel = if (crosses) None
-      else (touched, buckets) match {
-        case (Some(t), Some(u)) => Some(t intersect u)
-        case (Some(t), None) => Some(t)
-        case (None, u) => u
-      }
+    val (crosses, bsel, unbounded) = diffPruning(sinceSnapshotId, buckets, toId)
     // payload schema is the one pinned by the window END, not the current
     // one — a windowed feed to a pre-evolution snapshot has no later columns
     val payload = payloadOfSchema(
@@ -993,7 +1005,7 @@ class CdcEngine(
     val cur = readStateCells(bsel, payload,
       if (toId >= 0) Some(toId) else None)
     val changed =
-      if (sinceSnapshotId < 0 || (touched.isEmpty && !crosses)) cur
+      if (sinceSnapshotId < 0 || (unbounded && !crosses)) cur
       else {
         val old = readStateCells(bsel, payload, Some(sinceSnapshotId))
         // A restore in the window suspends two invariants of normal CDC
@@ -1042,6 +1054,66 @@ class CdcEngine(
       out.filter(pmod(xxhash64(keyColumns: _*), lit(toBuckets)).cast(IntegerType)
         .isin(buckets.get.toSeq: _*))
     } else out
+  }
+
+  /** Change-data-feed view of the window (since, to]: [[changesSince]]'s
+    * snapshot diff CLASSIFIED into `_change_type` rows — the Delta CDF /
+    * Iceberg changelog-view shape. Per changed key:
+    *   - `insert` — the key was not visible at `since`;
+    *   - `delete` — visible at `since`, tombstoned at the window end; the
+    *     row carries the PREIMAGE payload (what was deleted);
+    *   - `update_preimage` + `update_postimage` — a PAIR per updated key.
+    * Every row carries the `_change_lsn` / `_ts` of the change itself
+    * (both images of a pair share them, so a consumer can re-pair images;
+    * the feed orders by `_change_lsn`). A key created AND deleted inside
+    * the window nets to no rows — nothing a consumer of `since` ever saw
+    * changed.
+    *
+    * Cost is ONE hash join past [[changesSince]]: the post side IS the
+    * snapshot diff (change-proportional under merge-on-read); the pre side
+    * is the `since` state read under the SAME lineage bucket pruning, and
+    * only diff keys survive the join. The classification itself is a
+    * codegen'd projection (array of image structs + explode), no second
+    * shuffle. Bootstrap (`since < 0`) and an expired `since` degrade to
+    * all-`insert` redelivery of the visible window-end state, exactly as
+    * [[changesSince]] conservatively redelivers — a consumer behind the
+    * retention horizon rebuilds its mirror. */
+  def changelogSince(sinceSnapshotId: Long, buckets: Option[Set[Int]] = None,
+      toSnapshotId: Long = -1L): DataFrame = {
+    checkLayout()
+    // pin the window end NOW so the post diff and the preimage read cannot
+    // straddle a concurrent commit
+    val toId = if (toSnapshotId >= 0) toSnapshotId else table.currentSnapshotId
+    val post = changesSince(sinceSnapshotId, buckets, toId)
+    val payload = payloadOfSchema(
+      if (toId >= 0) Some(table.schema(table.snapshot(toId).schemaId)) else None)
+    val pcols = payload.fieldNames.toSeq
+    val (crosses, bsel, unbounded) = diffPruning(sinceSnapshotId, buckets, toId)
+    if (sinceSnapshotId < 0 || (unbounded && !crosses))
+      return post.filter(col("_op") =!= lit("D")).select(
+        (keyColumns ++ pcols.map(col) ++ Seq(lit("insert").as("_change_type"),
+          col("_lsn").as("_change_lsn"), col("_ts"))): _*)
+    // preimages: rows visible at `since`, bucket-pruned like the diff's own
+    // old side; the left join below keeps only the diff's keys
+    val oldCells = readStateCells(bsel, payload, Some(sinceSnapshotId))
+    val preVis = flattenCells(oldCells.filter(col(s"$OpCell.v") =!= lit("D")), payload)
+    val preR = preVis.select((keyColumns ++ pcols.map(c => col(c).as(s"__pre_$c")) :+
+      lit(true).as("__pre")): _*)
+    val j = post.join(preR, keyCols, "left_outer")
+    val pre = col("__pre") <=> lit(true)
+    val del = col("_op") === lit("D")
+    def img(tpe: String, of: String => Column): Column =
+      struct((lit(tpe).as("_change_type") +: pcols.map(c => of(c).as(c))): _*)
+    val variants = array(
+      when(!pre && !del, img("insert", col)),
+      when(pre && del, img("delete", c => col(s"__pre_$c"))),
+      when(pre && !del, img("update_preimage", c => col(s"__pre_$c"))),
+      when(pre && !del, img("update_postimage", col)))
+    j.select((keyColumns ++ Seq(explode(array_compact(variants)).as("__img"),
+        col("_lsn").as("_change_lsn"), col("_ts"))): _*)
+      .select((keyColumns ++ pcols.map(c => col(s"__img.$c").as(c)) ++ Seq(
+        col("__img._change_type").as("_change_type"),
+        col("_change_lsn"), col("_ts"))): _*)
   }
 
   /** Offset-range audit scan: stored change rows whose last-writer LSN falls

@@ -102,6 +102,9 @@ object CdcDemo {
       s"appendedSince(snap $snapA) reads only $deltaFiles delta files, " +
       s"${mor.appendedSince(snapA).count()} changed rows")
     println(s"== changesSince(snap $snapA): ${mor.changesSince(snapA).count()} rows (value-level diff)")
+    val clog = mor.changelogSince(snapA).groupBy("_change_type").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"== changelogSince(snap $snapA): $clog (CDF pre/post images)")
     val k = mor.currentState().select("repo", "path").head()
     println(s"== pointLookup(${k.getString(0)}, ${k.getString(1)}): " +
       s"${mor.pointLookup(k.getString(0), k.getString(1)).count()} row (bucket-pruned)")
