@@ -1045,12 +1045,15 @@ object TrainingData {
       val S = 300L
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
       val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      // partitionBy(lit(0)): the window is over the k-row LANGUAGE table
-      // (bounded by language cardinality, not corpus size) — the literal
-      // partition key states that on the plan and silences the spurious
-      // "No Partition Defined ... single partition" warning a bare
-      // orderBy window emits on every bench run
-      val byN = Window.partitionBy(lit(0)).orderBy(col("n"), col("lang"))
+      // constant partition key: the window is over the k-row LANGUAGE table
+      // (bounded by language cardinality, not corpus size) — stating that
+      // on the plan silences the spurious "No Partition Defined ... single
+      // partition" warning a bare orderBy window emits on every bench run.
+      // The key must survive the optimizer: partitionBy(lit) is stripped as
+      // foldable, and even n*0 gets arithmetic-simplified away on this
+      // Spark — pmod(xxhash64(lang), 1) is a constant 0 no rule rewrites
+      val byN = Window.partitionBy(pmod(xxhash64(col("lang")), lit(1)))
+        .orderBy(col("n"), col("lang"))
       val k = counts.agg(count(lit(1)).as("k"))
       val pre = counts
         .withColumn("idx", row_number().over(byN))
