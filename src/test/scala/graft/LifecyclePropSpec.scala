@@ -162,6 +162,28 @@ class LifecyclePropSpec extends AnyFunSuite {
         val (id, epochs) = snapModels.toSeq.sortBy(_._1).apply(rnd.nextInt(snapModels.size))
         opsHit += "timetravel"
         assertMatches(engine.stateAt(id), modelOf(epochs), s"step $step stateAt($id)")
+        // CDF fold contract at a random live-ancestor cut: since-state with
+        // the changelog applied (drop touched keys, add inserts+postimages)
+        // must equal the current visible state — whatever interleaving of
+        // compaction/rebucket/rollback/expiry produced the window. (A
+        // non-ancestor `since` takes the conservative all-insert redelivery
+        // path, where the fold contract intentionally does not hold.)
+        if (engine.table.isAncestorFrom(id, engine.table.currentSnapshotId)) {
+          import org.apache.spark.sql.functions.col
+          opsHit += "changelog"
+          val valCols = (Seq("repo", "path") ++ payload).map(col)
+          val log = engine.changelogSince(id)
+          val folded = engine.stateAt(id).select(valCols: _*)
+            .join(log.select(col("repo"), col("path")).distinct(),
+              Seq("repo", "path"), "left_anti")
+            .unionByName(log
+              .filter(col("_change_type").isin("insert", "update_postimage"))
+              .select(valCols: _*))
+          val want = engine.currentState().select(valCols: _*)
+          assert(folded.collect().map(_.toString).sorted.toSeq ===
+            want.collect().map(_.toString).sorted.toSeq,
+            s"step $step changelog fold($id)")
+        }
       } else if (roll < 89 && committed.nonEmpty) {
         // point lookup vs the model (exercises bucket + fingerprint pruning)
         val pool = rowsOfEpoch(committed(rnd.nextInt(committed.size))._1)

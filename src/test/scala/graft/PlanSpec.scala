@@ -182,4 +182,22 @@ class PlanSpec extends AnyFunSuite {
     // after one batch the read is a plain scan + project/filter
     assert(p.contains("Scan parquet") || p.contains("FileScan"), s"unexpected plan:\n$p")
   }
+
+  test("changelog plan: classification is a generate over joins — no cartesian, no window") {
+    import graft.engine.{CdcEngine, EngineConf}
+    import graft.icelite.IceliteTable
+    val dir = SparkTestBase.tmpDir("planspec-clog")
+    val engine = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    engine.applyBatch(0, graft.synth.Synth.events(spark, 400, seed = 14))
+    val since = engine.table.currentSnapshotId
+    engine.applyBatch(1, graft.synth.Synth.events(spark, 400, seed = 15))
+    val p = engine.changelogSince(since).queryExecution.executedPlan.toString
+    // pre/post classification is ONE outer join + an explode projection:
+    // any nested-loop/cartesian or window here would be a plan regression
+    assert(!p.contains("CartesianProduct"), s"cartesian in changelog plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in changelog plan:\n$p")
+    assert(!p.contains("Window"), "changelog must not sort through a window")
+    assert(p.contains("Generate explode"), s"expected the image explode:\n$p")
+  }
 }
