@@ -15,11 +15,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TrainingData.queries ++
-      graft.queries.Multimodal.queries
+      graft.queries.Multimodal.queries ++ graft.queries.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TrainingData.oracles ++
-      graft.queries.Multimodal.oracles
+      graft.queries.Multimodal.oracles ++ graft.queries.SqlSurface.oracles
 }

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.{CdcEngine, EngineConf}
+import graft.icelite.IceliteTable
+import graft.sql.IceliteSql
+
+/** Driver-gate queries for the SQL read surface (graft.sql.IceliteSql):
+  * each derives a deterministic change stream from the `events` test table
+  * (the SAME derivation the DuckDB oracle performs in SQL), replays it
+  * through the MERGE engine into an icelite table, and reads the result
+  * back through pure SQL — `VERSION AS OF` a tag on the copy-on-write
+  * table, an aggregation over the read-time LWW merge on the merge-on-read
+  * one. The oracle replicates the engine's visible-state semantics
+  * independently: latest row per key by LSN, tombstones hidden.
+  *
+  * This is the round-trip a reference user gets from `psql` over the final
+  * tables (reference `rebuild_and_ingest.sh` → `sql_queries`): CDC replay,
+  * then plain SQL over the result — here with snapshot time travel on top.
+  */
+object SqlSurface {
+
+  /** Work dirs for in-query engine tables: the table must outlive the
+    * (lazy) returned DataFrame, so reclamation is a JVM-exit sweep, same
+    * discipline as SparkTestBase/Bench. */
+  private object Work {
+    private val dirs = new scala.collection.mutable.ListBuffer[java.nio.file.Path]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.synchronized(dirs.toList).foreach { p =>
+        try graft.tools.ScalingBench.deleteRecursivelyPublic(p)
+        catch { case _: Exception => () }
+      }))
+    def tmp(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      dirs.synchronized(dirs += p)
+      p.toString
+    }
+  }
+
+  /** The deterministic change-stream derivation — one expression per
+    * column, kept textually parallel to the oracle's CTE. `event_id` is
+    * unique in the test data, so `commit_lsn = event_id` gives the total
+    * LWW order the oracle's `row_number() OVER (ORDER BY lsn DESC)`
+    * replays. */
+  private def derived(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet").selectExpr(
+      "concat('r', CAST(user_id % 40 AS STRING)) AS repo",
+      "concat('p', CAST(event_id % 181 AS STRING)) AS path",
+      "event_id AS commit_lsn",
+      "0 AS seq",
+      "CAST(ts AS TIMESTAMP) AS ts", // parquet NTZ -> the envelope's TIMESTAMP
+      "CASE WHEN event_type = 'click' AND event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op",
+      "event_type AS lang",
+      "concat('v', CAST(event_id % 997 AS STRING)) AS content")
+
+  private def cutoffOf(ev: DataFrame): Long =
+    ev.selectExpr("max(commit_lsn)").collect()(0).getLong(0) / 2
+
+  private def derivedCte(where: String) =
+    s"""WITH ev AS (
+      |  SELECT concat('r', CAST(user_id % 40 AS VARCHAR)) AS repo,
+      |         concat('p', CAST(event_id % 181 AS VARCHAR)) AS path,
+      |         event_id AS lsn,
+      |         CASE WHEN event_type = 'click' AND event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+      |         event_type AS lang,
+      |         concat('v', CAST(event_id % 997 AS VARCHAR)) AS content
+      |  FROM events
+      |  $where
+      |), latest AS (
+      |  SELECT repo, path, lang, content, op,
+      |         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      |  FROM ev
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S7+J5 through SQL: copy-on-write replay in two epochs, a tag pinned
+    // at epoch 0, then a pure-SQL time-travel read of the tagged snapshot.
+    "q71_sql_asof" -> ((s, dir) => {
+      val ev = derived(s, dir)
+      val cutoff = cutoffOf(ev)
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"${Work.tmp("graft-sql-q71")}/t", Seq("repo", "path"), 16),
+        EngineConf(buckets = 16))
+      engine.applyBatch(0, ev.filter(s"commit_lsn <= $cutoff"))
+      engine.tagSnapshot("v1")
+      engine.applyBatch(1, ev.filter(s"commit_lsn > $cutoff"))
+      IceliteSql.register(s, "q71", engine)
+      s.sql("SELECT repo, path, lang, content FROM ice.q71 VERSION AS OF 'v1'")
+    }),
+
+    // S7+A1/A5 through SQL: merge-on-read replay (delta files left
+    // uncompacted so the read-time LWW merge is on the path), aggregated
+    // with plain SQL over the current state.
+    "q72_sql_mor_agg" -> ((s, dir) => {
+      val ev = derived(s, dir)
+      val cutoff = cutoffOf(ev)
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"${Work.tmp("graft-sql-q72")}/t", Seq("repo", "path"), 16,
+          mergeOnRead = true),
+        EngineConf(buckets = 16))
+      engine.applyBatch(0, ev.filter(s"commit_lsn <= $cutoff"))
+      engine.applyBatch(1, ev.filter(s"commit_lsn > $cutoff"))
+      IceliteSql.register(s, "q72", engine)
+      s.sql("SELECT lang, count(*) AS n_docs, count(DISTINCT repo) AS n_repos " +
+        "FROM ice.q72 GROUP BY lang")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q71_sql_asof" ->
+      (derivedCte(
+        "WHERE event_id <= (SELECT CAST(max(event_id) AS BIGINT) // 2 FROM events)") +
+        "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"),
+    "q72_sql_mor_agg" ->
+      (derivedCte("") +
+        "\nSELECT lang, count(*) AS n_docs, count(DISTINCT repo) AS n_repos " +
+        "FROM latest WHERE rn = 1 AND op <> 'D' GROUP BY lang"))
+}

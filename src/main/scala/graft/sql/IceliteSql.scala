@@ -1,0 +1,241 @@
+package graft.sql
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.AliasIdentifier
+import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, AsOfVersion, NoSuchTableException, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.CdcEngine
+
+/** SQL read surface over icelite tables: a Catalyst resolution rule
+  * (registered through `SparkSessionExtensions`, Spark's sanctioned
+  * extension point) that resolves `ice.<name>` relations to the engine's
+  * read plans, so the whole surface a lakehouse SQL user expects works
+  * verbatim (Iceberg's Spark SQL surface; the reference exposes its final
+  * tables to plain SQL the same way, the `sql_queries` directory):
+  *
+  *   - `SELECT ... FROM ice.t`                          — current state
+  *   - `... FROM ice.t VERSION AS OF 7`                 — snapshot id
+  *   - `... FROM ice.t VERSION AS OF 'tag-or-branch'`   — refs
+  *   - `... FROM ice.t TIMESTAMP AS OF '2026-08-01 ..'` — latest snapshot
+  *     committed at or before the timestamp (Iceberg semantics)
+  *   - `... FROM ice.t.snapshots|history|files|partitions|refs|lineage|
+  *     metrics`                                         — metadata tables;
+  *     `files`/`partitions` accept `VERSION AS OF` too
+  *   - `spark.read.option("versionAsOf"|"timestampAsOf", ..).table("ice.t")`
+  *   - `spark.read.option("sinceSnapshot", id).table("ice.t.changes")` — the
+  *     incremental change feed ((since, head] diff); `.changelog` is the CDF
+  *     pre/post-image flavor; `versionAsOf` pins the window END
+  *
+  * The rule substitutes each reference with a FRESH engine read plan, so a
+  * self-join resolves with distinct attribute ids and every query sees the
+  * table head as of its own analysis — the same snapshot-per-query isolation
+  * the DataFrame API gives. Writes are rejected loudly: ingest goes through
+  * the engine's MERGE (`applyBatch`), never through SQL INSERT.
+  *
+  * Names are registered per SparkSession ([[IceliteSql.register]]), the
+  * in-process analog of configuring `spark.sql.catalog.ice` — the resolution
+  * rule itself is wired either with
+  * `SparkSession.builder.withExtensions(new IceliteSqlExtensions)` or via
+  * `spark.sql.extensions=graft.sql.IceliteSqlExtensions`.
+  *
+  * Scale note: resolution is O(manifest metadata) on the driver (same cost
+  * class as the engine's own reads); the substituted plan is the engine's
+  * pruned parquet scan (+ the bucket-local LWW merge on merge-on-read
+  * tables), so everything Catalyst does for a DataFrame read — filter
+  * pushdown, column pruning, AQE — applies unchanged to the SQL text.
+  */
+object IceliteSql {
+  /** Catalog-style prefix SQL references use: `ice.<registered-name>`. */
+  val Catalog = "ice"
+
+  /** Metadata relation suffixes (Iceberg's `db.table.snapshots` surface). */
+  private[sql] val MetaTables = Set("snapshots", "history", "files",
+    "partitions", "refs", "lineage", "metrics", "changes", "changelog")
+
+  // keyed per-session (weakly — a dropped session releases its engines),
+  // so concurrent sessions (tests, notebook users) cannot shadow each other
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, CdcEngine]]()
+
+  private def forSession(spark: SparkSession): ConcurrentHashMap[String, CdcEngine] =
+    registry.synchronized {
+      var m = registry.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, CdcEngine](); registry.put(spark, m) }
+      m
+    }
+
+  /** Expose `engine`'s table to SQL in `spark` as `ice.<name>`. */
+  def register(spark: SparkSession, name: String, engine: CdcEngine): Unit = {
+    // make `ice` a real catalog name so Spark's own resolver routes
+    // multi-part identifiers (`ice.t.snapshots`) here instead of erroring
+    // on `spark_catalog` namespace depth — the stub always reports
+    // table-not-found, leaving the relation for the resolution rule
+    val key = s"spark.sql.catalog.$Catalog"
+    if (!spark.conf.getOption(key).contains(classOf[IceliteCatalogStub].getName))
+      spark.conf.set(key, classOf[IceliteCatalogStub].getName)
+    forSession(spark).put(name.toLowerCase, engine)
+  }
+
+  def unregister(spark: SparkSession, name: String): Unit =
+    forSession(spark).remove(name.toLowerCase)
+
+  private[sql] def lookup(spark: SparkSession, name: String): Option[CdcEngine] =
+    Option(forSession(spark).get(name.toLowerCase))
+
+  private[sql] def fail(msg: String): Nothing =
+    throw new AnalysisException("USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> msg))
+}
+
+/** Minimal catalog plugin bound to the `ice` name ([[IceliteSql.register]]
+  * sets `spark.sql.catalog.ice`): its only job is making `ice` a REAL
+  * catalog so Spark's resolver routes multi-part identifiers
+  * (`ice.t.snapshots`) here — reporting every table as not-found — instead
+  * of erroring on `spark_catalog` namespace depth; the relation then stays
+  * unresolved for [[IceliteResolveRule]] to claim. Registrations are
+  * session-scoped engine instances (live JVM objects), which a catalog
+  * plugin — constructed reflectively, session-agnostic — cannot hold; the
+  * resolution rule, which IS session-bound, owns them instead. */
+class IceliteCatalogStub extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableChange}
+  import org.apache.spark.sql.connector.expressions.Transform
+  import org.apache.spark.sql.types.StructType
+
+  private var catalogName = IceliteSql.Catalog
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  override def loadTable(ident: Identifier): Table = throw new NoSuchTableException(ident)
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    IceliteSql.fail(s"${name()}: CREATE TABLE is not supported — create icelite " +
+      "tables with IceliteTable.create and register them with IceliteSql.register")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    IceliteSql.fail(s"${name()}: ALTER TABLE is not supported — schema evolves " +
+      "through CdcEngine batch reconciliation")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    IceliteSql.fail(s"${name()}: RENAME is not supported")
+}
+
+/** `SparkSession.builder.withExtensions(new IceliteSqlExtensions)`, or
+  * `spark.sql.extensions=graft.sql.IceliteSqlExtensions`. */
+class IceliteSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(session => new IceliteResolveRule(session))
+}
+
+class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import IceliteSql._
+
+  private def tz: String = session.sessionState.conf.sessionLocalTimeZone
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // INSERT's target is a FIELD of InsertIntoStatement, not a child, so the
+    // bare UnresolvedRelation case below never visits it — reject it here
+    // (UPDATE/DELETE/MERGE targets ARE children and carry the write-privilege
+    // marker, which the bare case rejects)
+    case i: InsertIntoStatement =>
+      i.table match {
+        case u: UnresolvedRelation if owned(u).isDefined =>
+          fail(s"$Catalog.${u.multipartIdentifier(1)} is read-only from SQL: " +
+            "writes are CDC merges — apply change batches through " +
+            "CdcEngine.applyBatch, not INSERT")
+        case _ => i
+      }
+
+    // `FROM ice.t VERSION/TIMESTAMP AS OF ...` — the parser wraps the
+    // relation in RelationTimeTravel (an unresolved LEAF: `relation` is a
+    // field, not a child, so the bare case below never sees it)
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+      owned(u).map { case (name, sub, engine) =>
+        val spec = TimeTravelSpec.create(ts, ver, tz).getOrElse(
+          fail(s"$Catalog.$name: time travel requires VERSION AS OF or TIMESTAMP AS OF"))
+        resolved(name, sub, engine, Some(specToSnapshot(name, engine, spec)), u.options)
+      }.getOrElse(tt)
+
+    case u: UnresolvedRelation =>
+      owned(u).map { case (name, sub, engine) =>
+        if (u.options.containsKey(UnresolvedRelation.REQUIRED_WRITE_PRIVILEGES))
+          fail(s"$Catalog.$name is read-only from SQL: writes are CDC merges — " +
+            "apply change batches through CdcEngine.applyBatch (exactly-once, " +
+            "LWW, schema evolution), not INSERT/UPDATE/DELETE")
+        // DataFrame-reader time travel: .option("versionAsOf"/"timestampAsOf")
+        val spec = TimeTravelSpec.fromOptions(u.options, "timestampAsOf", "versionAsOf", tz)
+        resolved(name, sub, engine, spec.map(specToSnapshot(name, engine, _)), u.options)
+      }.getOrElse(u)
+  }
+
+  /** `(registered-name, metadata-suffix, engine)` when the identifier is
+    * `ice.<registered>` or `ice.<registered>.<meta>`; None otherwise (the
+    * reference stays unresolved and Spark reports it as usual). */
+  private def owned(u: UnresolvedRelation): Option[(String, Option[String], CdcEngine)] =
+    u.multipartIdentifier match {
+      case Seq(c, n) if c.equalsIgnoreCase(Catalog) =>
+        lookup(session, n).map(e => (n.toLowerCase, None, e))
+      case Seq(c, n, s) if c.equalsIgnoreCase(Catalog) && MetaTables.contains(s.toLowerCase) =>
+        lookup(session, n).map(e => (n.toLowerCase, Some(s.toLowerCase), e))
+      case _ => None
+    }
+
+  private def specToSnapshot(name: String, engine: CdcEngine, spec: TimeTravelSpec): Long = {
+    val t = engine.table
+    spec match {
+      case AsOfVersion(v) if v.nonEmpty && v.forall(_.isDigit) =>
+        val id = v.toLong
+        if (!t.hasSnapshot(id)) fail(s"$Catalog.$name: no snapshot $id")
+        id
+      case AsOfVersion(v) => // Iceberg: VERSION AS OF resolves refs too
+        t.tags.get(v).orElse(t.branches.get(v).map(_ => t.branchHead(v)))
+          .getOrElse(fail(s"$Catalog.$name: no snapshot, tag or branch '$v'"))
+      case AsOfTimestamp(micros) =>
+        val millis = micros / 1000L
+        // latest snapshot committed at or before the timestamp, on the
+        // current chain (Iceberg SNAPSHOT_AT_TIME semantics)
+        t.snapshotChain.filter(_.commitMillis <= millis).lastOption
+          .map(_.snapshotId)
+          .getOrElse(fail(s"$Catalog.$name: no snapshot committed at or before " +
+            s"timestamp (epoch millis $millis)"))
+    }
+  }
+
+  /** Substitute a FRESH engine read plan (fresh attribute ids — self-joins
+    * resolve cleanly) wrapped in a SubqueryAlias so qualified column
+    * references (`t.repo`, `ice.t.repo`) work. */
+  private def resolved(name: String, sub: Option[String], engine: CdcEngine,
+      asOf: Option[Long], options: CaseInsensitiveStringMap): LogicalPlan = {
+    def noTimeTravel(what: String): Unit = asOf.foreach(_ =>
+      fail(s"$Catalog.$name.$what does not support time travel — it already " +
+        "describes the whole retained history"))
+    def since: Long = Option(options.get("sinceSnapshot")).map(_.toLong).getOrElse(
+      fail(s"$Catalog.$name.${sub.get} needs .option(\"sinceSnapshot\", <id>) — " +
+        "the feed is the (since, head] incremental diff; versionAsOf pins the window end"))
+    val df: DataFrame = sub match {
+      case None => asOf.map(engine.stateAt(_)).getOrElse(engine.currentState())
+      case Some("files") => engine.inspect.files(asOf.getOrElse(-1L))
+      case Some("partitions") => engine.inspect.partitions(asOf.getOrElse(-1L))
+      case Some("changes") =>
+        engine.changesSince(since, toSnapshotId = asOf.getOrElse(-1L))
+      case Some("changelog") =>
+        engine.changelogSince(since, toSnapshotId = asOf.getOrElse(-1L))
+      case Some(m) =>
+        noTimeTravel(m)
+        m match {
+          case "snapshots" => engine.inspect.snapshots
+          case "history" => engine.inspect.history
+          case "refs" => engine.inspect.refs
+          case "lineage" => engine.inspect.lineage
+          case "metrics" => engine.inspect.metrics
+        }
+    }
+    SubqueryAlias(
+      AliasIdentifier(sub.getOrElse(name), Catalog +: sub.map(_ => name).toSeq),
+      df.queryExecution.analyzed)
+  }
+}

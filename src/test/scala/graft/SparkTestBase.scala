@@ -7,6 +7,7 @@ object SparkTestBase {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    .withExtensions(new graft.sql.IceliteSqlExtensions)
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
     .config("spark.sql.session.timeZone", "UTC")
