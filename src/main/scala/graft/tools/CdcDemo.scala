@@ -21,6 +21,7 @@ object CdcDemo {
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("cdc-demo")
+      .withExtensions(new graft.sql.IceliteSqlExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
@@ -305,6 +306,26 @@ object CdcDemo {
         (if (reclaimed.toLong == predicted && drained == 0L)
           "dry-run exact, orphan set drained"
          else "DRY-RUN MISMATCH (BUG!)"))
+    }
+
+    // ---- round-4 surface: the SQL read path — `ice.*` relations resolved
+    // by the Catalyst rule, with snapshot time travel, against the same
+    // table the whole demo built.
+    locally {
+      graft.sql.IceliteSql.register(spark, "demo", engine32)
+      val sqlNow = spark.sql("SELECT count(*) FROM ice.demo").head().getLong(0)
+      val dfNow = engine32.currentState().count()
+      val chain = engine32.table.snapshotChain
+      val past = chain(chain.size / 2).snapshotId
+      val sqlPast = spark.sql(s"SELECT count(*) FROM ice.demo VERSION AS OF $past")
+        .head().getLong(0)
+      val dfPast = engine32.stateAt(past).count()
+      val snaps = spark.sql("SELECT count(*) FROM ice.demo.snapshots").head().getLong(0)
+      println(s"== sql surface: SELECT count(*) FROM ice.demo = $sqlNow " +
+        (if (sqlNow == dfNow) "(matches the DataFrame read)" else "(MISMATCH — BUG!)") +
+        s"; VERSION AS OF $past = $sqlPast " +
+        (if (sqlPast == dfPast) "(matches stateAt)" else "(MISMATCH — BUG!)") +
+        s"; ice.demo.snapshots lists $snaps snapshots")
     }
     spark.stop()
   }

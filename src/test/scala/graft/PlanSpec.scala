@@ -183,6 +183,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan parquet") || p.contains("FileScan"), s"unexpected plan:\n$p")
   }
 
+  test("SQL surface: a WHERE over ice.t pushes down to the parquet scan") {
+    import graft.engine.{CdcEngine, EngineConf}
+    import graft.icelite.IceliteTable
+    val dir = SparkTestBase.tmpDir("planspec-sql")
+    val engine = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    engine.applyBatch(0, graft.synth.Synth.events(spark, 500, seed = 21))
+    graft.sql.IceliteSql.register(spark, "plansql", engine)
+    val df = spark.sql(
+      "SELECT repo, path FROM ice.plansql WHERE repo = 'repo-0'")
+    val p = df.queryExecution.executedPlan.toString
+    // the substituted plan is the engine's parquet read, so Catalyst's
+    // pushdown applies to SQL text unchanged: the key predicate must reach
+    // the scan as a pushed filter, not sit in a post-scan Filter only
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(repo,repo-0\\).*"),
+      s"key filter not pushed to scan:\n$p")
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), s"no file scan:\n$p")
+  }
+
   test("changelog plan: classification is a generate over joins — no cartesian, no window") {
     import graft.engine.{CdcEngine, EngineConf}
     import graft.icelite.IceliteTable
