@@ -162,6 +162,15 @@ class LifecyclePropSpec extends AnyFunSuite {
         val (id, epochs) = snapModels.toSeq.sortBy(_._1).apply(rnd.nextInt(snapModels.size))
         opsHit += "timetravel"
         assertMatches(engine.stateAt(id), modelOf(epochs), s"step $step stateAt($id)")
+        // the same snapshot through the SQL surface: resolution must route
+        // VERSION AS OF correctly through whatever chain/layout/refs this
+        // interleaving built (rebucket swaps the engine instance — re-register)
+        if (rnd.nextInt(2) == 0) {
+          graft.sql.IceliteSql.register(spark, "fuzz", engine)
+          opsHit += "sqltravel"
+          assertMatches(spark.sql(s"SELECT * FROM ice.fuzz VERSION AS OF $id"),
+            modelOf(epochs), s"step $step SQL VERSION AS OF $id")
+        }
         // CDF fold contract at a random live-ancestor cut: since-state with
         // the changelog applied (drop touched keys, add inserts+postimages)
         // must equal the current visible state — whatever interleaving of
