@@ -1,0 +1,113 @@
+package graft.streaming.feed
+
+import org.apache.spark.sql.{DataFrame, GraftStreamingBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.engine.{CdcEngine, EngineConf}
+import graft.icelite.IceliteTable
+
+/** `icelite-feed`: the table itself as a Structured Streaming SOURCE — the
+  * Delta `readChangeFeed` / Iceberg incremental-streaming-read analog, and
+  * the push-based twin of the pull-based [[graft.engine.FeedConsumer]].
+  * Offsets ARE snapshot ids, so every micro-batch is a pinned, replayable
+  * `changesSince(start, to = end]` window: deterministic under retry,
+  * race-free against concurrent commits (the end is pinned at offset time),
+  * and exactly-once composes the standard way with checkpointing plus an
+  * idempotent sink.
+  *
+  * {{{
+  *   spark.readStream.format("icelite-feed")
+  *     .option("path", tableRoot)
+  *     .option("mode", "changes")        // or "changelog" (CDF pre/post images)
+  *     .option("sinceSnapshot", 3)       // first-batch window start; default -1
+  *     .load()                           //   = conservative full bootstrap
+  * }}}
+  *
+  * Semantics inherited from the feed (spec'd there, re-proven here):
+  * `changes` emits one merged-state row per changed key (tombstones
+  * included); `changelog` classifies into insert / update_preimage+
+  * postimage / delete rows. A `sinceSnapshot` older than the retention
+  * horizon degrades to conservative full redelivery — a consumer further
+  * behind than retention rebuilds its mirror, the same contract Iceberg's
+  * incremental read makes. Retention must therefore cover the longest
+  * expected consumer lag, exactly like Kafka.
+  *
+  * Scale notes: getOffset is one pointer read; each batch's work is the
+  * feed's — lineage bucket pruning + (merge-on-read) added-file key
+  * refinement keep it change-proportional. The engine wrapper is rebuilt
+  * per call (metadata-only) so a mid-stream `rebucket` of the source table
+  * is adopted, not crashed on. Schema is pinned at stream start (the
+  * Structured Streaming contract); widen the schema -> restart the stream.
+  */
+class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "icelite-feed"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), CdfSource.feedSchema(sqlContext, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new CdfSource(sqlContext, parameters)
+}
+
+private[feed] case class CdfOffset(snapshotId: Long) extends OffsetV1 {
+  override def json: String = snapshotId.toString
+}
+
+object CdfSource {
+  private[feed] def engineFor(sqlContext: SQLContext, params: Map[String, String]): CdcEngine = {
+    val root = params.getOrElse("path",
+      throw new IllegalArgumentException("icelite-feed requires .option(\"path\", <table root>)"))
+    val t = IceliteTable.load(root)
+    new CdcEngine(sqlContext.sparkSession, t, EngineConf(buckets = t.currentBuckets))
+  }
+
+  private[feed] def feedOf(e: CdcEngine, mode: String, since: Long, to: Long): DataFrame =
+    mode match {
+      case "changes" => e.changesSince(since, toSnapshotId = to)
+      case "changelog" => e.changelogSince(since, toSnapshotId = to)
+      case m => throw new IllegalArgumentException(
+        s"icelite-feed mode must be 'changes' or 'changelog', got '$m'")
+    }
+
+  /** Feed schema = the schema of an empty (head, head] window at stream
+    * start: keys + window-end payload + feed envelope. Requires the table
+    * to have at least one snapshot (a feed over a never-written table has
+    * no schema to pin). */
+  private[feed] def feedSchema(sqlContext: SQLContext, params: Map[String, String]): StructType = {
+    val e = engineFor(sqlContext, params)
+    val head = e.table.currentSnapshotId
+    require(head >= 0, "icelite-feed: the table has no snapshot yet — " +
+      "commit at least one batch before starting a stream over its feed")
+    feedOf(e, params.getOrElse("mode", "changes"), head, head).schema
+  }
+}
+
+class CdfSource(sqlContext: SQLContext, params: Map[String, String]) extends Source {
+  private val mode = params.getOrElse("mode", "changes")
+  private val startSnapshot = params.get("sinceSnapshot").map(_.toLong).getOrElse(-1L)
+
+  override val schema: StructType = CdfSource.feedSchema(sqlContext, params)
+
+  private def toId(o: OffsetV1): Long = o match {
+    case CdfOffset(id) => id
+    case other => other.json.trim.toLong // SerializedOffset from the checkpoint
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val head = CdfSource.engineFor(sqlContext, params).table.currentSnapshotId
+    if (head < 0) None else Some(CdfOffset(head))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val since = start.map(toId).getOrElse(startSnapshot)
+    val df = CdfSource.feedOf(CdfSource.engineFor(sqlContext, params), mode, since, toId(end))
+    GraftStreamingBridge.asStreamingFrame(df)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -327,6 +327,29 @@ object CdcDemo {
         (if (sqlPast == dfPast) "(matches stateAt)" else "(MISMATCH — BUG!)") +
         s"; ice.demo.snapshots lists $snaps snapshots")
     }
+
+    // ---- round-4 surface: the table AS a streaming source (`icelite-feed`)
+    // — snapshot-id offsets, checkpointed windows; a second drain with no
+    // new commits must deliver nothing (exactly-once at the source side).
+    locally {
+      val feedOut = s"$work/feedstream-out"; val feedCkpt = s"$work/feedstream-ckpt"
+      def drain(): Unit = {
+        val q = spark.readStream.format("icelite-feed")
+          .option("path", engine32.table.root.toString).load()
+          .writeStream.format("parquet").option("path", feedOut)
+          .option("checkpointLocation", feedCkpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      val bootstrap = spark.read.parquet(feedOut).count()
+      val expected = engine32.changesSince(-1L).count()
+      drain()
+      val after = spark.read.parquet(feedOut).count()
+      println(s"== feed stream: bootstrap drained $bootstrap change rows " +
+        (if (bootstrap == expected) "(= the full visible feed)" else "(MISMATCH — BUG!)") +
+        s"; idle re-drain appended ${after - bootstrap} " +
+        (if (after == bootstrap) "(exactly-once holds)" else "(DUPLICATES — BUG!)"))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.{CdcEngine, EngineConf}
+import graft.icelite.IceliteTable
+import graft.synth.Synth
+
+/** The table as a Structured Streaming SOURCE (`icelite-feed`): snapshot-id
+  * offsets, pinned replayable windows, checkpoint-resumed exactly-once
+  * delivery of the change feed. */
+class StreamFeedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def shifted(n: Long, seed: Long, by: Long): DataFrame =
+    Synth.events(spark, n, seed = seed)
+      .withColumn("commit_lsn", org.apache.spark.sql.functions.col("commit_lsn") + by)
+
+  private def drain(feed: DataFrame, outDir: String, ckpt: String): Unit = {
+    val q = feed.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
+  test("changes stream: bootstrap + incremental windows, checkpoint-resumed, no duplicates") {
+    val dir = SparkTestBase.tmpDir("feedstream")
+    val root = s"$dir/t"
+    val engine = new CdcEngine(spark,
+      IceliteTable.create(root, Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    engine.applyBatch(0, Synth.events(spark, 1000, seed = 61))
+    val sid0 = engine.table.currentSnapshotId
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    def feed = spark.readStream.format("icelite-feed").option("path", root).load()
+
+    // stage A — bootstrap: the first micro-batch is changesSince(-1, head],
+    // i.e. a full conservative redelivery of the visible state
+    drain(feed, out, ckpt)
+    val stageA = rowsOf(spark.read.parquet(out))
+    assert(stageA === rowsOf(engine.changesSince(-1L, toSnapshotId = sid0)))
+
+    // stage B — an incremental window: restart from the checkpoint, commit
+    // one more batch; exactly the (sid0, sid1] diff is appended
+    engine.applyBatch(1, shifted(1000, seed = 62, by = 1000))
+    val sid1 = engine.table.currentSnapshotId
+    drain(feed, out, ckpt)
+    val stageB = rowsOf(spark.read.parquet(out))
+    assert(stageB === (stageA ++
+      rowsOf(engine.changesSince(sid0, toSnapshotId = sid1))).sorted)
+
+    // stage C — nothing new committed: a re-run appends nothing (the offset
+    // is the head snapshot id; equal offsets mean no batch)
+    drain(feed, out, ckpt)
+    assert(rowsOf(spark.read.parquet(out)) === stageB)
+
+    // stage D — mid-stream REBUCKET: the source adopts the new layout (the
+    // engine wrapper is rebuilt per call) and the next window is exact
+    val engine16 = engine.rebucket(16)
+    engine16.applyBatch(2, shifted(600, seed = 63, by = 2000))
+    val sid2 = engine16.table.currentSnapshotId
+    drain(feed, out, ckpt)
+    assert(rowsOf(spark.read.parquet(out)) === (stageB ++
+      rowsOf(engine16.changesSince(sid1, toSnapshotId = sid2))).sorted)
+  }
+
+  test("changelog stream delivers CDF image rows for a pinned start") {
+    val dir = SparkTestBase.tmpDir("feedstream-cdf")
+    val root = s"$dir/t"
+    val engine = new CdcEngine(spark,
+      IceliteTable.create(root, Seq("repo", "path"), 8, mergeOnRead = true),
+      EngineConf(buckets = 8))
+    engine.applyBatch(0, Synth.events(spark, 800, seed = 71))
+    val sid0 = engine.table.currentSnapshotId
+    engine.applyBatch(1, shifted(800, seed = 72, by = 800))
+    val sid1 = engine.table.currentSnapshotId
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val feed = spark.readStream.format("icelite-feed")
+      .option("path", root).option("mode", "changelog")
+      .option("sinceSnapshot", sid0).load()
+    assert(feed.schema.fieldNames.contains("_change_type"))
+    drain(feed, out, ckpt)
+    assert(rowsOf(spark.read.parquet(out)) ===
+      rowsOf(engine.changelogSince(sid0, toSnapshotId = sid1)))
+  }
+
+  test("push-based replication: streaming feed + foreachBatch MERGE mirrors the table") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = SparkTestBase.tmpDir("feedstream-repl")
+    val root = s"$dir/src"
+    val source = new CdcEngine(spark,
+      IceliteTable.create(root, Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    val mirror = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/mirror", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    source.applyBatch(0, Synth.events(spark, 900, seed = 81))
+    // the push twin of FeedConsumer.sync: each micro-batch is one feed
+    // window; the stamp must be strictly increasing across windows (the
+    // batchId is), and the epoch = batchId makes crash re-runs idempotent
+    def replicate(): Unit = {
+      val q = spark.readStream.format("icelite-feed").option("path", root).load()
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val envelope = Set("_op", "_lsn", "_seq", "_ts", "content_sha256")
+          val payload = df.columns.filterNot(c =>
+            envelope.contains(c) || c == "repo" || c == "path")
+          mirror.applyBatch(id, df.select(
+            Seq(col("repo"), col("path")) ++ payload.map(col) ++ Seq(
+              col("_op").as("op"), lit(id).as("commit_lsn"),
+              lit(0).as("seq"), col("_ts").as("ts")): _*))
+          ()
+        }.start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    def visible(e: CdcEngine): Seq[String] = rowsOf(e.currentState()
+      .select("repo", "path", "commit", "lang", "content", "_op", "_ts", "content_sha256"))
+    replicate()
+    assert(visible(mirror) === visible(source), "mirror diverged after bootstrap")
+    source.applyBatch(1, shifted(900, seed = 82, by = 900))
+    source.applyBatch(2, shifted(400, seed = 83, by = 1800))
+    replicate()
+    assert(visible(mirror) === visible(source), "mirror diverged after incremental windows")
+  }
+
+  test("stream over a never-written table fails loudly at start") {
+    val dir = SparkTestBase.tmpDir("feedstream-empty")
+    IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
+    val e = intercept[Exception] {
+      spark.readStream.format("icelite-feed").option("path", s"$dir/t").load()
+    }
+    assert(e.getMessage.contains("no snapshot"), s"got: ${e.getMessage}")
+  }
+}
