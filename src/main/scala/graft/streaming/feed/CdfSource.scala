@@ -106,7 +106,37 @@ class CdfSource(sqlContext: SQLContext, params: Map[String, String]) extends Sou
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val since = start.map(toId).getOrElse(startSnapshot)
     val df = CdfSource.feedOf(CdfSource.engineFor(sqlContext, params), mode, since, toId(end))
-    GraftStreamingBridge.asStreamingFrame(df)
+    // Structured Streaming pins the schema at stream start. Two mismatch
+    // directions, handled differently:
+    //   - NARROWER window (fewer/narrower columns than pinned): a window
+    //     ending at an older snapshot — happens on restart, when Spark
+    //     replays getBatch for the last COMMITTED batch to restore V1
+    //     source state. Legitimate: align with the same null-fill/upcast
+    //     projection the engine uses for old data files.
+    //   - WIDER window (columns or types the pinned schema lacks): the
+    //     table evolved mid-stream; shipping wider frames would corrupt or
+    //     silently truncate the sink. Fail loudly — the Delta contract:
+    //     restart the stream to adopt the evolved schema.
+    def evolved(what: String): Nothing = throw new IllegalStateException(
+      s"icelite-feed: the table schema evolved mid-stream ($what, pinned " +
+        s"[${schema.fieldNames.mkString(", ")}]); restart the stream to adopt " +
+        "the new schema")
+    import org.apache.spark.sql.functions.{col, lit}
+    val gotTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.schema.fieldNames.filterNot(schema.fieldNames.contains) match {
+      case Array() => ()
+      case extra => evolved(s"new column(s) ${extra.mkString(", ")}")
+    }
+    val aligned = df.select(schema.fields.map { f =>
+      gotTypes.get(f.name) match {
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(t) if graft.engine.SchemaEvolve.widen(t, f.dataType).contains(f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(t) => evolved(s"column ${f.name} widened ${f.dataType.sql} -> ${t.sql}")
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toSeq: _*)
+    GraftStreamingBridge.asStreamingFrame(aligned)
   }
 
   override def stop(): Unit = ()

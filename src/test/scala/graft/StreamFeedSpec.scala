@@ -123,6 +123,47 @@ class StreamFeedSpec extends AnyFunSuite {
     assert(visible(mirror) === visible(source), "mirror diverged after incremental windows")
   }
 
+  test("mid-stream schema evolution fails the stream loudly; a restart adopts it") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = SparkTestBase.tmpDir("feedstream-evolve")
+    val root = s"$dir/t"
+    val engine = new CdcEngine(spark,
+      IceliteTable.create(root, Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    engine.applyBatch(0, Synth.events(spark, 500, seed = 91))
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    def feed = spark.readStream.format("icelite-feed").option("path", root).load()
+    // one RUNNING query across the evolution: bootstrap drains under the
+    // original schema, then a new payload column arrives — the running
+    // stream must FAIL loudly (pinned schema), not silently drop columns
+    // or corrupt the sink
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = feed.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        engine.applyBatch(1, shifted(500, seed = 92, by = 500)
+          .withColumn("reviewer", concat(lit("rev-"), col("commit_lsn") % 7)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(e.getMessage.contains("schema evolved mid-stream"), s"got: ${e.getMessage}")
+    // a RESTARTED stream (fresh plan, fresh pinned schema, same checkpoint)
+    // adopts the evolved schema and delivers the missed window exactly once
+    // (the sink is a collector: the parquet sink's _spark_metadata log is
+    // per-output-dir and would not survive an output switch)
+    assert(feed.schema.fieldNames.contains("reviewer"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = feed.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized { got ++= df.collect().map(_.toString) }; ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    val sid1 = engine.table.currentSnapshotId
+    val expected = engine.changesSince(engine.table.snapshot(sid1).parentId,
+      toSnapshotId = sid1)
+    assert(got.synchronized(got.sorted.toSeq) === rowsOf(expected))
+  }
+
   test("stream over a never-written table fails loudly at start") {
     val dir = SparkTestBase.tmpDir("feedstream-empty")
     IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
