@@ -22,7 +22,8 @@ import graft.icelite.IceliteTable
   *     .option("path", tableRoot)
   *     .option("mode", "changes")        // or "changelog" (CDF pre/post images)
   *     .option("sinceSnapshot", 3)       // first-batch window start; default -1
-  *     .load()                           //   = conservative full bootstrap
+  *     .option("maxSnapshotsPerTrigger", 10) // admission control: a deep
+  *     .load()                           //   backlog drains in bounded windows
   * }}}
   *
   * Semantics inherited from the feed (spec'd there, re-proven here):
@@ -90,8 +91,21 @@ object CdfSource {
 class CdfSource(sqlContext: SQLContext, params: Map[String, String]) extends Source {
   private val mode = params.getOrElse("mode", "changes")
   private val startSnapshot = params.get("sinceSnapshot").map(_.toLong).getOrElse(-1L)
+  // admission control (the maxFilesPerTrigger pattern): each micro-batch
+  // advances at most this many snapshots along the chain, so a consumer
+  // deep behind a long-retention table drains its backlog in bounded
+  // windows (bounded diff work + sink size per batch) instead of one giant
+  // catch-up batch — the streaming twin of FeedConsumer.syncBacklog
+  private val maxSnapshotsPerTrigger = params.get("maxSnapshotsPerTrigger").map(_.toInt)
+  maxSnapshotsPerTrigger.foreach(k =>
+    require(k >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $k"))
 
   override val schema: StructType = CdfSource.feedSchema(sqlContext, params)
+
+  // the newest snapshot already handed out as an offset (volatile across
+  // the streaming thread and recovery); after a restart it is re-learned
+  // from the checkpoint via the recovery getBatch call
+  @volatile private var lastSeen: Option[Long] = None
 
   private def toId(o: OffsetV1): Long = o match {
     case CdfOffset(id) => id
@@ -99,13 +113,36 @@ class CdfSource(sqlContext: SQLContext, params: Map[String, String]) extends Sou
   }
 
   override def getOffset: Option[OffsetV1] = {
-    val head = CdfSource.engineFor(sqlContext, params).table.currentSnapshotId
-    if (head < 0) None else Some(CdfOffset(head))
+    val table = CdfSource.engineFor(sqlContext, params).table
+    val head = table.currentSnapshotId
+    if (head < 0) return None
+    val target = maxSnapshotsPerTrigger match {
+      case None => head
+      case Some(k) =>
+        val floor = lastSeen.getOrElse(startSnapshot)
+        if (head == floor) head
+        else {
+          // chain ids in (floor, head], oldest first; if `floor` is no
+          // longer on the chain (expired) the walk reaches the root and
+          // the backlog is the whole retained chain — the first window
+          // is then the conservative redelivery changesSince makes anyway
+          var id = head
+          var ids = List.empty[Long]
+          while (id >= 0 && id != floor) { ids = id :: ids; id = table.snapshot(id).parentId }
+          ids.take(k).last
+        }
+    }
+    lastSeen = Some(target)
+    Some(CdfOffset(target))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val since = start.map(toId).getOrElse(startSnapshot)
-    val df = CdfSource.feedOf(CdfSource.engineFor(sqlContext, params), mode, since, toId(end))
+    val endId = toId(end)
+    // restart path: Spark replays the last committed batch's getBatch to
+    // restore V1 source state — adopt its end as the admission floor
+    if (lastSeen.forall(_ < endId)) lastSeen = Some(endId)
+    val df = CdfSource.feedOf(CdfSource.engineFor(sqlContext, params), mode, since, endId)
     // Structured Streaming pins the schema at stream start. Two mismatch
     // directions, handled differently:
     //   - NARROWER window (fewer/narrower columns than pinned): a window

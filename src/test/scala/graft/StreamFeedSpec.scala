@@ -164,6 +164,39 @@ class StreamFeedSpec extends AnyFunSuite {
     assert(got.synchronized(got.sorted.toSeq) === rowsOf(expected))
   }
 
+  test("maxSnapshotsPerTrigger drains a deep backlog in bounded windows") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = SparkTestBase.tmpDir("feedstream-paced")
+    val root = s"$dir/src"
+    val source = new CdcEngine(spark,
+      IceliteTable.create(root, Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    (0 until 6).foreach(i => source.applyBatch(i, shifted(300, seed = 100 + i, by = 300L * i)))
+    val mirror = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/mirror", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("icelite-feed")
+      .option("path", root).option("maxSnapshotsPerTrigger", 2).load()
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val envelope = Set("_op", "_lsn", "_seq", "_ts", "content_sha256")
+        val payload = df.columns.filterNot(c =>
+          envelope.contains(c) || c == "repo" || c == "path")
+        val res = mirror.applyBatch(id, df.select(
+          Seq(col("repo"), col("path")) ++ payload.map(col) ++ Seq(
+            col("_op").as("op"), lit(id).as("commit_lsn"),
+            lit(0).as("seq"), col("_ts").as("ts")): _*))
+        batchSizes.synchronized { batchSizes += res.events }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // 6 committed snapshots at 2 per trigger = exactly 3 bounded windows...
+    assert(batchSizes.synchronized(batchSizes.size) === 3,
+      s"expected 3 paced windows, got ${batchSizes.synchronized(batchSizes.toList)}")
+    // ...whose mirror-fold equals the source's visible state
+    def visible(e: CdcEngine): Seq[String] = rowsOf(e.currentState()
+      .select("repo", "path", "commit", "lang", "content", "_op", "_ts", "content_sha256"))
+    assert(visible(mirror) === visible(source), "paced mirror diverged")
+  }
+
   test("stream over a never-written table fails loudly at start") {
     val dir = SparkTestBase.tmpDir("feedstream-empty")
     IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
