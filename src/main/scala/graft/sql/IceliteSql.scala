@@ -84,12 +84,24 @@ object IceliteSql {
   def unregister(spark: SparkSession, name: String): Unit =
     forSession(spark).remove(name.toLowerCase)
 
-  private[sql] def lookup(spark: SparkSession, name: String): Option[CdcEngine] =
+  /** The engine currently behind `ice.<name>` in `spark`, if registered
+    * (after a `CALL ice.system.rebucket` this is the re-registered,
+    * new-layout engine — the handle callers should keep ingesting with). */
+  def lookup(spark: SparkSession, name: String): Option[CdcEngine] =
     Option(forSession(spark).get(name.toLowerCase))
 
   private[sql] def fail(msg: String): Nothing =
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> msg))
+
+  /** Adopt the table's CURRENT bucket layout: a rebucket after registration
+    * must not strand the SQL surface on the stale engine conf (reads would
+    * fail checkLayout) — same rule as the feed stream. */
+  private[sql] def effective(session: SparkSession, registered: CdcEngine): CdcEngine = {
+    val eff = registered.table.currentBuckets
+    if (registered.conf.buckets == eff) registered
+    else new CdcEngine(session, registered.table, registered.conf.copy(buckets = eff))
+  }
 }
 
 /** Minimal catalog plugin bound to the `ice` name ([[IceliteSql.register]]
@@ -101,8 +113,10 @@ object IceliteSql {
   * session-scoped engine instances (live JVM objects), which a catalog
   * plugin — constructed reflectively, session-agnostic — cannot hold; the
   * resolution rule, which IS session-bound, owns them instead. */
-class IceliteCatalogStub extends org.apache.spark.sql.connector.catalog.TableCatalog {
+class IceliteCatalogStub extends org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableChange}
+  import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
   import org.apache.spark.sql.connector.expressions.Transform
   import org.apache.spark.sql.types.StructType
 
@@ -122,6 +136,27 @@ class IceliteCatalogStub extends org.apache.spark.sql.connector.catalog.TableCat
   override def dropTable(ident: Identifier): Boolean = false
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     IceliteSql.fail(s"${name()}: RENAME is not supported")
+
+  // the one surface the stub genuinely serves: `CALL ice.system.<proc>(...)`
+  // maintenance procedures (see IceliteProcedures)
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val inSystem = ident.namespace.length == 1 &&
+      ident.namespace()(0).equalsIgnoreCase(IceliteProcedures.Namespace)
+    if (!inSystem)
+      IceliteSql.fail(s"${name()}: procedures live in the " +
+        s"${IceliteProcedures.Namespace} namespace — CALL " +
+        s"${name()}.${IceliteProcedures.Namespace}.<procedure>(...)")
+    IceliteProcedures.load(ident.name).getOrElse(
+      IceliteSql.fail(s"${name()}.${IceliteProcedures.Namespace}.${ident.name}: " +
+        s"unknown procedure (available: ${IceliteProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        (namespace.length == 1 && namespace(0).equalsIgnoreCase(IceliteProcedures.Namespace)))
+      IceliteProcedures.names
+        .map(n => Identifier.of(Array(IceliteProcedures.Namespace), n)).toArray
+    else Array.empty
 }
 
 /** `SparkSession.builder.withExtensions(new IceliteSqlExtensions)`, or
@@ -208,8 +243,9 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
   /** Substitute a FRESH engine read plan (fresh attribute ids — self-joins
     * resolve cleanly) wrapped in a SubqueryAlias so qualified column
     * references (`t.repo`, `ice.t.repo`) work. */
-  private def resolved(name: String, sub: Option[String], engine: CdcEngine,
+  private def resolved(name: String, sub: Option[String], registered: CdcEngine,
       asOf: Option[Long], options: CaseInsensitiveStringMap): LogicalPlan = {
+    val engine = effective(session, registered)
     def noTimeTravel(what: String): Unit = asOf.foreach(_ =>
       fail(s"$Catalog.$name.$what does not support time travel — it already " +
         "describes the whole retained history"))

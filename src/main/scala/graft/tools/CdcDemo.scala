@@ -328,6 +328,35 @@ object CdcDemo {
         s"; ice.demo.snapshots lists $snaps snapshots")
     }
 
+    // ---- round-4 surface: SQL maintenance procedures — `CALL
+    // ice.system.<proc>(...)` (Iceberg's stored-procedure verbs) against
+    // the registered demo table: tag the head, compact, vacuum dry-run.
+    locally {
+      val head = engine32.table.currentSnapshotId
+      val tagged = spark.sql("CALL ice.system.create_tag('demo', 'demo-head')")
+        .head().getLong(1)
+      val comp = spark.sql("CALL ice.system.rewrite_data_files('demo')").head()
+      // expire everything but the compacted head + its parent, then the
+      // dry-run names the mid-chain snapshots' now-unreferenced files and
+      // the real vacuum must reclaim exactly that set
+      val expired = spark.sql("CALL ice.system.expire_snapshots('demo', retain_last => 2)")
+        .count()
+      val predicted = spark.sql(
+        "CALL ice.system.remove_orphan_files('demo', grace_millis => 0, dry_run => true)")
+        .count()
+      val reclaimed = spark.sql(
+        "CALL ice.system.remove_orphan_files('demo', grace_millis => 0, dry_run => false)")
+        .count()
+      val procs = spark.sql("SHOW PROCEDURES IN ice.system").count()
+      println(s"== sql procedures: create_tag pinned snapshot $tagged " +
+        (if (tagged == head) "(= head)" else "(MISMATCH — BUG!)") +
+        s"; rewrite_data_files ${comp.getInt(1)} -> ${comp.getInt(2)} files " +
+        s"(snapshot ${comp.getLong(0)}); expire_snapshots dropped $expired; " +
+        s"dry-run names $predicted files, vacuum reclaimed $reclaimed " +
+        (if (predicted == reclaimed) "— dry-run exact" else "(MISMATCH — BUG!)") +
+        s"; $procs procedures listed")
+    }
+
     // ---- round-4 surface: the table AS a streaming source (`icelite-feed`)
     // — snapshot-id offsets, checkpointed windows; a second drain with no
     // new commits must deliver nothing (exactly-once at the source side).

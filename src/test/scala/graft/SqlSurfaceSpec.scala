@@ -132,6 +132,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
       unknown.getMessage.toLowerCase.contains("not found"), s"got: ${unknown.getMessage}")
   }
 
+  test("a rebucket after registration is adopted, not crashed on") {
+    val dir = SparkTestBase.tmpDir("sqlspec-rebucket")
+    val engine = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    engine.applyBatch(0, Synth.events(spark, 800, seed = 51))
+    IceliteSql.register(spark, "rb", engine)
+    assert(rowsOf(spark.sql("SELECT * FROM ice.rb")) === rowsOf(engine.currentState()))
+    val engine16 = engine.rebucket(16) // the OLD registration must still resolve
+    engine16.applyBatch(1, Synth.events(spark, 400, seed = 52)
+      .withColumn("commit_lsn", org.apache.spark.sql.functions.col("commit_lsn") + 800))
+    assert(rowsOf(spark.sql("SELECT * FROM ice.rb")) === rowsOf(engine16.currentState()))
+  }
+
   test("merge-on-read tables read identically through SQL (read-time LWW merge)") {
     val dir = SparkTestBase.tmpDir("sqlspec-mor")
     val engine = new CdcEngine(spark,
