@@ -6,14 +6,15 @@ import graft.engine.{CdcEngine, EngineConf}
 import graft.icelite.IceliteTable
 import graft.sql.IceliteSql
 
-/** Driver-gate queries for the SQL read surface (graft.sql.IceliteSql):
-  * each derives a deterministic change stream from the `events` test table
-  * (the SAME derivation the DuckDB oracle performs in SQL), replays it
-  * through the MERGE engine into an icelite table, and reads the result
-  * back through pure SQL — `VERSION AS OF` a tag on the copy-on-write
-  * table, an aggregation over the read-time LWW merge on the merge-on-read
-  * one. The oracle replicates the engine's visible-state semantics
-  * independently: latest row per key by LSN, tombstones hidden.
+/** Driver-gate queries for the SQL and streaming front doors: each derives
+  * a deterministic change stream from the `events` test table (the SAME
+  * derivation the DuckDB oracle performs in SQL), replays it through the
+  * MERGE engine into an icelite table, and reads the result back —
+  * `VERSION AS OF` a tag on the copy-on-write table (q71), an aggregation
+  * over the read-time LWW merge on the merge-on-read one (q72), and a
+  * stock `writeStream.format("icelite")` streaming ingest (q73). The
+  * oracle replicates the engine's visible-state semantics independently:
+  * latest row per key by LSN, tombstones hidden.
   *
   * This is the round-trip a reference user gets from `psql` over the final
   * tables (reference `rebuild_and_ingest.sh` → `sql_queries`): CDC replay,
@@ -105,6 +106,34 @@ object SqlSurface {
       IceliteSql.register(s, "q72", engine)
       s.sql("SELECT lang, count(*) AS n_docs, count(DISTINCT repo) AS n_repos " +
         "FROM ice.q72 GROUP BY lang")
+    }),
+
+    // S7 + §2.9 through the STOCK streaming API: the same derived change
+    // stream delivered as parquet files, tailed by a file source, and
+    // MERGEd by `writeStream.format("icelite")` — no foreachBatch, the
+    // checkpointed batch id is the commit epoch. The read-back state must
+    // equal the oracle's LWW fold regardless of file->micro-batch split.
+    "q73_stream_sink" -> ((s, dir) => {
+      val ev = derived(s, dir)
+      val cutoff = cutoffOf(ev)
+      val work = Work.tmp("graft-sql-q73")
+      val input = s"$work/in"
+      ev.filter(s"commit_lsn <= $cutoff").coalesce(1)
+        .write.mode("append").parquet(input)
+      ev.filter(s"commit_lsn > $cutoff").coalesce(1)
+        .write.mode("append").parquet(input)
+      val q = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(input)
+        .writeStream.format("icelite")
+        .option("path", s"$work/t")
+        .option("keyCols", "repo,path").option("buckets", "16")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t = IceliteTable.load(s"$work/t")
+      new CdcEngine(s, t, EngineConf(buckets = t.currentBuckets))
+        .currentState().selectExpr("repo", "path", "lang", "content")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -115,5 +144,8 @@ object SqlSurface {
     "q72_sql_mor_agg" ->
       (derivedCte("") +
         "\nSELECT lang, count(*) AS n_docs, count(DISTINCT repo) AS n_repos " +
-        "FROM latest WHERE rn = 1 AND op <> 'D' GROUP BY lang"))
+        "FROM latest WHERE rn = 1 AND op <> 'D' GROUP BY lang"),
+    "q73_stream_sink" ->
+      (derivedCte("") +
+        "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"))
 }

@@ -357,6 +357,33 @@ object CdcDemo {
         s"; $procs procedures listed")
     }
 
+    // ---- round-4 surface: the table as a streaming SINK
+    // (`writeStream.format("icelite")`) — stock-API ingest, create-if-
+    // missing, exactly-once from the epoch ledger alone.
+    locally {
+      val sinkIn = s"$work/sink-in"; val sinkT = s"$work/sink-t"
+      Synth.events(spark, 2000, seed = 77).coalesce(2)
+        .write.mode("overwrite").parquet(sinkIn)
+      def drain(): Unit = {
+        val q = spark.readStream.schema(graft.model.ChangeEvent.schema).parquet(sinkIn)
+          .writeStream.format("icelite").option("path", sinkT)
+          .option("keyCols", "repo,path").option("buckets", "16")
+          .option("checkpointLocation", s"$work/sink-ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      val t = IceliteTable.load(sinkT)
+      val rows = new CdcEngine(spark, t, EngineConf(buckets = t.currentBuckets))
+        .currentState().count()
+      val snapBefore = t.currentSnapshotId
+      drain()
+      println(s"== streaming sink: format(\"icelite\") created the table and merged " +
+        s"2000 events -> $rows visible rows; idle re-run committed " +
+        s"${t.currentSnapshotId - snapBefore} snapshots " +
+        (if (t.currentSnapshotId == snapBefore) "(exactly-once holds)" else "(BUG!)"))
+    }
+
     // ---- round-4 surface: the table AS a streaming source (`icelite-feed`)
     // — snapshot-id offsets, checkpointed windows; a second drain with no
     // new commits must deliver nothing (exactly-once at the source side).

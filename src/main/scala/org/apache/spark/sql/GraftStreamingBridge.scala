@@ -13,4 +13,16 @@ object GraftStreamingBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for the V1 Sink contract: the DataFrame handed to
+    * `Sink.addBatch` is streaming-tagged, so ordinary batch operations on
+    * it (the engine's MERGE) would be rejected by the analyzer. Re-wrap
+    * its physical RDD as a batch frame — the exact trick Spark's own
+    * ForeachBatchSink uses. Still lazy; actions on the result re-run the
+    * micro-batch's (deterministically replayable) incremental plan. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
