@@ -41,6 +41,21 @@ import graft.icelite.IceliteTable
   * per call (metadata-only) so a mid-stream `rebucket` of the source table
   * is adopted, not crashed on. Schema is pinned at stream start (the
   * Structured Streaming contract); widen the schema -> restart the stream.
+  *
+  * `.option("stampWindowEnd", true)` appends a `_window_end` column — the
+  * window-end snapshot id, constant within a batch and strictly increasing
+  * across windows (snapshot ids are monotone along the chain). That is
+  * exactly the LWW stamp a downstream MERGE needs, so table->table
+  * replication becomes fully declarative — no foreachBatch:
+  *
+  * {{{
+  *   spark.readStream.format("icelite-feed")
+  *     .option("path", src).option("stampWindowEnd", true).load()
+  *     .select($"repo", $"path", <payload...>, $"_op".as("op"),
+  *       $"_window_end".as("commit_lsn"), lit(0).as("seq"), $"_ts".as("ts"))
+  *     .writeStream.format("icelite").option("path", mirror)
+  *     .option("checkpointLocation", ckpt).start()
+  * }}}
   */
 class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "icelite-feed"
@@ -75,21 +90,34 @@ object CdfSource {
         s"icelite-feed mode must be 'changes' or 'changelog', got '$m'")
     }
 
+  private[feed] val StampCol = "_window_end"
+
+  private[feed] def stampEnabled(params: Map[String, String]): Boolean =
+    params.get("stampWindowEnd").exists(_.toBoolean)
+
   /** Feed schema = the schema of an empty (head, head] window at stream
-    * start: keys + window-end payload + feed envelope. Requires the table
-    * to have at least one snapshot (a feed over a never-written table has
-    * no schema to pin). */
+    * start: keys + window-end payload + feed envelope (+ the optional
+    * `_window_end` stamp, always last). Requires the table to have at
+    * least one snapshot (a feed over a never-written table has no schema
+    * to pin). */
   private[feed] def feedSchema(sqlContext: SQLContext, params: Map[String, String]): StructType = {
     val e = engineFor(sqlContext, params)
     val head = e.table.currentSnapshotId
     require(head >= 0, "icelite-feed: the table has no snapshot yet — " +
       "commit at least one batch before starting a stream over its feed")
-    feedOf(e, params.getOrElse("mode", "changes"), head, head).schema
+    val base = feedOf(e, params.getOrElse("mode", "changes"), head, head).schema
+    if (!stampEnabled(params)) base
+    else {
+      require(!base.fieldNames.contains(StampCol),
+        s"icelite-feed: stampWindowEnd would shadow an existing $StampCol column")
+      base.add(StampCol, org.apache.spark.sql.types.LongType, nullable = false)
+    }
   }
 }
 
 class CdfSource(sqlContext: SQLContext, params: Map[String, String]) extends Source {
   private val mode = params.getOrElse("mode", "changes")
+  private val stamp = CdfSource.stampEnabled(params)
   private val startSnapshot = params.get("sinceSnapshot").map(_.toLong).getOrElse(-1L)
   // admission control (the maxFilesPerTrigger pattern): each micro-batch
   // advances at most this many snapshots along the chain, so a consumer
@@ -170,6 +198,8 @@ class CdfSource(sqlContext: SQLContext, params: Map[String, String]) extends Sou
         case Some(t) if graft.engine.SchemaEvolve.widen(t, f.dataType).contains(f.dataType) =>
           col(f.name).cast(f.dataType).as(f.name)
         case Some(t) => evolved(s"column ${f.name} widened ${f.dataType.sql} -> ${t.sql}")
+        // the stamp is synthesized, never read from the feed frame
+        case None if f.name == CdfSource.StampCol && stamp => lit(endId).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }.toSeq: _*)

@@ -123,6 +123,49 @@ class StreamFeedSpec extends AnyFunSuite {
     assert(visible(mirror) === visible(source), "mirror diverged after incremental windows")
   }
 
+  test("declarative replication: feed source straight into the icelite sink, no foreachBatch") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = SparkTestBase.tmpDir("feedstream-decl")
+    val root = s"$dir/src"
+    val source = new CdcEngine(spark,
+      IceliteTable.create(root, Seq("repo", "path"), 8), EngineConf(buckets = 8))
+    val mirrorRoot = s"$dir/mirror"
+    IceliteTable.create(mirrorRoot, Seq("repo", "path"), 8)
+    source.applyBatch(0, Synth.events(spark, 900, seed = 85))
+    // _window_end (the window's end snapshot id) is constant per batch and
+    // strictly increasing across windows — exactly the LWW stamp the mirror
+    // MERGE needs, so the whole pipeline is source -> select -> sink
+    val pipe = spark.readStream.format("icelite-feed")
+      .option("path", root).option("stampWindowEnd", true).load()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"),
+        col("_op").as("op"), col("_window_end").as("commit_lsn"),
+        lit(0).as("seq"), col("_ts").as("ts"))
+    def replicate(): Unit = {
+      val q = pipe.writeStream.format("icelite")
+        .option("path", mirrorRoot).option("checkpointLocation", s"$dir/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def visible(e: CdcEngine): Seq[String] = rowsOf(e.currentState()
+      .select("repo", "path", "commit", "lang", "content", "_op", "_ts", "content_sha256"))
+    replicate()
+    val mirror = new CdcEngine(spark,
+      IceliteTable.load(mirrorRoot), EngineConf(buckets = 8))
+    assert(visible(mirror) === visible(source), "mirror diverged after bootstrap")
+    // two more source snapshots (updates + fresh keys), one checkpointed
+    // restart: exactly the missed windows apply, in order
+    source.applyBatch(1, shifted(900, seed = 86, by = 900))
+    source.applyBatch(2, shifted(400, seed = 87, by = 1800))
+    replicate()
+    val mirror2 = new CdcEngine(spark,
+      IceliteTable.load(mirrorRoot), EngineConf(buckets = 8))
+    assert(visible(mirror2) === visible(source), "mirror diverged after incremental windows")
+    // idle re-run: no new source snapshot, the mirror chain does not grow
+    val head = mirror2.table.currentSnapshotId
+    replicate()
+    assert(IceliteTable.load(mirrorRoot).currentSnapshotId === head,
+      "idle re-run committed to the mirror")
+  }
+
   test("mid-stream schema evolution fails the stream loudly; a restart adopts it") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val dir = SparkTestBase.tmpDir("feedstream-evolve")
