@@ -134,6 +134,37 @@ object SqlSurface {
       val t = IceliteTable.load(s"$work/t")
       new CdcEngine(s, t, EngineConf(buckets = t.currentBuckets))
         .currentState().selectExpr("repo", "path", "lang", "content")
+    }),
+
+    // Row-level SQL DML (IceliteDml): replay, then a DELETE and a MERGE
+    // upsert as plain SQL statements — each an engine MERGE commit — and a
+    // full-state read-back. The MERGE insert provides EVERY payload column
+    // non-null on purpose: an insert reviving a tombstoned key carries
+    // forward any cell it leaves null (the CDC wire contract), and the
+    // oracle models plain SQL semantics, so the query pins the two to the
+    // same rows by always writing all cells.
+    "q74_sql_dml" -> ((s, dir) => {
+      val ev = derived(s, dir)
+      val cutoff = cutoffOf(ev)
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"${Work.tmp("graft-sql-q74")}/t", Seq("repo", "path"), 16),
+        EngineConf(buckets = 16))
+      engine.applyBatch(0, ev.filter(s"commit_lsn <= $cutoff"))
+      engine.applyBatch(1, ev.filter(s"commit_lsn > $cutoff"))
+      IceliteSql.register(s, "q74", engine)
+      s.sql("DELETE FROM ice.q74 WHERE lang = 'click'")
+      s.read.parquet(s"$dir/events.parquet").where("event_id % 5 = 0").selectExpr(
+          "concat('r', CAST(user_id % 40 AS STRING)) AS repo",
+          "concat('p', CAST(event_id % 181 AS STRING)) AS path",
+          "'patched' AS content")
+        .distinct().createOrReplaceTempView("q74_src")
+      s.sql("""
+        MERGE INTO ice.q74 AS t USING q74_src AS src
+        ON t.repo = src.repo AND t.path = src.path
+        WHEN MATCHED THEN UPDATE SET content = src.content
+        WHEN NOT MATCHED THEN INSERT (repo, path, lang, content)
+          VALUES (src.repo, src.path, 'xl', src.content)""")
+      s.sql("SELECT repo, path, lang, content FROM ice.q74")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -147,5 +178,26 @@ object SqlSurface {
         "FROM latest WHERE rn = 1 AND op <> 'D' GROUP BY lang"),
     "q73_stream_sink" ->
       (derivedCte("") +
-        "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"))
+        "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"),
+    "q74_sql_dml" ->
+      (derivedCte("") + """
+        |, state AS (
+        |  SELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'
+        |), afterdel AS (
+        |  SELECT * FROM state WHERE lang <> 'click'
+        |), src AS (
+        |  SELECT DISTINCT concat('r', CAST(user_id % 40 AS VARCHAR)) AS repo,
+        |         concat('p', CAST(event_id % 181 AS VARCHAR)) AS path,
+        |         'patched' AS content
+        |  FROM events WHERE event_id % 5 = 0
+        |)
+        |SELECT a.repo, a.path, a.lang,
+        |       coalesce(s.content, a.content) AS content
+        |FROM afterdel a LEFT JOIN src s
+        |  ON a.repo = s.repo AND a.path = s.path
+        |UNION ALL
+        |SELECT s.repo, s.path, 'xl' AS lang, s.content
+        |FROM src s LEFT JOIN afterdel a
+        |  ON s.repo = a.repo AND s.path = a.path
+        |WHERE a.repo IS NULL""".stripMargin))
 }

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.AliasIdentifier
 import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, AsOfVersion, NoSuchTableException, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -171,17 +171,27 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def tz: String = session.sessionState.conf.sessionLocalTimeZone
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+  /** A DML statement's target: `ice.<registered>`, optionally aliased.
+    * Metadata relations (`ice.t.snapshots`) are never DML targets. */
+  private object DmlTarget {
+    def unapply(p: LogicalPlan): Option[(String, Option[String], CdcEngine)] = p match {
+      case SubqueryAlias(id, u: UnresolvedRelation) =>
+        owned(u).collect { case (n, None, e) => (n, Some(id.name), e) }
+      case u: UnresolvedRelation =>
+        owned(u).collect { case (n, None, e) => (n, None, e) }
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = dml(plan).resolveOperatorsUp {
     // INSERT's target is a FIELD of InsertIntoStatement, not a child, so the
-    // bare UnresolvedRelation case below never visits it — reject it here
-    // (UPDATE/DELETE/MERGE targets ARE children and carry the write-privilege
-    // marker, which the bare case rejects)
+    // bare UnresolvedRelation case below never visits it — anything `dml`
+    // left unclaimed (metadata-table target) is rejected here
     case i: InsertIntoStatement =>
       i.table match {
         case u: UnresolvedRelation if owned(u).isDefined =>
-          fail(s"$Catalog.${u.multipartIdentifier(1)} is read-only from SQL: " +
-            "writes are CDC merges — apply change batches through " +
-            "CdcEngine.applyBatch, not INSERT")
+          fail(s"${u.multipartIdentifier.mkString(".")} is not an INSERT target — " +
+            "metadata relations are read-only")
         case _ => i
       }
 
@@ -197,14 +207,50 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     case u: UnresolvedRelation =>
       owned(u).map { case (name, sub, engine) =>
+        // real DML targets were claimed by `dml` before this traversal; a
+        // write-marked relation surviving here is a metadata-table target
         if (u.options.containsKey(UnresolvedRelation.REQUIRED_WRITE_PRIVILEGES))
-          fail(s"$Catalog.$name is read-only from SQL: writes are CDC merges — " +
-            "apply change batches through CdcEngine.applyBatch (exactly-once, " +
-            "LWW, schema evolution), not INSERT/UPDATE/DELETE")
+          fail(s"${u.multipartIdentifier.mkString(".")} is read-only: DML " +
+            s"(UPDATE/DELETE/MERGE INTO/INSERT) applies to $Catalog.$name " +
+            "itself, not its metadata relations")
         // DataFrame-reader time travel: .option("versionAsOf"/"timestampAsOf")
         val spec = TimeTravelSpec.fromOptions(u.options, "timestampAsOf", "versionAsOf", tz)
         resolved(name, sub, engine, spec.map(specToSnapshot(name, engine, _)), u.options)
       }.getOrElse(u)
+  }
+
+  /** Row-level DML on `ice.*` targets -> engine-MERGE commands (see
+    * [[IceliteDml]]). A TOP-DOWN pre-pass, deliberately separate from the
+    * bottom-up read traversal: bottom-up would visit the write-marked
+    * target relation before its DML parent and reject it. Each statement
+    * becomes a leaf command holding the RAW parser artifacts ([[Raw]]);
+    * resolution happens at run() against the live state. CTE sources are
+    * already inlined here (CTESubstitution runs in the substitution batch,
+    * before resolution rules). */
+  private def dml(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case DeleteFromTable(DmlTarget(name, alias, _), cond) =>
+      IceliteDeleteCommand(name, alias, Raw(cond))
+
+    case UpdateTable(DmlTarget(name, alias, _), assigns, cond) =>
+      IceliteUpdateCommand(name, alias, Raw(assigns), cond.map(Raw(_)))
+
+    case MergeIntoTable(DmlTarget(name, alias, _), source, cond,
+        matched, notMatched, bySource, withSchemaEvolution) =>
+      if (withSchemaEvolution)
+        fail(s"$Catalog.$name: MERGE ... WITH SCHEMA EVOLUTION is not " +
+          "supported — schema evolves through CdcEngine batch reconciliation")
+      IceliteMergeCommand(name, alias, Raw(source), Raw(cond),
+        Raw(matched), Raw(notMatched), Raw(bySource))
+
+    case i @ InsertIntoStatement(DmlTarget(name, _, _),
+        partitionSpec, cols, query, overwrite, _, byName) =>
+      if (partitionSpec.nonEmpty)
+        fail(s"$Catalog.$name: PARTITION clauses do not apply — physical " +
+          "layout is the table's bucket spec")
+      if (overwrite)
+        fail(s"$Catalog.$name: INSERT OVERWRITE would replace table state — " +
+          "use DELETE + INSERT, or rollbackTo for time travel")
+      IceliteInsertCommand(name, cols, Raw(query), byName)
   }
 
   /** `(registered-name, metadata-suffix, engine)` when the identifier is

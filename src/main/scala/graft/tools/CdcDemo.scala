@@ -357,6 +357,47 @@ object CdcDemo {
         s"; $procs procedures listed")
     }
 
+    // ---- round-4 surface: row-level SQL DML — UPDATE / DELETE / MERGE
+    // INTO / INSERT INTO as engine MERGE commits (non-batch epoch, LWW
+    // stamp above the high watermark), against the registered demo table.
+    locally {
+      val top = spark.sql("SELECT lang, count(*) AS c FROM ice.demo " +
+        "WHERE lang IS NOT NULL GROUP BY lang ORDER BY c DESC, lang").head()
+      val lang = top.getString(0)
+      val del = spark.sql(s"DELETE FROM ice.demo WHERE lang = '$lang'")
+        .head().getLong(0)
+      val left = spark.sql(s"SELECT count(*) FROM ice.demo WHERE lang = '$lang'")
+        .head().getLong(0)
+      val upd = spark.sql(
+        "UPDATE ice.demo SET content = concat('patched:', path) WHERE lang IS NULL")
+        .head().getLong(0)
+      val k = spark.sql("SELECT repo, path FROM ice.demo ORDER BY repo, path LIMIT 1").head()
+      spark.sql("SELECT * FROM (VALUES " +
+        s"('${k.getString(0)}', '${k.getString(1)}', 'merged-body'), " +
+        "('merge-repo', 'merge-path', 'fresh-body')) AS v(repo, path, content)")
+        .createOrReplaceTempView("demo_dml_src")
+      val merged = spark.sql("""
+        MERGE INTO ice.demo AS t USING demo_dml_src AS s
+        ON t.repo = s.repo AND t.path = s.path
+        WHEN MATCHED THEN UPDATE SET content = s.content
+        WHEN NOT MATCHED THEN INSERT (repo, path, content)
+          VALUES (s.repo, s.path, s.content)""").head().getLong(0)
+      val mergedOk = spark.sql("SELECT content FROM ice.demo " +
+        s"WHERE repo = '${k.getString(0)}' AND path = '${k.getString(1)}'")
+        .head().getString(0) == "merged-body" &&
+        spark.sql("SELECT count(*) FROM ice.demo WHERE repo = 'merge-repo'")
+          .head().getLong(0) == 1
+      val ins = spark.sql(
+        "INSERT INTO ice.demo (repo, path, content) VALUES ('ins-repo', 'ins-path', 'i')")
+        .head().getLong(0)
+      println(s"== sql dml: DELETE FROM removed $del '$lang' rows " +
+        (if (left == 0) "(re-count 0)" else "(MISMATCH — BUG!)") +
+        s"; UPDATE touched $upd NULL-lang rows; MERGE INTO applied $merged " +
+        (if (merged == 2 && mergedOk) "(1 update + 1 insert, verified)"
+         else "(MISMATCH — BUG!)") +
+        s"; INSERT INTO added $ins row — all four are engine MERGE epochs")
+    }
+
     // ---- round-4 surface: the table as a streaming SINK
     // (`writeStream.format("icelite")`) — stock-API ingest, create-if-
     // missing, exactly-once from the epoch ledger alone.

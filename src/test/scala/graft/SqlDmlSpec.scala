@@ -1,0 +1,232 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions.{col, concat, lit}
+
+import graft.engine.{CdcEngine, EngineConf}
+import graft.icelite.IceliteTable
+import graft.sql.IceliteSql
+import graft.synth.Synth
+
+/** Row-level SQL DML (graft.sql.IceliteDml): UPDATE / DELETE / MERGE INTO /
+  * INSERT INTO over `ice.*` tables, executed as engine MERGE commits —
+  * LWW, lineage, time travel, feeds and exactly-once all apply to SQL
+  * writes because they ARE applyBatch commits (non-batch epoch). */
+class SqlDmlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private var n = 0
+  private def freshTable(events: Int = 1000, seed: Long = 7): (CdcEngine, String) =
+    synchronized {
+      n += 1
+      val name = s"dml$n"
+      val dir = SparkTestBase.tmpDir(s"sqldml-$name")
+      val engine = new CdcEngine(spark,
+        IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8), EngineConf(buckets = 8))
+      engine.applyBatch(0, Synth.events(spark, events, seed = seed))
+      IceliteSql.register(spark, name, engine)
+      (engine, name)
+    }
+
+  private def count(sql: String): Long = spark.sql(sql).head.getLong(0)
+
+  test("DELETE removes matching rows, is time-travel-reversible, no-op when empty") {
+    val (engine, t) = freshTable(seed = 101)
+    val before = count(s"SELECT count(*) FROM ice.$t")
+    val scala0 = count(s"SELECT count(*) FROM ice.$t WHERE lang = 'scala'")
+    assert(scala0 > 0)
+    val sid = engine.table.currentSnapshotId
+
+    val res = spark.sql(s"DELETE FROM ice.$t WHERE lang = 'scala'")
+    assert(res.columns === Array("num_affected_rows"))
+    assert(res.head.getLong(0) === scala0)
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE lang = 'scala'") === 0)
+    assert(count(s"SELECT count(*) FROM ice.$t") === before - scala0)
+    // the delete is one snapshot: time travel still sees the rows
+    assert(count(s"SELECT count(*) FROM ice.$t VERSION AS OF $sid WHERE lang = 'scala'")
+      === scala0)
+    // an empty row set commits nothing (no empty snapshots)
+    val head = engine.table.currentSnapshotId
+    assert(spark.sql(s"DELETE FROM ice.$t WHERE lang = 'scala'").head.getLong(0) === 0)
+    assert(engine.table.currentSnapshotId === head)
+    // aliased target, alias-qualified condition
+    val py = count(s"SELECT count(*) FROM ice.$t WHERE lang = 'py'")
+    assert(spark.sql(s"DELETE FROM ice.$t AS x WHERE x.lang = 'py'")
+      .head.getLong(0) === py)
+  }
+
+  test("UPDATE assigns listed columns, carries the rest forward; NULL means unchanged") {
+    val (_, t) = freshTable(seed = 102)
+    // restrict to non-null commit cells: a NULL assignment value would
+    // carry forward (asserted below), not overwrite
+    val where = "lang = 'py' AND commit IS NOT NULL"
+    val beforeMap = spark.sql(
+      s"SELECT repo, path, commit, content FROM ice.$t WHERE $where")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3)))
+      .toMap
+    assert(beforeMap.nonEmpty)
+
+    val res = spark.sql(
+      s"UPDATE ice.$t SET content = concat('X-', commit) WHERE $where")
+    assert(res.head.getLong(0) === beforeMap.size)
+    val after = spark.sql(
+      s"SELECT repo, path, commit, content FROM ice.$t WHERE $where")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3)))
+      .toMap
+    assert(after.keySet === beforeMap.keySet)
+    after.foreach { case (k, (commit, content)) =>
+      assert(commit === beforeMap(k)._1, s"unassigned column changed for $k")
+      assert(content === s"X-$commit", s"assignment missed for $k")
+    }
+    // the CDC wire contract: a NULL payload cell means "unchanged"
+    spark.sql(s"UPDATE ice.$t SET content = NULL WHERE $where")
+    val afterNull = spark.sql(
+      s"SELECT count(*) FROM ice.$t WHERE $where AND content LIKE 'X-%'")
+    assert(afterNull.head.getLong(0) === beforeMap.size, "NULL must carry forward")
+  }
+
+  test("UPDATE rejects key, envelope and unknown columns") {
+    val (_, t) = freshTable(200, seed = 103)
+    val key = intercept[AnalysisException] {
+      spark.sql(s"UPDATE ice.$t SET repo = 'x'")
+    }
+    assert(key.getMessage.contains("MERGE identity"), key.getMessage)
+    val unknown = intercept[AnalysisException] {
+      spark.sql(s"UPDATE ice.$t SET nosuch = 'x'")
+    }
+    assert(unknown.getMessage.contains("batch reconciliation"), unknown.getMessage)
+    val envelope = intercept[AnalysisException] {
+      spark.sql(s"UPDATE ice.$t SET _lsn = 1")
+    }
+    assert(envelope.getMessage.contains("engine-managed"), envelope.getMessage)
+  }
+
+  test("INSERT INTO: positional, column list, upsert on existing key, dup guard") {
+    val (_, t) = freshTable(300, seed = 104)
+    // positional over (repo, path, commit, lang, content)
+    spark.sql(s"INSERT INTO ice.$t VALUES ('r-new', 'p-1', 'c1', 'scala', 'body-1')")
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE repo = 'r-new' AND path = 'p-1'") === 1)
+    // explicit column list: unlisted payload is NULL
+    spark.sql(s"INSERT INTO ice.$t (repo, path, content) VALUES ('r-new', 'p-2', 'b2')")
+    val r2 = spark.sql(
+      s"SELECT lang, content FROM ice.$t WHERE repo = 'r-new' AND path = 'p-2'").head
+    assert(r2.isNullAt(0) && r2.getString(1) === "b2")
+    // a key-unique table has no append-duplicates: INSERT on an existing key upserts
+    val total = count(s"SELECT count(*) FROM ice.$t")
+    spark.sql(s"INSERT INTO ice.$t VALUES ('r-new', 'p-1', 'c1b', 'scala', 'body-1b')")
+    assert(count(s"SELECT count(*) FROM ice.$t") === total)
+    assert(spark.sql(s"SELECT content FROM ice.$t WHERE repo = 'r-new' AND path = 'p-1'")
+      .head.getString(0) === "body-1b")
+    // two rows inserting the same key in one statement: nondeterministic -> loud
+    val dup = intercept[AnalysisException] {
+      spark.sql(s"INSERT INTO ice.$t VALUES ('d', 'x', 'c', 'l', 'a'), ('d', 'x', 'c', 'l', 'b')")
+    }
+    assert(dup.getMessage.contains("more than once"), dup.getMessage)
+    // INSERT OVERWRITE is not a CDC operation
+    val ow = intercept[AnalysisException] {
+      spark.sql(s"INSERT OVERWRITE ice.$t VALUES ('o', 'o', 'c', 'l', 'v')")
+    }
+    assert(ow.getMessage.contains("INSERT OVERWRITE"), ow.getMessage)
+  }
+
+  test("MERGE INTO: matched UPDATE + not-matched INSERT (the canonical upsert)") {
+    val (_, t) = freshTable(800, seed = 105)
+    val existing = spark.sql(
+      s"SELECT repo, path, commit, lang FROM ice.$t " +
+        "WHERE commit IS NOT NULL ORDER BY repo, path LIMIT 100")
+    val updates = existing.withColumn("content", concat(lit("merged-"), col("commit")))
+    val inserts = spark.range(50).selectExpr(
+      "concat('mrepo-', id) AS repo", "concat('mpath-', id) AS path",
+      "'mc' AS commit", "'rs' AS lang", "concat('fresh-', id) AS content")
+    updates.unionByName(inserts).createOrReplaceTempView("dml_src")
+
+    val res = spark.sql(s"""
+      MERGE INTO ice.$t AS tg USING dml_src AS s
+      ON tg.repo = s.repo AND tg.path = s.path
+      WHEN MATCHED THEN UPDATE SET content = s.content
+      WHEN NOT MATCHED THEN INSERT (repo, path, commit, lang, content)
+        VALUES (s.repo, s.path, s.commit, s.lang, s.content)""")
+    assert(res.head.getLong(0) === 150)
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE content LIKE 'merged-%'") === 100)
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE repo LIKE 'mrepo-%'") === 50)
+    // matched rows kept their unassigned columns
+    assert(count(s"SELECT count(*) FROM ice.$t " +
+      "WHERE content LIKE 'merged-%' AND content != concat('merged-', commit)") === 0)
+  }
+
+  test("MERGE INTO: conditional actions, UPDATE SET *, DELETE, NOT MATCHED BY SOURCE") {
+    val (_, t) = freshTable(200, seed = 106)
+    // source = half the current keys, with rewritten payload and a kill flag
+    spark.sql(s"SELECT repo, path, commit, lang, 'rewritten' AS content, " +
+        s"(pmod(hash(repo, path), 4) = 0) AS kill " +
+        s"FROM ice.$t ORDER BY repo, path LIMIT 100")
+      .createOrReplaceTempView("dml_src2")
+    val srcTotal = count("SELECT count(*) FROM dml_src2")
+    val kills = count("SELECT count(*) FROM dml_src2 WHERE kill")
+    val total = count(s"SELECT count(*) FROM ice.$t")
+
+    val res = spark.sql(s"""
+      MERGE INTO ice.$t AS tg USING dml_src2 AS s
+      ON tg.repo = s.repo AND tg.path = s.path
+      WHEN MATCHED AND s.kill THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // every row was touched: srcTotal matched (kill or update), rest deleted
+    assert(res.head.getLong(0) === total)
+    assert(count(s"SELECT count(*) FROM ice.$t") === srcTotal - kills)
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE content != 'rewritten'") === 0)
+  }
+
+  test("MERGE cardinality violation fails loudly") {
+    val (_, t) = freshTable(100, seed = 107)
+    spark.sql(s"SELECT repo, path, 'v1' AS content FROM ice.$t LIMIT 1")
+      .unionAll(spark.sql(s"SELECT repo, path, 'v2' AS content FROM ice.$t LIMIT 1"))
+      .createOrReplaceTempView("dml_dup")
+    val e = intercept[AnalysisException] {
+      spark.sql(s"""
+        MERGE INTO ice.$t AS tg USING dml_dup AS s
+        ON tg.repo = s.repo AND tg.path = s.path
+        WHEN MATCHED THEN UPDATE SET content = s.content""")
+    }
+    assert(e.getMessage.contains("more than once"), e.getMessage)
+  }
+
+  test("DML commits interoperate with the engine: feeds, epochs, later batches") {
+    val (engine, t) = freshTable(400, seed = 108)
+    val sid = engine.table.currentSnapshotId
+    val epochsBefore = engine.table.committedEpochs
+    val res = spark.sql(s"DELETE FROM ice.$t WHERE lang = 'go'")
+    val deleted = res.head.getLong(0)
+    assert(deleted > 0)
+    // the DML snapshot is a NON-BATCH commit: the epoch ledger is untouched,
+    // so streaming exactly-once bookkeeping cannot collide with DML
+    assert(engine.table.committedEpochs === epochsBefore)
+    assert(engine.table.snapshot(engine.table.currentSnapshotId).batchEpoch === -1L)
+    // the change feed delivers the deletes as tombstones
+    val feed = engine.changesSince(sid)
+    assert(feed.filter(col("_op") === "D").count() === deleted)
+    // a replayed old epoch is still a no-op; a new epoch still applies
+    val head = engine.table.currentSnapshotId
+    assert(engine.applyBatch(0, Synth.events(spark, 400, seed = 108)).skipped)
+    assert(engine.table.currentSnapshotId === head)
+    engine.applyBatch(1, Synth.events(spark, 100, seed = 109)
+      .withColumn("commit_lsn", col("commit_lsn") + 100000))
+    assert(engine.table.currentSnapshotId !== head)
+    // the later batch's higher LSNs win over the DML stamp where they collide
+    assert(count(s"SELECT count(*) FROM ice.$t") > 0)
+  }
+
+  test("DML on metadata relations is rejected") {
+    val (_, t) = freshTable(50, seed = 110)
+    val e = intercept[AnalysisException] {
+      spark.sql(s"DELETE FROM ice.$t.snapshots WHERE snapshot_id = 0")
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    val i = intercept[AnalysisException] {
+      spark.sql(s"INSERT INTO ice.$t.refs VALUES ('x')")
+    }
+    assert(i.getMessage.contains("read-only") || i.getMessage.contains("not an INSERT target"),
+      i.getMessage)
+  }
+}

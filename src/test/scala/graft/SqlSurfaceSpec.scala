@@ -119,12 +119,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(missing.getMessage.contains("sinceSnapshot"))
   }
 
-  test("writes through SQL are rejected; unregistered names stay unresolved") {
+  test("malformed writes fail loudly; unregistered names stay unresolved") {
     val (_, _, _) = fixture
+    // DML is supported (SqlDmlSpec), but a positional INSERT must cover the
+    // full column list — a 2-column VALUES row is a user error, not a write
     val ins = intercept[AnalysisException] {
       spark.sql("INSERT INTO ice.t VALUES ('r', 'p')")
     }
-    assert(ins.getMessage.contains("read-only"), s"got: ${ins.getMessage}")
+    assert(ins.getMessage.contains("expects 5 columns"), s"got: ${ins.getMessage}")
     val unknown = intercept[AnalysisException] {
       spark.sql("SELECT * FROM ice.never_registered")
     }
