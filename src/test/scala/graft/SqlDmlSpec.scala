@@ -217,6 +217,24 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(count(s"SELECT count(*) FROM ice.$t") > 0)
   }
 
+  test("DELETE with an IN-subquery condition; INSERT BY NAME") {
+    val (_, t) = freshTable(300, seed = 111)
+    // subquery in the WHERE: resolved at run() like any other read
+    spark.sql(s"SELECT repo FROM ice.$t GROUP BY repo ORDER BY count(*) DESC LIMIT 3")
+      .createOrReplaceTempView("dml_hot")
+    val hot = count(s"SELECT count(*) FROM ice.$t WHERE repo IN (SELECT repo FROM dml_hot)")
+    assert(hot > 0)
+    assert(spark.sql(s"DELETE FROM ice.$t WHERE repo IN (SELECT repo FROM dml_hot)")
+      .head.getLong(0) === hot)
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE repo IN (SELECT repo FROM dml_hot)") === 0)
+    // BY NAME: source column order does not matter, unlisted payload is NULL
+    spark.sql(s"INSERT INTO ice.$t BY NAME " +
+      "SELECT 'by-body' AS content, 'bn-path' AS path, 'bn-repo' AS repo")
+    val r = spark.sql(
+      s"SELECT lang, content FROM ice.$t WHERE repo = 'bn-repo' AND path = 'bn-path'").head
+    assert(r.isNullAt(0) && r.getString(1) === "by-body")
+  }
+
   test("DML on metadata relations is rejected") {
     val (_, t) = freshTable(50, seed = 110)
     val e = intercept[AnalysisException] {
