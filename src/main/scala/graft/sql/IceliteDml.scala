@@ -318,6 +318,46 @@ case class IceliteInsertCommand(name: String, cols: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = IceliteDml.runInsert(spark, this)
 }
 
+/** `DESCRIBE [EXTENDED] ice.<name>`: the read schema annotated with each
+  * column's engine role (key / payload / envelope); EXTENDED appends the
+  * table facts a lakehouse DESCRIBE shows — location, layout, write mode,
+  * snapshot head, retained-chain length, high-watermark LSN — all from
+  * driver-side metadata. `output` reuses the parser's own attributes, so
+  * the result shape is exactly Spark's DESCRIBE contract. */
+case class IceliteDescribeCommand(name: String, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val engine = IceliteSql.lookup(spark, name)
+      .map(IceliteSql.effective(spark, _))
+      .getOrElse(IceliteSql.fail(s"${IceliteSql.Catalog}.$name is no longer registered"))
+    val keySet = ChangeEvent.keyCols.toSet
+    val cols = engine.currentState().schema.fields.toSeq.map { f =>
+      val role =
+        if (keySet(f.name)) "key column (MERGE identity)"
+        else if (f.name.startsWith("_") || f.name == "content_sha256")
+          "engine envelope (read-only)"
+        else "payload (per-cell LWW)"
+      Row(f.name, f.dataType.simpleString, role)
+    }
+    if (!isExtended) cols
+    else {
+      val t = engine.table
+      val chain = t.snapshotChain
+      cols ++ Seq(
+        Row("", "", ""),
+        Row("# Detailed Table Information", "", ""),
+        Row("Name", s"${IceliteSql.Catalog}.$name", ""),
+        Row("Location", t.root.toString, ""),
+        Row("Key Columns", t.meta.keyCols.mkString(", "), ""),
+        Row("Buckets", t.currentBuckets.toString, ""),
+        Row("Write Mode", if (t.meta.mergeOnRead) "merge-on-read" else "copy-on-write", ""),
+        Row("Current Snapshot", t.currentSnapshotId.toString, ""),
+        Row("Snapshots Retained", chain.size.toString, ""),
+        Row("High Watermark LSN", engine.highWatermark(t.currentSnapshotId).toString, ""))
+    }
+  }
+}
+
 case class IceliteMergeCommand(name: String, alias: Option[String],
     source: Raw[LogicalPlan], cond: Raw[Expression],
     matchedActions: Raw[Seq[MergeAction]],

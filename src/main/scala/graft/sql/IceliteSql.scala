@@ -4,8 +4,8 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.AliasIdentifier
-import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, AsOfVersion, NoSuchTableException, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, AsOfVersion, NoSuchTableException, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, DescribeRelation, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -84,6 +84,12 @@ object IceliteSql {
   def unregister(spark: SparkSession, name: String): Unit =
     forSession(spark).remove(name.toLowerCase)
 
+  /** Names registered in `spark` (the `SHOW TABLES IN ice` listing). */
+  def registeredNames(spark: SparkSession): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    forSession(spark).keySet.asScala.toSeq.sorted
+  }
+
   /** The engine currently behind `ice.<name>` in `spark`, if registered
     * (after a `CALL ice.system.rebucket` this is the re-registered,
     * new-layout engine — the handle callers should keep ingesting with). */
@@ -124,7 +130,14 @@ class IceliteCatalogStub extends org.apache.spark.sql.connector.catalog.TableCat
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
-  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  // `SHOW TABLES IN ice`: the active session's registrations (the stub is
+  // constructed reflectively and session-agnostic, so it resolves the
+  // session at call time — SHOW runs on the driver's active session)
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => IceliteSql.registeredNames(s).map(Identifier.of(namespace, _)).toArray)
+      .getOrElse(Array.empty)
   override def loadTable(ident: Identifier): Table = throw new NoSuchTableException(ident)
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
@@ -193,6 +206,16 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
           fail(s"${u.multipartIdentifier.mkString(".")} is not an INSERT target — " +
             "metadata relations are read-only")
         case _ => i
+      }
+
+    // `DESCRIBE [EXTENDED] ice.t` — the parser targets an
+    // UnresolvedTableOrView (not an UnresolvedRelation), which the stub
+    // catalog reports as missing; claim it here and answer from metadata
+    case d @ DescribeRelation(u: UnresolvedTableOrView, _, isExtended, out) =>
+      u.multipartIdentifier match {
+        case Seq(c, n) if c.equalsIgnoreCase(Catalog) && lookup(session, n).isDefined =>
+          IceliteDescribeCommand(n.toLowerCase, isExtended, out)
+        case _ => d
       }
 
     // `FROM ice.t VERSION/TIMESTAMP AS OF ...` — the parser wraps the

@@ -321,6 +321,13 @@ object CdcDemo {
         .head().getLong(0)
       val dfPast = engine32.stateAt(past).count()
       val snaps = spark.sql("SELECT count(*) FROM ice.demo.snapshots").head().getLong(0)
+      val described = spark.sql("DESCRIBE EXTENDED ice.demo").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val listed = spark.sql("SHOW TABLES IN ice").collect().map(_.getString(1))
+      println(s"== sql catalog: DESCRIBE EXTENDED ice.demo -> buckets=" +
+        s"${described("Buckets")}, mode=${described("Write Mode")}, head=" +
+        s"${described("Current Snapshot")}; SHOW TABLES IN ice lists " +
+        s"[${listed.mkString(", ")}]")
       println(s"== sql surface: SELECT count(*) FROM ice.demo = $sqlNow " +
         (if (sqlNow == dfNow) "(matches the DataFrame read)" else "(MISMATCH — BUG!)") +
         s"; VERSION AS OF $past = $sqlPast " +

@@ -119,6 +119,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(missing.getMessage.contains("sinceSnapshot"))
   }
 
+  test("DESCRIBE [EXTENDED] and SHOW TABLES answer from table metadata") {
+    val (engine, _, _) = fixture
+    val desc = spark.sql("DESCRIBE ice.t").collect()
+    assert(desc.map(_.getString(0)).take(2).toSeq === Seq("repo", "path"))
+    assert(desc.count(_.getString(2).contains("key column")) === 2)
+    assert(desc.exists(r => r.getString(0) == "content" && r.getString(2).contains("payload")))
+    val ext = spark.sql("DESCRIBE EXTENDED ice.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext("Buckets") === "8")
+    assert(ext("Write Mode") === "copy-on-write")
+    assert(ext("Current Snapshot") === engine.table.currentSnapshotId.toString)
+    assert(spark.sql("SHOW TABLES IN ice").collect().map(_.getString(1)).contains("t"))
+  }
+
   test("malformed writes fail loudly; unregistered names stay unresolved") {
     val (_, _, _) = fixture
     // DML is supported (SqlDmlSpec), but a positional INSERT must cover the
