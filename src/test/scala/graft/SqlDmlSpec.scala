@@ -235,6 +235,51 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.getString(1) === "by-body")
   }
 
+  test("DML on a merge-on-read table goes through the same delta path") {
+    val name = synchronized { n += 1; s"dml$n" }
+    val dir = SparkTestBase.tmpDir(s"sqldml-$name")
+    val engine = new CdcEngine(spark,
+      IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8, mergeOnRead = true),
+      EngineConf(buckets = 8))
+    engine.applyBatch(0, Synth.events(spark, 500, seed = 112))
+    engine.applyBatch(1, Synth.events(spark, 300, seed = 113)
+      .withColumn("commit_lsn", col("commit_lsn") + 1000))
+    IceliteSql.register(spark, name, engine)
+    val files0 = engine.inspect.files(-1L).count()
+    val rs = count(s"SELECT count(*) FROM ice.$name WHERE lang = 'rs'")
+    assert(rs > 0)
+    assert(spark.sql(s"DELETE FROM ice.$name WHERE lang = 'rs'").head.getLong(0) === rs)
+    assert(count(s"SELECT count(*) FROM ice.$name WHERE lang = 'rs'") === 0)
+    // merge-on-read: the DML appended tombstone deltas, no bucket rewrite
+    assert(engine.inspect.files(-1L).count() > files0,
+      "MOR DML must append delta files, not rewrite in place")
+    spark.sql(s"UPDATE ice.$name SET content = 'mor-upd' WHERE lang = 'md'")
+    assert(count(s"SELECT count(*) FROM ice.$name WHERE lang = 'md' AND content != 'mor-upd'") === 0)
+  }
+
+  test("a DML statement racing a concurrent engine batch loses no update") {
+    val (engine, t) = freshTable(600, seed = 114)
+    // the racing batch writes DISJOINT keys with very high LSNs
+    val racer = new Thread(() => {
+      engine.applyBatch(7, Synth.events(spark, 300, seed = 115)
+        .withColumn("repo", concat(lit("race-"), col("repo")))
+        .withColumn("commit_lsn", col("commit_lsn") + 500000))
+      ()
+    })
+    val before = count(s"SELECT count(*) FROM ice.$t WHERE lang = 'scala'")
+    racer.start()
+    val deleted = try spark.sql(s"DELETE FROM ice.$t WHERE lang = 'scala'").head.getLong(0)
+    finally racer.join()
+    // the DELETE saw the statement-start state (read-committed DML) and the
+    // racer's commit survived the CAS interleaving either way
+    assert(deleted === before)
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE lang = 'scala' " +
+      "AND repo NOT LIKE 'race-%'") === 0)
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE repo LIKE 'race-%'") > 0,
+      "the racing batch's keys must survive the DML commit")
+    assert(engine.table.committedEpochs.contains(7L))
+  }
+
   test("DML on metadata relations is rejected") {
     val (_, t) = freshTable(50, seed = 110)
     val e = intercept[AnalysisException] {
