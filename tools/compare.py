@@ -67,7 +67,11 @@ def main():
                     ok = False
         if ok:
             print(f"OK    {name} ({len(got)} rows)")
-    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} matched")
+    # denominator = what was actually compared (a subset run must not claim
+    # the full set matched)
+    total = len([n for n in oracle if not only or n in only])
+    print(f"\n{total - len(failures)}/{total} matched" +
+          ("" if not only else f" (subset of {len(oracle)})"))
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
