@@ -1077,6 +1077,126 @@ object TrainingData {
         .join(broadcast(quotas), "lang")
         .filter(col("rk") <= col("alloc"))
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the embedding
+    // space with the SAME deterministic k-means fit as q47, then do the
+    // pairwise cosine work only WITHIN each cluster — the clustering bounds
+    // the quadratic stage to sum(|cell|^2) instead of n^2, which is the
+    // whole point of the method at 100 TB. The pair join is a plain shuffle
+    // equi-join on `cell` (never a corpus broadcast, PlanSpec-pinned); the
+    // dedup policy is keep-lowest-id per epsilon-ball: a vector is a dup if
+    // ANY lower-id member of its cell reaches the 0.45 threshold (the same
+    // verified gap q26 uses, so float-ulp noise cannot flip membership).
+    // Cross-cluster near-dups are invisible by construction — the method's
+    // documented recall trade, which the oracle replicates exactly.
+    "q75_semdedup" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val cents = fitCentroids(e, k = 16, rounds = 2)
+      val scored = fan(e).crossJoin(broadcast(cents))
+        .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 8))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assign = scored.withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+        .localCheckpoint(true)
+      val dups = assign.as("a")
+        .join(assign.as("b").hint("shuffle_hash"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") >= 0.45)
+        .select(col("b.vec_id").as("vec_id"))
+        .distinct()
+      assign.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("dup"), lit(false)).as("is_dup"))
+    }),
+
+    // DSIR-style importance resampling (Xie et al. 2023): select the raw
+    // documents that best resemble a target set, scored by hashed-unigram
+    // importance weights. Buckets are the cross-engine md5 hash mod 256;
+    // per-bucket log ratio of add-1-smoothed target vs raw probabilities is
+    // quantized to integer micro-nats FIRST (floor(ln * 1e6)), so the
+    // per-document weight is an integer SUM over its tokens — exact under
+    // any summation order, no float-ulp rule needed (q65's integer-exact
+    // decision-boundary trick). Selection is a global top-100 by (weight,
+    // doc_id): orderBy+limit = TakeOrderedAndProject (per-partition heaps,
+    // no global sort); the rank column is a window over the 100 surviving
+    // rows only (constant partition key, same device as q66's k-row window).
+    "q76_dsir_select" -> ((s, dir) => {
+      val B = 256
+      val bt = tokens(t(s, dir, "documents"), distinctTokens = false)
+        .withColumn("b", pmod(hash64(col("tkn")), lit(B.toLong)))
+        .select(col("doc_id"), col("b"))
+      val tgt = bt.filter(col("doc_id") < 50).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val rawc = bt.filter(col("doc_id") >= 50).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val totals = bt.agg(
+        sum(when(col("doc_id") < 50, 1L).otherwise(0L)).as("tt"),
+        sum(when(col("doc_id") >= 50, 1L).otherwise(0L)).as("tr"))
+      val sc = s.range(0, B).select(col("id").as("b"))
+        .join(tgt, Seq("b"), "left").join(rawc, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("score", floor(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(B.toDouble))) /
+            ((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("tr") + lit(B.toDouble)))) * 1e6))
+        .select(col("b"), col("score"))
+      val wgt = bt.filter(col("doc_id") >= 50)
+        .join(broadcast(sc), "b")
+        .groupBy(col("doc_id")).agg(sum(col("score")).as("weight_micro"))
+      val top = wgt.orderBy(col("weight_micro").desc, col("doc_id")).limit(100)
+      val w = Window.partitionBy(pmod(xxhash64(col("doc_id")), lit(1)))
+        .orderBy(col("weight_micro").desc, col("doc_id"))
+      top.withColumn("rk", row_number().over(w).cast("int"))
+    }),
+
+    // Exact-substring dedup (the Lee et al. 2022 tier between document-level
+    // and n-gram dedup): a document is substring-contaminated if any of its
+    // 40-char windows (stride 1, per-doc distinct) appears verbatim in a
+    // LOWER-id document. The scale shape is min-witness, never pairwise:
+    // one groupBy computes min(doc_id) per window, one join back counts a
+    // doc's windows owned by an earlier doc — O(total chars) rows, no n^2
+    // stage, hot boilerplate windows cost one reducer each (the q58 block
+    // shape). Windows are hashed to 64-bit for narrow shuffles (identity
+    // only mediates equality — the shingle-hash convention).
+    "q77_substring_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val win = fan(d.select(col("doc_id"), col("text")))
+        .withColumn("i", explode(sequence(lit(1), greatest(length(col("text")) - 39, lit(1)))))
+        .select(col("doc_id"), xxhash64(expr("substring(text, i, 40)")).as("g"))
+        .distinct()
+      val mw = win.groupBy(col("g")).agg(min(col("doc_id")).as("md"))
+      val dup = win.join(mw, "g").filter(col("doc_id") > col("md"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+      d.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+          (coalesce(col("dup_windows"), lit(0L)) === 0).as("keep"))
+    }),
+
+    // Contrastive hard-negative mining: for each probe, the top-3 most
+    // cosine-similar vectors with a DIFFERENT label — the pairs a
+    // contrastive trainer most needs. Same bounded-probe-batch orientation
+    // as q27/q61: the 10-probe side broadcasts, the corpus streams through
+    // partition-local top-k; at 100 TB probes shard into batches and the
+    // corpus is never broadcast or re-shuffled per probe.
+    "q78_hard_negatives" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"), col("label"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"), col("label").as("plabel"))
+      val scored = broadcast(probes).join(fan(e), col("label") =!= col("plabel"))
+        .withColumn("cos", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("vec_id").as("negative_id"), col("rk"),
+          round(col("cos"), 6).as("cos"))
     })
   )
 
@@ -1101,6 +1221,45 @@ object TrainingData {
 
   private val CcClosureOracle: String =
     CcClosureCtes + """ SELECT doc_id, cl AS "cluster" FROM cc"""
+
+  /** Shared DuckDB CTEs replicating [[fitCentroids]]'s two deterministic
+    * Lloyd rounds (k=16, seed = vec_id < 16) plus the final per-vector
+    * centroid ranking: ends at `r` (vec_id, cid, ccos, crk) and `assign`
+    * (vec_id -> cell). q47 (IVF ANN) and q75 (SemDeDup) append their own
+    * tails — the fit is byte-identical between them by construction. */
+  private val IvfFitCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         c0 AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
+         p1 AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c0 c),
+         d1 AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
+                FROM p1 GROUP BY 1,2),
+         a1 AS (SELECT vec_id, cid cell FROM (
+                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY round(dot/(nrm*cn),8) DESC, cid) rk FROM d1) WHERE rk = 1),
+         m1 AS (SELECT cell cid, d, round(avg(x),6) x FROM
+                 (SELECT a1.cell, i d, v[i] x FROM a1 JOIN e USING (vec_id),
+                   (SELECT unnest(generate_series(1,64)) i)) GROUP BY 1,2),
+         l1 AS (SELECT cid, list(x ORDER BY d) cv FROM m1 GROUP BY 1),
+         c1 AS (SELECT c0.cid, coalesce(l1.cv, c0.cv) cv FROM c0 LEFT JOIN l1 USING (cid)),
+         p2 AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c1 c),
+         d2 AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
+                FROM p2 GROUP BY 1,2),
+         a2 AS (SELECT vec_id, cid cell FROM (
+                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY round(dot/(nrm*cn),8) DESC, cid) rk FROM d2) WHERE rk = 1),
+         m2 AS (SELECT cell cid, d, round(avg(x),6) x FROM
+                 (SELECT a2.cell, i d, v[i] x FROM a2 JOIN e USING (vec_id),
+                   (SELECT unnest(generate_series(1,64)) i)) GROUP BY 1,2),
+         l2 AS (SELECT cid, list(x ORDER BY d) cv FROM m2 GROUP BY 1),
+         c2 AS (SELECT c1.cid, coalesce(l2.cv, c1.cv) cv FROM c1 LEFT JOIN l2 USING (cid)),
+         pc AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c2 c),
+         d AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
+               FROM pc GROUP BY 1,2),
+         r AS (SELECT vec_id, cid, round(dot/(nrm*cn),8) ccos,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY round(dot/(nrm*cn),8) DESC, cid) crk
+               FROM d),
+         assign AS (SELECT vec_id, cid cell FROM r WHERE crk = 1)"""
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -1208,39 +1367,7 @@ object TrainingData {
     // replicates the 2-round spherical k-means fit (same 6dp centroid /
     // 8dp cosine rounding, same cid tie-break), then the probe path over
     // the fitted centroids
-    "q47_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         c0 AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
-         p1 AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c0 c),
-         d1 AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
-                FROM p1 GROUP BY 1,2),
-         a1 AS (SELECT vec_id, cid cell FROM (
-                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY round(dot/(nrm*cn),8) DESC, cid) rk FROM d1) WHERE rk = 1),
-         m1 AS (SELECT cell cid, d, round(avg(x),6) x FROM
-                 (SELECT a1.cell, i d, v[i] x FROM a1 JOIN e USING (vec_id),
-                   (SELECT unnest(generate_series(1,64)) i)) GROUP BY 1,2),
-         l1 AS (SELECT cid, list(x ORDER BY d) cv FROM m1 GROUP BY 1),
-         c1 AS (SELECT c0.cid, coalesce(l1.cv, c0.cv) cv FROM c0 LEFT JOIN l1 USING (cid)),
-         p2 AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c1 c),
-         d2 AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
-                FROM p2 GROUP BY 1,2),
-         a2 AS (SELECT vec_id, cid cell FROM (
-                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY round(dot/(nrm*cn),8) DESC, cid) rk FROM d2) WHERE rk = 1),
-         m2 AS (SELECT cell cid, d, round(avg(x),6) x FROM
-                 (SELECT a2.cell, i d, v[i] x FROM a2 JOIN e USING (vec_id),
-                   (SELECT unnest(generate_series(1,64)) i)) GROUP BY 1,2),
-         l2 AS (SELECT cid, list(x ORDER BY d) cv FROM m2 GROUP BY 1),
-         c2 AS (SELECT c1.cid, coalesce(l2.cv, c1.cv) cv FROM c1 LEFT JOIN l2 USING (cid)),
-         pc AS (SELECT e.vec_id, c.cid, unnest(e.v) x, unnest(c.cv) y FROM e CROSS JOIN c2 c),
-         d AS (SELECT vec_id, cid, sum(x*y) dot, sqrt(sum(x*x)) nrm, sqrt(sum(y*y)) cn
-               FROM pc GROUP BY 1,2),
-         r AS (SELECT vec_id, cid, round(dot/(nrm*cn),8) ccos,
-                      row_number() OVER (PARTITION BY vec_id
-                        ORDER BY round(dot/(nrm*cn),8) DESC, cid) crk
-               FROM d),
-         assign AS (SELECT vec_id, cid cell FROM r WHERE crk = 1),
+    "q47_ann_ivf" -> (IvfFitCtes + """,
          probes AS (SELECT vec_id probe_id, cid pcell FROM r WHERE vec_id < 10 AND crk <= 2),
          candpairs AS (SELECT p.probe_id, a.vec_id nb FROM probes p
                        JOIN assign a ON a.cell = p.pcell AND a.vec_id <> p.probe_id),
@@ -1252,6 +1379,57 @@ object TrainingData {
                        row_number() OVER (PARTITION BY probe_id ORDER BY dot/(pn*nn) DESC, nb) rk
                 FROM dd)
          SELECT probe_id, nb AS neighbor_id, CAST(rk AS INT) AS rk, round(cos,6) AS cos
+         FROM rr WHERE rk <= 3"""),
+    // q75 shares q47's fit CTEs, then restricts the pairwise cosine stage to
+    // within-cell pairs — the oracle replicates the cluster-bounded scan
+    // (including its cross-cluster blindness) CTE-for-CTE.
+    "q75_semdedup" -> (IvfFitCtes + """,
+         pairs AS (SELECT a.vec_id ia, b.vec_id ib FROM assign a
+                   JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         pv AS (SELECT ia, ib, unnest(ea.v) x, unnest(eb.v) y
+                FROM pairs JOIN e ea ON ea.vec_id = ia JOIN e eb ON eb.vec_id = ib),
+         dd AS (SELECT ia, ib, sum(x*y) dot, sqrt(sum(x*x)) an, sqrt(sum(y*y)) bn
+                FROM pv GROUP BY 1,2),
+         dup AS (SELECT DISTINCT ib vec_id FROM dd WHERE dot/(an*bn) >= 0.45)
+         SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+         FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id"""),
+    "q76_dsir_select" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
+         bt AS (SELECT doc_id, (('0x' || substr(md5(tkn),1,15))::BIGINT) % 256 b FROM tk),
+         tgt AS (SELECT b, count(*) ct FROM bt WHERE doc_id < 50 GROUP BY 1),
+         rawc AS (SELECT b, count(*) cr FROM bt WHERE doc_id >= 50 GROUP BY 1),
+         tot AS (SELECT count(*) FILTER (WHERE doc_id < 50) tt,
+                        count(*) FILTER (WHERE doc_id >= 50) tr FROM bt),
+         dom AS (SELECT unnest(generate_series(0,255)) b),
+         sc AS (SELECT b, CAST(floor(ln(((coalesce(ct,0)+1.0)/(tt+256.0)) /
+                  ((coalesce(cr,0)+1.0)/(tr+256.0))) * 1000000) AS BIGINT) score
+                FROM dom LEFT JOIN tgt USING (b) LEFT JOIN rawc USING (b), tot),
+         wgt AS (SELECT doc_id, CAST(sum(score) AS BIGINT) weight_micro
+                 FROM bt JOIN sc USING (b) WHERE doc_id >= 50 GROUP BY 1),
+         rk AS (SELECT doc_id, weight_micro,
+                       row_number() OVER (ORDER BY weight_micro DESC, doc_id) rk FROM wgt)
+         SELECT doc_id, weight_micro, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 100""",
+    "q77_substring_dedup" ->
+      """WITH w AS (SELECT DISTINCT doc_id, substr(text, i, 40) g
+           FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(len(text)-39, 1))) i
+                 FROM documents)),
+         mw AS (SELECT g, min(doc_id) md FROM w GROUP BY 1),
+         dup AS (SELECT w.doc_id, count(*) dup_windows
+                 FROM w JOIN mw USING (g) WHERE w.doc_id > mw.md GROUP BY 1)
+         SELECT d.doc_id, coalesce(dup_windows, 0) AS dup_windows,
+                coalesce(dup_windows, 0) = 0 AS keep
+         FROM documents d LEFT JOIN dup USING (doc_id)""",
+    "q78_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+         p AS (SELECT vec_id probe_id, v pv, label plabel FROM e WHERE vec_id < 10),
+         cd AS (SELECT probe_id, e.vec_id nb, unnest(pv) x, unnest(e.v) y
+                FROM p JOIN e ON e.label <> p.plabel),
+         dd AS (SELECT probe_id, nb, sum(x*y) dot, sqrt(sum(x*x)) pn, sqrt(sum(y*y)) nn
+                FROM cd GROUP BY 1,2),
+         rr AS (SELECT probe_id, nb, dot/(pn*nn) cos,
+                       row_number() OVER (PARTITION BY probe_id ORDER BY dot/(pn*nn) DESC, nb) rk
+                FROM dd)
+         SELECT probe_id, nb AS negative_id, CAST(rk AS INT) AS rk, round(cos,6) AS cos
          FROM rr WHERE rk <= 3""",
     "q29_lang_id" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),

@@ -96,7 +96,17 @@ class PlanSpec extends AnyFunSuite {
       "q61_knn_classify",
       // q66: the waterfill scalars (k, sat_total/m) — single-row broadcast
       // sides over the |languages|-row count table.
-      "q66_capped_mix")
+      "q66_capped_mix",
+      // q75: the k-means fit/assign crossJoins broadcast the k=16 centroid
+      // set (q47's shape); the pairwise stage itself is a shuffle equi-join
+      // on cell, pinned below.
+      "q75_semdedup",
+      // q76: the token-total scalars — a single-row broadcast over the
+      // 256-row bucket domain.
+      "q76_dsir_select",
+      // q78: 10-probe broadcast side x `label =!= plabel` — the bounded
+      // probe-batch orientation of q27/q61.
+      "q78_hard_negatives")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -143,6 +153,25 @@ class PlanSpec extends AnyFunSuite {
       s"q28's bucket candidate join must shuffle, not broadcast:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"q28 plans an all-pairs join:\n$p")
+  }
+
+  test("q75 SemDeDup: pairwise stage is a shuffle equi-join on cell, corpus never broadcast") {
+    // the cluster-bounded pairwise scan is the method's entire scale claim:
+    // both sides of the pair join are the corpus, so neither may broadcast —
+    // only the k=16 centroid set (the fit/assign crossJoins) is allowed on
+    // a broadcast side.
+    val p = plan("q75_semdedup")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q75's within-cell pair join must shuffle on cell:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q75 plans an all-pairs join:\n$p")
+  }
+
+  test("q77 substring dedup: min-witness aggregation, no pairwise join anywhere") {
+    // doc x doc never appears: one groupBy(window) -> min(doc_id), one join
+    // back on the window hash — O(total chars), the q58 block shape
+    val p = plan("q77_substring_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q77 must not plan a pairwise join:\n$p")
   }
 
   test("q14/q44 fuzzy resolve: deletion-neighborhood equi-join, never a theta-join") {

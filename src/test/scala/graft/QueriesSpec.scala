@@ -101,6 +101,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(early.size < 11, s"epsilon stop never fired: ${early.size} measurements")
   }
 
+  test("q75 SemDeDup: cluster-bounded pairwise << all-pairs; flags only true near-dups") {
+    // the method's scale claim is that clustering bounds the quadratic
+    // stage: sum over cells of |c|^2 pairs must sit well below n^2. Its
+    // correctness claim is one-sided — a flagged vector always HAS a
+    // genuine >= 0.45 lower-id partner (cluster-bounding can miss
+    // cross-cluster pairs, never invent one).
+    graft.functions.VecOps.register(spark)
+    val out = SparkEntry.queries("q75_semdedup")(spark, sf).localCheckpoint(true)
+    val n = out.count()
+    val cellPairs = out.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) DIV 2"))).head().getLong(0)
+    val allPairs = n * (n - 1) / 2
+    assert(cellPairs < allPairs / 4,
+      s"clustering failed to bound the pairwise stage: $cellPairs of $allPairs pairs")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VecOps.dot(col("v"), col("v"))))
+      .localCheckpoint(true)
+    val bruteDups = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", graft.functions.VecOps.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.45)
+      .select(col("b.vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = out.filter(col("is_dup")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "semdedup flagged nothing on data with known near-dups")
+    assert(flagged.subsetOf(bruteDups),
+      s"semdedup flagged non-near-dups: ${flagged -- bruteDups}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q26b production-regime banding PRUNES: candidates << all-pairs, recall exact") {
     // q26's 4-plane bands deliberately over-generate at the test data's
     // 0.45 threshold (documented); this is the measured counterpart at the
