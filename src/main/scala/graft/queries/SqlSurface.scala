@@ -165,6 +165,37 @@ object SqlSurface {
         WHEN NOT MATCHED THEN INSERT (repo, path, lang, content)
           VALUES (src.repo, src.path, 'xl', src.content)""")
       s.sql("SELECT repo, path, lang, content FROM ice.q74")
+    }),
+
+    // Incrementally maintained materialized aggregate, oracle-gated: replay
+    // epoch 0, refresh (full build), replay epoch 1, refresh again — the
+    // second refresh takes the DELTA path (changesSince additions minus
+    // pre-image retractions, O(changed keys + groups), plus the min/max
+    // hybrid for the extreme). The returned rows are the view's materialized
+    // parquet, never a recompute; the DuckDB oracle is the full-recompute
+    // definition over the final LWW state, so a green row proves the
+    // incremental maintenance math equals plain SQL semantics end-to-end —
+    // including tombstones arriving in epoch 1 retracting epoch-0 rows.
+    "q79_inc_view" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, length}
+      val ev = derived(s, dir)
+      val cutoff = cutoffOf(ev)
+      val work = Work.tmp("graft-sql-q79")
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"$work/t", Seq("repo", "path"), 16),
+        EngineConf(buckets = 16))
+      val view = new graft.engine.IncrementalView(engine,
+        java.nio.file.Paths.get(s"$work/view"),
+        groupCols = Seq("lang"),
+        measures = Seq("total_chars" -> length(col("content")).cast("long")),
+        extremes = Seq(graft.engine.IncrementalView.Extreme(
+          "max_chars", length(col("content")).cast("long"), isMax = true)))
+      engine.applyBatch(0, ev.filter(s"commit_lsn <= $cutoff"))
+      view.refresh()
+      engine.applyBatch(1, ev.filter(s"commit_lsn > $cutoff"))
+      view.refresh()
+      view.view().select(col("lang"), col("n_rows"),
+        col("total_chars"), col("max_chars"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -199,5 +230,14 @@ object SqlSurface {
         |SELECT s.repo, s.path, 'xl' AS lang, s.content
         |FROM src s LEFT JOIN afterdel a
         |  ON s.repo = a.repo AND s.path = a.path
-        |WHERE a.repo IS NULL""".stripMargin))
+        |WHERE a.repo IS NULL""".stripMargin),
+    "q79_inc_view" ->
+      (derivedCte("") + """
+        |, state AS (
+        |  SELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'
+        |)
+        |SELECT lang, count(*) AS n_rows,
+        |       CAST(sum(len(content)) AS BIGINT) AS total_chars,
+        |       CAST(max(len(content)) AS BIGINT) AS max_chars
+        |FROM state GROUP BY lang""".stripMargin))
 }
