@@ -69,6 +69,19 @@ case class EngineConf(
     // O(delta files in the bucket). Bitmaps are dropped when a bucket's
     // batch-key load would push the false-positive rate past 25%.
     keyFpBits: Int = 4096,
+    // payload columns whose per-file [min, max] bounds are harvested into
+    // the manifest whenever MERGED (final-state) files are written — the
+    // copy-on-write rewrite, compact(), rebucket() — from the same parquet
+    // footer pass that yields the LSN stats (no extra Spark job), and used
+    // by scanRange for manifest-level file skipping. Key columns gain
+    // nothing here (buckets hash-partition the key domain, so key ranges
+    // never prune — that job belongs to keyFp); this is for PAYLOAD
+    // predicates, and it bites once compact(sortBy = <col>) clusters the
+    // column so per-file ranges are tight and disjoint. Merge-on-read
+    // DELTA files are never harvested or pruned: a payload predicate
+    // cannot soundly skip a file whose rows other files' carry-forward
+    // merges depend on. Empty = no column stats.
+    statsCols: Seq[String] = Nil,
     // dead-letter quarantine: non-empty = malformed events (null key
     // column, op, lsn or seq — rows the merge's validity predicate would
     // silently drop) are written to `<dlqDir>/epoch=N` parquet with a
@@ -304,7 +317,9 @@ class CdcEngine(
     * actually hold more than one file: a single-file bucket is the output
     * of one batch's reduction or of compaction, both key-unique, so it is
     * read raw — after compaction a merge-on-read table reads exactly as
-    * cheaply as copy-on-write. */
+    * cheaply as copy-on-write. A multi-file bucket whose files are ALL
+    * `merged` (a compaction split by maxFileRows) is equally key-disjoint
+    * and reads raw too; any un-merged (delta) file forces the LWW merge. */
   private def readStateCells(buckets: Option[Set[Int]], targetPayload: StructType,
       asOfSnapshot: Option[Long] = None): DataFrame = {
     val snapOpt = asOfSnapshot.map(id => Some(table.snapshot(id)))
@@ -316,7 +331,8 @@ class CdcEngine(
     if (!table.meta.mergeOnRead) return readAligned(groupsFor(buckets), targetPayload)
     val snapFiles = snapOpt.map(table.bucketFilesOf).getOrElse(Map.empty)
     val multiFile: Set[Int] = snapFiles.collect {
-      case (b, files) if files.size > 1 && buckets.forall(_.contains(b.toInt)) => b.toInt
+      case (b, files) if files.size > 1 && !files.forall(_.merged) &&
+        buckets.forall(_.contains(b.toInt)) => b.toInt
     }.toSet
     val singleSel = buckets match {
       case Some(bs) => Some(bs -- multiFile)
@@ -594,7 +610,11 @@ class CdcEngine(
     // Amdahl term that caps scaling efficiency.
     val tm0 = System.nanoTime()
     val sid = table.ensureSchema(stateSchema(targetPayload))
-    val bucketFiles = collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
+    // COW rewrites hold merged final state (stats-prunable); MOR deltas are
+    // neither merged nor harvested (see EngineConf.statsCols).
+    val bucketFiles = collectBucketFiles(outDir, table, sid,
+      spark.sessionState.newHadoopConf(), merged = !mor,
+      statsCols = if (mor) Nil else typedStatsCols(targetPayload))
     val bucketRows: Map[Int, Long] =
       bucketFiles.map { case (b, files) => b -> files.map(_.rows).sum }
     val manifestMs = ms(tm0)
@@ -1137,6 +1157,97 @@ class CdcEngine(
   def prunedFilesForLsnRange(lo: Long, hi: Long): Seq[String] =
     table.currentFileGroups(None, lsnRange = Some((lo, hi))).values.flatten.toSeq
 
+  /** `conf.statsCols` resolved against a payload schema: (name, type) for
+    * the columns that exist and whose type [[StatsSkip.supported]]. */
+  private def typedStatsCols(payload: StructType)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    conf.statsCols.flatMap(c => payload.fields.find(_.name == c))
+      .filter(f => StatsSkip.supported(f.dataType))
+      .map(f => f.name -> f.dataType)
+
+  /** How scanRange would plan a predicate: total data files in the
+    * snapshot, files skipped by the harvested bounds, and buckets read
+    * whole because a live delta file makes payload pruning unsound there
+    * (see [[scanRange]]). Metadata-only — no Spark job. */
+  case class ScanPlan(filesTotal: Int, filesSkipped: Int, unprunableBuckets: Int)
+
+  /** Manifest-level stats-pruned scan (Iceberg scan planning on
+    * lower/upper bounds): the current visible state restricted to rows
+    * whose final merged `column` value lies in [lo, hi] (either bound
+    * optional; pass the same value twice for equality), opening only the
+    * data files whose per-file bounds (`EngineConf.statsCols`, harvested
+    * at merged-file write time) can satisfy the predicate. Sound by the
+    * per-bucket rule documented on `DataFile.merged`: a file is skippable
+    * only when every file in its bucket holds merged final state — on a
+    * merge-on-read bucket with live deltas a matching key's row is
+    * assembled from cells ACROSS files (carry-forward), so skipping any
+    * one of them could null out unrelated columns of a surviving row;
+    * such buckets are read whole (pruning resumes after compaction).
+    * Tight when compaction sorted by the column: `compact(sortBy,
+    * maxFileRows)` makes per-file ranges disjoint, so selectivity
+    * translates directly into files never opened. */
+  def scanRange(column: String, lo: Option[Any], hi: Option[Any],
+      buckets: Option[Set[Int]] = None): DataFrame = {
+    checkLayout()
+    val payload = tablePayload
+    val (groups, mergeBuckets, _) = planScanRange(column, lo, hi, buckets, payload)
+    val pruned = readAligned(groups, payload) // merged files: final state, key-disjoint
+    val cells =
+      if (mergeBuckets.isEmpty) pruned
+      else pruned.unionByName(readStateCells(Some(mergeBuckets), payload))
+    val field = payload.fields.find(_.name == column).get
+    val base = flattenCells(cells.filter(col(s"$OpCell.v") =!= lit("D")), payload)
+    val resid = Seq(
+      lo.map(v => col(column) >= lit(v).cast(field.dataType)),
+      hi.map(v => col(column) <= lit(v).cast(field.dataType))
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    val out = base.filter(resid)
+    if (payload.fieldNames.contains("content"))
+      out.withColumn("content_sha256", sha2(col("content"), 256))
+    else out
+  }
+
+  /** The [[ScanPlan]] scanRange would use (for tests and observability). */
+  def scanRangePlan(column: String, lo: Option[Any], hi: Option[Any],
+      buckets: Option[Set[Int]] = None): ScanPlan =
+    planScanRange(column, lo, hi, buckets, tablePayload)._3
+
+  private def planScanRange(column: String, lo: Option[Any], hi: Option[Any],
+      buckets: Option[Set[Int]], payload: StructType)
+      : (Map[Int, Seq[String]], Set[Int], ScanPlan) = {
+    val field = payload.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"scanRange: no payload column '$column'"))
+    val dt = field.dataType
+    val loC = lo.map(v => StatsSkip.canon(dt, v))
+    val hiC = hi.map(v => StatsSkip.canon(dt, v))
+    val snap = table.currentSnapshot.getOrElse(
+      return (Map.empty, Set.empty, ScanPlan(0, 0, 0)))
+    val byBucket = table.bucketFilesOf(snap).iterator
+      .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }.toSeq
+    // A COW table's files are all merged state by construction (every
+    // commit rewrites whole buckets), including files from manifests
+    // written before the `merged` flag existed.
+    val allMerged = !table.meta.mergeOnRead
+    var skipped = 0
+    val kept = scala.collection.mutable.ListBuffer.empty[Icelite.DataFile]
+    val mergeBuckets = scala.collection.mutable.Set.empty[Int]
+    byBucket.foreach { case (b, files) =>
+      if (allMerged || files.forall(_.merged)) {
+        files.foreach { f =>
+          val overlap = f.colStats.flatMap(_.get(column)) match {
+            case Some(bounds) => StatsSkip.overlaps(dt, bounds, loC, hiC)
+            case None => true // no stats: never skip
+          }
+          if (overlap) kept += f else skipped += 1
+        }
+      } else mergeBuckets += b.toInt
+    }
+    val groups = kept.toSeq.groupBy(_.schemaId)
+      .map { case (sid, fs) => sid -> fs.map(f => table.root.resolve(f.path).toString) }
+    val total = byBucket.iterator.map(_._2.size).sum
+    (groups, mergeBuckets.toSet, ScanPlan(total, skipped, mergeBuckets.size))
+  }
+
   /** Incremental APPEND feed: the cell versions physically written after
     * `sinceSnapshotId`, merged per key within that file set — reads ONLY the
     * manifest-diff files (Iceberg's incremental read). On merge-on-read
@@ -1257,8 +1368,21 @@ class CdcEngine(
     * bucket for cheaper state reads. Commits a new snapshot (batchEpoch=-1 —
     * not an ingest epoch); older snapshots keep referencing the old files,
     * so time travel is unaffected and `vacuum` (which walks the whole chain)
-    * keeps them until snapshots are expired. Returns the new snapshot id. */
-  def compact(buckets: Option[Set[Int]] = None): Long = {
+    * keeps them until snapshots are expired. Returns the new snapshot id.
+    *
+    * `sortBy` (Iceberg's rewrite with a SORT ORDER): cluster each bucket's
+    * rows by the named payload columns (then key, for stable output) before
+    * writing, and `maxFileRows` splits the sorted bucket into several files
+    * of at most that many rows — consecutive, so their `sortBy` value
+    * ranges are DISJOINT. Combined with `EngineConf.statsCols` covering the
+    * same columns, that turns the harvested per-file bounds into a tight
+    * skip index: `scanRange` on the sorted column opens ~selectivity
+    * × files instead of all of them. The split files are all `merged`
+    * (key-unique and key-disjoint — a sequential cut of one key-unique
+    * sorted partition), so reads stay raw (no LWW re-merge) and point
+    * lookups still prune by bucket + parquet key blooms. */
+  def compact(buckets: Option[Set[Int]] = None, sortBy: Seq[String] = Nil,
+      maxFileRows: Long = 0L): Long = {
     checkLayout()
     // CAS pin: compaction is a read-modify-write of whole buckets, so a
     // concurrent append between the read and the replace-commit would be
@@ -1280,17 +1404,27 @@ class CdcEngine(
     // writes stay sort-free (the hot path never pays it), but the files
     // that live longest are key-clustered — parquet page min/max stats on
     // (repo, path) become tight, so point lookups prune pages inside big
-    // compacted files, and runs of one repo dictionary/RLE-compress better
-    cells.withColumn("__b", bucketCol)
+    // compacted files, and runs of one repo dictionary/RLE-compress better.
+    // A caller sort order goes FIRST (stats clustering beats key pages for
+    // the columns it names); key blooms are sort-independent, so lookups
+    // keep their row-group pruning either way.
+    val badSort = sortBy.filterNot(payload.fieldNames.contains)
+    require(badSort.isEmpty, s"compact sortBy: not payload columns: $badSort")
+    val sortCols =
+      col("__b") +: (sortBy.map(c => col(s"$c.v")) ++ keyColumns)
+    val writer = cells.withColumn("__b", bucketCol)
       .repartition(selected.size, col("__b"))
-      .sortWithinPartitions((col("__b") +: keyColumns): _*)
+      .sortWithinPartitions(sortCols: _*)
       .write
       .option("parquet.bloom.filter.enabled#repo", "true")
       .option("parquet.bloom.filter.enabled#path", "true")
+    (if (maxFileRows > 0) writer.option("maxRecordsPerFile", maxFileRows)
+     else writer)
       .partitionBy("__b").parquet(outDir.toString)
     val sid = table.ensureSchema(stateSchema(payload))
     val bucketFiles =
-      collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
+      collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf(),
+        merged = true, statsCols = typedStatsCols(payload))
     // replace-commit (append=false) even on merge-on-read tables: compaction
     // folds a bucket's delta pile back into one merged file
     table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0,
@@ -1351,7 +1485,8 @@ class CdcEngine(
       .partitionBy("__b").parquet(outDir.toString)
     val sid = table.ensureSchema(stateSchema(payload))
     val bucketFiles =
-      collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf())
+      collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf(),
+        merged = true, statsCols = typedStatsCols(payload))
     table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0, rebucketTo = newBuckets,
       expectedParentId = observedParent)
     new CdcEngine(spark, table, newConf)
@@ -1416,7 +1551,10 @@ object CdcEngine {
   }
 
   private[engine] def collectBucketFiles(dir: Path, table: IceliteTable, schemaId: Int,
-      hadoopConf: org.apache.hadoop.conf.Configuration): Map[Int, List[Icelite.DataFile]] = {
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      merged: Boolean = false,
+      statsCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+      : Map[Int, List[Icelite.DataFile]] = {
     val stream = Files.walk(dir)
     val paths =
       try stream.iterator().asScala
@@ -1440,7 +1578,46 @@ object CdcEngine {
             (lsnStats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
               lsnStats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
           else (Long.MinValue, Long.MaxValue) // unknown => never skipped
-        Icelite.DataFile(table.relativize(p), schemaId, rows, mn, mx)
+        // payload-column bounds (cell leaf `<col>.v`), same footer, free.
+        // Per column: every chunk must carry usable statistics or the
+        // column is left unknown; all chunks null-only => empty bounds
+        // ("no values in this file"); a column absent from this writer
+        // schema is all-null by definition (schema evolution null-fill).
+        val colStats: Map[String, List[String]] =
+          if (statsCols.isEmpty) Map.empty
+          else {
+            val chunksByPath = r.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .groupBy(_.getPath.toDotString)
+            statsCols.flatMap { case (name, dt) =>
+              chunksByPath.get(s"$name.v") match {
+                case None => Some(name -> Nil) // column not in this file
+                case Some(chunks) =>
+                  val st = chunks.map(_.getStatistics)
+                  if (st.exists(s => s == null || s.isEmpty)) None // unknown
+                  else {
+                    val nonNull = st.filter(_.hasNonNullValue)
+                    if (nonNull.isEmpty) Some(name -> Nil) // all null
+                    else {
+                      val enc = nonNull.map(s =>
+                        StatsSkip.encode(dt, s.genericGetMin, s.genericGetMax))
+                      if (enc.exists(_.isEmpty)) None // e.g. over-long string
+                      else {
+                        val pairs = enc.map(_.get)
+                        val lo = pairs.map(_.head)
+                          .reduceLeft((a, b) => if (StatsSkip.cmp(dt, a, b) <= 0) a else b)
+                        val hi = pairs.map(_.last)
+                          .reduceLeft((a, b) => if (StatsSkip.cmp(dt, a, b) >= 0) a else b)
+                        Some(name -> List(lo, hi))
+                      }
+                    }
+                  }
+              }
+            }.toMap
+          }
+        Icelite.DataFile(table.relativize(p), schemaId, rows, mn, mx,
+          merged = merged,
+          colStats = if (colStats.isEmpty) None else Some(colStats))
       } finally r.close()
     }
     val byPath: Map[Path, Icelite.DataFile] =

@@ -154,7 +154,10 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
             schema_id = f.schemaId,
             min_lsn = if (f.minLsn == Long.MinValue) None else Some(f.minLsn),
             max_lsn = if (f.maxLsn == Long.MaxValue) None else Some(f.maxLsn),
-            has_key_fp = f.keyFp.nonEmpty)
+            has_key_fp = f.keyFp.nonEmpty,
+            merged = f.merged,
+            col_stats = f.colStats.getOrElse(Map.empty)
+              .map { case (c, b) => c -> (b: Seq[String]) })
         }
       }
     rows.toDF()
@@ -313,7 +316,11 @@ object Inspect {
       schema_id: Int,
       min_lsn: Option[Long],
       max_lsn: Option[Long],
-      has_key_fp: Boolean)
+      has_key_fp: Boolean,
+      // merged final-state file (stats-prunable) vs merge-on-read delta
+      merged: Boolean,
+      // harvested [min, max] bounds per stats column (canonical strings)
+      col_stats: Map[String, Seq[String]])
 
   case class OrphanRow(
       file_path: String,

@@ -85,7 +85,28 @@ object Icelite {
       rows: Long,
       minLsn: Long = Long.MinValue,
       maxLsn: Long = Long.MaxValue,
-      keyFp: Option[String] = None)
+      keyFp: Option[String] = None,
+      // true = this file holds MERGED final state: key-unique rows, and
+      // key-DISJOINT from every other merged file of its bucket (copy-on-
+      // write rewrites, compaction/rebucket outputs — including compaction
+      // split into several sorted files by maxFileRows). Readers use it two
+      // ways: a bucket whose files are all merged is read RAW (no LWW
+      // re-merge even when compaction split it), and only merged files are
+      // candidates for payload-column stats pruning (skipping a DELTA file
+      // by a payload predicate is unsound — a matching key's other columns
+      // carry forward from the skipped file). false (and the default for
+      // manifests written before this field existed) = treat as a delta:
+      // always merge, never stats-prune. Conservative in both directions.
+      merged: Boolean = false,
+      // Per-column [min, max] bounds for the engine's configured stats
+      // columns (Iceberg's lower_bounds/upper_bounds analog), harvested
+      // from the same parquet-footer pass as the LSN stats and kept only
+      // on merged files (see above). Canonical string encodings — see
+      // graft.engine.StatsSkip. An EMPTY list means "column entirely null
+      // in this file" (no values — any value predicate can skip it); an
+      // absent key or None (old manifests / unharvestable footer) means
+      // "unknown — never skip".
+      colStats: Option[Map[String, List[String]]] = None)
 
   case class Snapshot(
       snapshotId: Long,

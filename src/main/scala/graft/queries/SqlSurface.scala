@@ -196,6 +196,32 @@ object SqlSurface {
       view.refresh()
       view.view().select(col("lang"), col("n_rows"),
         col("total_chars"), col("max_chars"))
+    }),
+
+    // Column-stats FILE SKIPPING, oracle-gated: replay, then
+    // rewrite_data_files under a SORT ORDER on `lang` split into small
+    // range-disjoint files (the Iceberg sort-rewrite), then scanRange —
+    // the stats-pruned read that opens only files whose harvested
+    // [min, max] bounds can hold the predicate value. The driver gate
+    // proves the pruned read's ROWS equal plain SQL over the final LWW
+    // state; the pruning itself (files actually skipped, soundness under
+    // merge-on-read deltas) is pinned in StatsSkipSpec.
+    "q80_stats_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = derived(s, dir)
+      val work = Work.tmp("graft-sql-q80")
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"$work/t", Seq("repo", "path"), 16),
+        EngineConf(buckets = 16, statsCols = Seq("lang")))
+      engine.applyBatch(0, ev)
+      // small split size so the sort-split (and thus real pruning) happens
+      // at every driver SF, sf0.001 included (~200 state rows per bucket)
+      engine.compact(sortBy = Seq("lang"), maxFileRows = 50)
+      val plan = engine.scanRangePlan("lang", Some("view"), Some("view"))
+      require(plan.filesSkipped > 0,
+        s"q80: sorted compaction must make stats pruning bite, got $plan")
+      engine.scanRange("lang", Some("view"), Some("view"))
+        .select(col("repo"), col("path"), col("lang"), col("content"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +265,9 @@ object SqlSurface {
         |SELECT lang, count(*) AS n_rows,
         |       CAST(sum(len(content)) AS BIGINT) AS total_chars,
         |       CAST(max(len(content)) AS BIGINT) AS max_chars
-        |FROM state GROUP BY lang""".stripMargin))
+        |FROM state GROUP BY lang""".stripMargin),
+    "q80_stats_scan" ->
+      (derivedCte("") + """
+        |SELECT repo, path, lang, content
+        |FROM latest WHERE rn = 1 AND op <> 'D' AND lang = 'view'""".stripMargin))
 }

@@ -147,12 +147,20 @@ object IceliteProcedures {
     new Proc("rewrite_data_files",
       "Compaction: rewrite every bucket's file list into one key-sorted " +
         "file (Iceberg's rewrite_data_files). Time travel keeps the old " +
-        "files until snapshots are expired and vacuumed.",
-      Seq(tableParam),
+        "files until snapshots are expired and vacuumed. sort_by (comma-" +
+        "separated payload columns — Iceberg's rewrite under a SORT ORDER) " +
+        "clusters each bucket by those columns and max_file_rows splits it " +
+        "into range-disjoint files, turning the engine's statsCols bounds " +
+        "into a file-skip index for scanRange.",
+      Seq(tableParam,
+        inD("sort_by", S, "''", "payload columns to cluster each bucket by (comma-separated; empty = key sort only)"),
+        inD("max_file_rows", L, "0", "split each bucket into files of at most this many rows (0 = one file per bucket)")),
       schema("snapshot_id" -> L, "files_before" -> I, "files_after" -> I),
-      (_, _, engine, _) => {
+      (_, _, engine, input) => {
+        val sortBy = input.getUTF8String(1).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
         val before = engine.table.currentFiles().size
-        val sid = engine.compact()
+        val sid = engine.compact(sortBy = sortBy, maxFileRows = input.getLong(2))
         Seq(row(sid, before, engine.table.currentFiles().size))
       }),
 

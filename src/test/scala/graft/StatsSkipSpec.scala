@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{CdcEngine, EngineConf, StatsSkip}
+import graft.icelite.{Icelite, IceliteTable}
+import graft.synth.Synth
+
+/** Column-stats file skipping (`EngineConf.statsCols` + `compact(sortBy,
+  * maxFileRows)` + `scanRange`): results must equal the unpruned filter in
+  * every mode, pruning must actually skip files once the column is sort-
+  * clustered, and — the soundness core — a merge-on-read bucket with live
+  * delta files must NOT be pruned (a matching key's final row is assembled
+  * from cells across files, so skipping any one corrupts carry-forward). */
+class StatsSkipSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def engine(mor: Boolean, buckets: Int = 8): CdcEngine = {
+    val dir = SparkTestBase.tmpDir("statskip")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), buckets,
+      mergeOnRead = mor)
+    new CdcEngine(spark, t, EngineConf(buckets = buckets,
+      statsCols = Seq("lang", "content")))
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("COW: sorted compaction + scanRange equals the unpruned filter and skips files") {
+    val ev = Synth.events(spark, 4000, seed = 31)
+    val e = engine(mor = false)
+    e.applyBatch(0, ev.filter(col("commit_lsn") < 2000))
+    e.applyBatch(1, ev.filter(col("commit_lsn") >= 2000))
+    e.compact(sortBy = Seq("lang"), maxFileRows = 120)
+
+    val expected = e.currentState().filter(col("lang") === "py")
+    val got = e.scanRange("lang", Some("py"), Some("py"))
+    assert(sortedRows(got) === sortedRows(expected))
+    assert(got.count() > 0)
+
+    val plan = e.scanRangePlan("lang", Some("py"), Some("py"))
+    assert(plan.unprunableBuckets === 0)
+    // 5 languages, sort-clustered into >=120-row splits: most files hold a
+    // single language, so a one-language predicate must skip real files
+    assert(plan.filesSkipped > plan.filesTotal / 2,
+      s"expected >half the files skipped, got $plan")
+
+    // unbounded scan reads everything and equals currentState
+    val all = e.scanRange("lang", None, None)
+    assert(sortedRows(all) === sortedRows(e.currentState()))
+    assert(e.scanRangePlan("lang", None, None).filesSkipped === 0)
+  }
+
+  test("MOR: live deltas suspend pruning (carry-forward soundness); compaction resumes it") {
+    val ev = Synth.events(spark, 3000, seed = 32)
+    val e = engine(mor = true)
+    e.applyBatch(0, ev)
+    e.compact(sortBy = Seq("lang"), maxFileRows = 100)
+    val before = e.scanRangePlan("lang", Some("py"), Some("py"))
+    assert(before.unprunableBuckets === 0 && before.filesSkipped > 0)
+
+    // delta batch: update CONTENT of a known py-lang key, lang omitted
+    // (carry-forward). The row's final lang stays 'py'; its content must be
+    // the NEW value even though the delta file itself has no lang cell.
+    val pyRow = e.currentState().filter(col("lang") === "py")
+      .select("repo", "path").head()
+    val (r0, p0) = (pyRow.getString(0), pyRow.getString(1))
+    val delta = Seq((r0, p0, 9999999L, 0, "U", null: String, "PATCHED"))
+      .toDF("repo", "path", "commit_lsn", "seq", "op", "lang", "content")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+      .withColumn("commit", lit(null).cast(StringType))
+    e.applyBatch(1, delta)
+
+    val after = e.scanRangePlan("lang", Some("py"), Some("py"))
+    assert(after.unprunableBuckets >= 1,
+      s"bucket with a live delta must be read whole, got $after")
+    val expected = e.currentState().filter(col("lang") === "py")
+    val got = e.scanRange("lang", Some("py"), Some("py"))
+    assert(sortedRows(got) === sortedRows(expected))
+    assert(got.filter(col("repo") === r0 && col("path") === p0)
+      .select("content").head().getString(0) === "PATCHED",
+      "carry-forward row must surface the delta's content under the old lang")
+
+    // compaction folds the delta back into merged files: pruning resumes
+    e.compact(sortBy = Seq("lang"), maxFileRows = 100)
+    val resumed = e.scanRangePlan("lang", Some("py"), Some("py"))
+    assert(resumed.unprunableBuckets === 0 && resumed.filesSkipped > 0)
+    assert(sortedRows(e.scanRange("lang", Some("py"), Some("py")))
+      === sortedRows(e.currentState().filter(col("lang") === "py")))
+  }
+
+  test("MOR: multi-file merged buckets (maxFileRows split) read raw and stay fold-equal") {
+    val ev = Synth.events(spark, 3000, seed = 33)
+    val e = engine(mor = true)
+    e.applyBatch(0, ev.filter(col("commit_lsn") < 1500))
+    e.applyBatch(1, ev.filter(col("commit_lsn") >= 1500))
+    e.compact(sortBy = Seq("lang"), maxFileRows = 80)
+    val files = e.table.currentSnapshot.map(s =>
+      e.table.bucketFilesOf(s)).getOrElse(Map.empty)
+    assert(files.exists(_._2.size > 1), "split compaction must leave multi-file buckets")
+    assert(files.values.flatten.forall(_.merged))
+    // state equals the naive fold: no duplicated keys from the raw
+    // multi-file read, no lost rows
+    val oracle = TestOracle.finalState(ev.collect().toSeq,
+      Seq("commit", "lang", "content"))
+    val got = e.currentState().collect()
+    assert(got.length === oracle.size)
+    got.foreach { r =>
+      val k = (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path")))
+      val exp = oracle(k)
+      val gotLang = if (r.isNullAt(r.fieldIndex("lang"))) null
+        else r.getString(r.fieldIndex("lang"))
+      assert(gotLang === exp.cols.getOrElse("lang", null), s"lang mismatch at $k")
+    }
+  }
+
+  test("numeric stats column prunes by range") {
+    val dir = SparkTestBase.tmpDir("statskip")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 4)
+    val e = new CdcEngine(spark, t,
+      EngineConf(buckets = 4, statsCols = Seq("size")))
+    val ev = spark.range(2000).select(
+      concat(lit("r"), pmod(col("id"), lit(7))).as("repo"),
+      concat(lit("p"), col("id")).as("path"),
+      col("id").as("commit_lsn"),
+      lit(0).as("seq"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      lit("U").as("op"),
+      (col("id") * 10L).as("size"))
+    e.applyBatch(0, ev)
+    e.compact(sortBy = Seq("size"), maxFileRows = 100)
+    val plan = e.scanRangePlan("size", Some(0L), Some(1000L))
+    assert(plan.filesSkipped > plan.filesTotal / 2, s"got $plan")
+    val got = e.scanRange("size", Some(0L), Some(1000L))
+    val expected = e.currentState().filter(col("size").between(0L, 1000L))
+    assert(sortedRows(got) === sortedRows(expected))
+    assert(got.count() === 101) // sizes 0,10,...,1000
+  }
+
+  test("manifests written before merged/colStats existed parse with safe defaults") {
+    import org.json4s.jackson.Serialization
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val old = """{"path":"data/__b=0/f.parquet","schemaId":1,"rows":10,
+      "minLsn":5,"maxLsn":9}"""
+    val f = Serialization.read[Icelite.DataFile](old)
+    assert(!f.merged && f.colStats.isEmpty && f.keyFp.isEmpty)
+    // round trip keeps the new fields
+    val g = f.copy(merged = true, colStats = Some(Map("lang" -> List("go", "py"))))
+    val back = Serialization.read[Icelite.DataFile](Serialization.write(g))
+    assert(back === g)
+  }
+
+  test("StatsSkip: typed compare, overlap, all-null bounds, long-string dropout") {
+    assert(StatsSkip.cmp(LongType, "9", "10") < 0) // numeric, not lexicographic
+    assert(StatsSkip.cmp(StringType, "9", "10") > 0) // utf8 bytes
+    assert(StatsSkip.cmp(DoubleType, "2.5", "10.0") < 0)
+    assert(StatsSkip.overlaps(StringType, List("go", "py"), Some("md"), Some("md")))
+    assert(!StatsSkip.overlaps(StringType, List("go", "md"), Some("py"), Some("py")))
+    assert(!StatsSkip.overlaps(StringType, Nil, Some("py"), Some("py")),
+      "all-null file can never match a value predicate")
+    assert(StatsSkip.overlaps(LongType, List("100", "200"), Some(150L).map(_.toString), None))
+    assert(!StatsSkip.overlaps(LongType, List("100", "200"), Some("201"), None))
+    val long = "x" * 100
+    assert(StatsSkip.encode(StringType, bin("a"), bin(long)).isEmpty)
+    assert(StatsSkip.encode(StringType, bin("go"), bin("py")) === Some(List("go", "py")))
+  }
+
+  private def bin(s: String) =
+    org.apache.parquet.io.api.Binary.fromString(s)
+}
