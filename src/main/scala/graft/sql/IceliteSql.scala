@@ -5,8 +5,10 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.AliasIdentifier
 import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, AsOfVersion, NoSuchTableException, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation, UnresolvedTableOrView}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, DescribeRelation, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, DescribeRelation, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.engine.CdcEngine
@@ -99,6 +101,13 @@ object IceliteSql {
   private[sql] def fail(msg: String): Nothing =
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> msg))
+
+  /** Marks a substituted CURRENT-STATE read as a candidate for WHERE →
+    * manifest stats pruning (see the Filter case in [[IceliteResolveRule]]).
+    * Carries the live engine so the rewrite can re-plan through
+    * `scanRange`. Set only on plain `ice.t` reads — never on time travel
+    * (scanRange plans against the current snapshot) or metadata tables. */
+  private[sql] val StatsScanTag = TreeNodeTag[CdcEngine]("icelite.statsScan")
 
   /** Adopt the table's CURRENT bucket layout: a rebucket after registration
     * must not strand the SQL surface on the stale engine conf (reads would
@@ -197,6 +206,24 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = dml(plan).resolveOperatorsUp {
+    // SQL WHERE -> manifest-level FILE SKIPPING (the Iceberg scan-planning
+    // step, as plan surgery): once the filter above a substituted current-
+    // state read resolves, extract [lo, hi] bounds on the engine's stats
+    // columns from its top-level conjuncts and swap the read for the
+    // engine's stats-pruned scanRange plan — files whose harvested bounds
+    // cannot satisfy the predicate are never listed, so Spark never opens
+    // them (visible in df.inputFiles). The ORIGINAL filter stays on top
+    // (exact semantics; pruning only over-approximates) and the pruned
+    // plan's columns are re-aliased to the old attribute ids, so nothing
+    // upstream re-resolves. Fires at most once per relation (tag unset).
+    case f @ Filter(cond, SubqueryAlias(ident, child))
+        if cond.resolved && child.getTagValue(StatsScanTag).isDefined =>
+      val engine = child.getTagValue(StatsScanTag).get
+      child.unsetTagValue(StatsScanTag)
+      statsPruned(engine, cond, child)
+        .map(pruned => Filter(cond, SubqueryAlias(ident, pruned)))
+        .getOrElse(f)
+
     // INSERT's target is a FIELD of InsertIntoStatement, not a child, so the
     // bare UnresolvedRelation case below never visits it — anything `dml`
     // left unclaimed (metadata-table target) is rejected here
@@ -339,8 +366,78 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
           case "metrics" => engine.inspect.metrics
         }
     }
+    val inner = df.queryExecution.analyzed
+    if (sub.isEmpty && asOf.isEmpty && engine.conf.statsCols.nonEmpty)
+      inner.setTagValue(StatsScanTag, engine)
     SubqueryAlias(
       AliasIdentifier(sub.getOrElse(name), Catalog +: sub.map(_ => name).toSeq),
-      df.queryExecution.analyzed)
+      inner)
+  }
+
+  /** Rewrite a tagged current-state read under `cond` to the engine's
+    * stats-pruned scan, or None when no top-level conjunct compares a
+    * stats column to a literal. Bound extraction is deliberately
+    * conservative: only bare `col <op> literal` conjuncts (the analyzer
+    * inserts Casts for type mismatches, which simply won't match), strict
+    * bounds relaxed to inclusive (a skipped file must be provably
+    * unmatchable), and when several conjuncts bound the same column any
+    * one of them is sound (they all must hold). */
+  private def statsPruned(engine: CdcEngine, cond: Expression,
+      child: LogicalPlan): Option[LogicalPlan] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // the conf-spelled stats column for an attribute of the read's output
+    def colOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference if child.outputSet.contains(a) =>
+        engine.conf.statsCols.find(_.equalsIgnoreCase(a.name))
+      case _ => None
+    }
+    // literal -> the external value scanRange expects (micros-exact
+    // timestamps; UTF8String unwrapped)
+    def litOf(e: Expression): Option[Any] = e match {
+      case Literal(v, org.apache.spark.sql.types.TimestampType) if v != null =>
+        val micros = v.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        Some(ts)
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) => Some(u.toString)
+      case Literal(v, _) if v != null => Some(v)
+      case _ => None
+    }
+    val bounds: Seq[(String, Option[Any], Option[Any])] = conjuncts(cond).flatMap {
+      case EqualTo(a, l) =>
+        colOf(a).flatMap(c => litOf(l).map(v => (c, Some(v): Option[Any], Some(v): Option[Any])))
+          .orElse(colOf(l).flatMap(c => litOf(a).map(v => (c, Some(v): Option[Any], Some(v): Option[Any]))))
+      case GreaterThanOrEqual(a, l) =>
+        colOf(a).flatMap(c => litOf(l).map(v => (c, Some(v): Option[Any], None: Option[Any])))
+          .orElse(colOf(l).flatMap(c => litOf(a).map(v => (c, None: Option[Any], Some(v): Option[Any]))))
+      case GreaterThan(a, l) =>
+        colOf(a).flatMap(c => litOf(l).map(v => (c, Some(v): Option[Any], None: Option[Any])))
+          .orElse(colOf(l).flatMap(c => litOf(a).map(v => (c, None: Option[Any], Some(v): Option[Any]))))
+      case LessThanOrEqual(a, l) =>
+        colOf(a).flatMap(c => litOf(l).map(v => (c, None: Option[Any], Some(v): Option[Any])))
+          .orElse(colOf(l).flatMap(c => litOf(a).map(v => (c, Some(v): Option[Any], None: Option[Any]))))
+      case LessThan(a, l) =>
+        colOf(a).flatMap(c => litOf(l).map(v => (c, None: Option[Any], Some(v): Option[Any])))
+          .orElse(colOf(l).flatMap(c => litOf(a).map(v => (c, Some(v): Option[Any], None: Option[Any]))))
+      case _ => None
+    }
+    if (bounds.isEmpty) return None
+    // one scanRange per read: merge per column, prefer a two-sided range
+    val merged = bounds.groupBy(_._1).map { case (c, bs) =>
+      (c, bs.flatMap(_._2).headOption, bs.flatMap(_._3).headOption)
+    }.toSeq
+    val (column, lo, hi) = merged
+      .sortBy { case (_, l, h) => -(l.size + h.size) }.head
+    val pruned = engine.scanRange(column, lo, hi).queryExecution.analyzed
+    val byName = pruned.output.map(a => a.name -> a).toMap
+    // re-alias to the substituted plan's attribute ids; bail (no rewrite)
+    // on any column-set mismatch rather than risk a broken plan
+    if (!child.output.forall(o => byName.contains(o.name))) return None
+    val proj = child.output.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId))
+    Some(Project(proj, pruned))
   }
 }

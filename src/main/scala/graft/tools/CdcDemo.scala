@@ -36,7 +36,11 @@ object CdcDemo {
     val resumed = table.currentSnapshotId >= 0
     // Adopt the table's CURRENT layout: a previous run ends with an online
     // rebucket to 64, and a restarted tail must follow the layout it finds.
-    val engine = new CdcEngine(spark, table, EngineConf(buckets = table.currentBuckets))
+    // statsCols: harvest per-file lang bounds on merged writes, so the
+    // SQL-procedures segment's sort-order rewrite + WHERE pushdown probe
+    // can show manifest-level file skipping on this very table
+    val engine = new CdcEngine(spark, table,
+      EngineConf(buckets = table.currentBuckets, statsCols = Seq("lang")))
 
     println(s"== work dir: $work")
     if (resumed) {
@@ -342,7 +346,18 @@ object CdcDemo {
       val head = engine32.table.currentSnapshotId
       val tagged = spark.sql("CALL ice.system.create_tag('demo', 'demo-head')")
         .head().getLong(1)
-      val comp = spark.sql("CALL ice.system.rewrite_data_files('demo')").head()
+      // sort-order rewrite: cluster each bucket by lang and split into
+      // range-disjoint files, so the engine's statsCols bounds become a
+      // file-skip index the SQL WHERE below is pruned by
+      val comp = spark.sql("CALL ice.system.rewrite_data_files('demo', " +
+        "sort_by => 'lang', max_file_rows => 64)").head()
+      val totalFiles = engine32.table.currentFiles().size
+      val prunedQ = spark.sql(
+        "SELECT repo, path, lang FROM ice.demo WHERE lang = 'py'")
+      val prunedFiles = prunedQ.inputFiles.length
+      val prunedRows = prunedQ.count()
+      val expectRows = engine32.currentState()
+        .where(org.apache.spark.sql.functions.col("lang") === "py").count()
       // expire everything but the compacted head + its parent, then the
       // dry-run names the mid-chain snapshots' now-unreferenced files and
       // the real vacuum must reclaim exactly that set
@@ -357,11 +372,19 @@ object CdcDemo {
       val procs = spark.sql("SHOW PROCEDURES IN ice.system").count()
       println(s"== sql procedures: create_tag pinned snapshot $tagged " +
         (if (tagged == head) "(= head)" else "(MISMATCH — BUG!)") +
-        s"; rewrite_data_files ${comp.getInt(1)} -> ${comp.getInt(2)} files " +
-        s"(snapshot ${comp.getLong(0)}); expire_snapshots dropped $expired; " +
+        s"; rewrite_data_files(sort_by => 'lang') ${comp.getInt(1)} -> " +
+        s"${comp.getInt(2)} files (snapshot ${comp.getLong(0)}); " +
+        s"expire_snapshots dropped $expired; " +
         s"dry-run names $predicted files, vacuum reclaimed $reclaimed " +
         (if (predicted == reclaimed) "— dry-run exact" else "(MISMATCH — BUG!)") +
         s"; $procs procedures listed")
+      println(s"== sql stats pruning: WHERE lang = 'py' opened $prunedFiles " +
+        s"of $totalFiles files " +
+        (if (prunedFiles < totalFiles) "(manifest bounds pruned the scan)"
+         else "(NO PRUNING — BUG!)") +
+        s", $prunedRows rows " +
+        (if (prunedRows == expectRows) "(matches the DataFrame filter)"
+         else "(MISMATCH — BUG!)"))
     }
 
     // ---- round-4 surface: row-level SQL DML — UPDATE / DELETE / MERGE

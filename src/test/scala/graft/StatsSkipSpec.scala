@@ -171,4 +171,71 @@ class StatsSkipSpec extends AnyFunSuite {
 
   private def bin(s: String) =
     org.apache.parquet.io.api.Binary.fromString(s)
+
+  test("SQL WHERE on a stats column prunes files at the manifest (inputFiles shrinks)") {
+    val ev = Synth.events(spark, 3000, seed = 34)
+    val e = engine(mor = false)
+    e.applyBatch(0, ev)
+    e.compact(sortBy = Seq("lang"), maxFileRows = 100)
+    graft.sql.IceliteSql.register(spark, "sprune", e)
+    val total = e.table.currentFiles().size
+
+    // control: no WHERE — the full file set is read
+    assert(spark.sql("SELECT repo, path, lang FROM ice.sprune")
+      .inputFiles.length === total)
+
+    val q = spark.sql(
+      "SELECT repo, path, lang, content FROM ice.sprune WHERE lang = 'py'")
+    assert(q.inputFiles.length < total,
+      s"pushdown must shrink the file set: ${q.inputFiles.length} vs $total")
+    assert(sortedRows(q) === sortedRows(
+      e.currentState().filter(col("lang") === "py")
+        .select("repo", "path", "lang", "content")))
+
+    // range predicate, attribute on either side, extra conjunct on top
+    val r = spark.sql("SELECT repo, lang FROM ice.sprune " +
+      "WHERE lang >= 'py' AND 'rs' >= lang AND length(repo) > 0")
+    assert(r.inputFiles.length < total)
+    assert(sortedRows(r) === sortedRows(
+      e.currentState().filter(col("lang") >= "py" && col("lang") <= "rs")
+        .select("repo", "lang")))
+
+    // non-stats column predicate: no rewrite, full file set, right rows
+    val n = spark.sql("SELECT repo, path FROM ice.sprune WHERE path LIKE 'src/dir1/%'")
+    assert(n.inputFiles.length === total)
+    assert(n.count() ===
+      e.currentState().filter(col("path").startsWith("src/dir1/")).count())
+
+    // time travel is never rewritten (scanRange plans the current head)
+    e.tagSnapshot("pin")
+    val tt = spark.sql(
+      "SELECT repo, path FROM ice.sprune VERSION AS OF 'pin' WHERE lang = 'py'")
+    assert(tt.inputFiles.length === total)
+    graft.sql.IceliteSql.unregister(spark, "sprune")
+  }
+
+  test("SQL pushdown on a MOR table with live deltas stays sound") {
+    val ev = Synth.events(spark, 2000, seed = 35)
+    val e = engine(mor = true)
+    e.applyBatch(0, ev)
+    e.compact(sortBy = Seq("lang"), maxFileRows = 80)
+    val pyRow = e.currentState().filter(col("lang") === "py")
+      .select("repo", "path").head()
+    val delta = Seq((pyRow.getString(0), pyRow.getString(1), 8888888L, 0, "U",
+        null: String, "SQLPATCH"))
+      .toDF("repo", "path", "commit_lsn", "seq", "op", "lang", "content")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+      .withColumn("commit", lit(null).cast(StringType))
+    e.applyBatch(1, delta)
+    graft.sql.IceliteSql.register(spark, "sprunemor", e)
+    val q = spark.sql(
+      "SELECT repo, path, lang, content FROM ice.sprunemor WHERE lang = 'py'")
+    assert(sortedRows(q) === sortedRows(
+      e.currentState().filter(col("lang") === "py")
+        .select("repo", "path", "lang", "content")))
+    assert(q.filter(col("repo") === pyRow.getString(0) &&
+        col("path") === pyRow.getString(1))
+      .select("content").head().getString(0) === "SQLPATCH")
+    graft.sql.IceliteSql.unregister(spark, "sprunemor")
+  }
 }
