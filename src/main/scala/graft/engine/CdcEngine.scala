@@ -1187,20 +1187,28 @@ class CdcEngine(
     * maxFileRows)` makes per-file ranges disjoint, so selectivity
     * translates directly into files never opened. */
   def scanRange(column: String, lo: Option[Any], hi: Option[Any],
+      buckets: Option[Set[Int]] = None): DataFrame =
+    scanWhere(Seq((column, lo, hi)), buckets)
+
+  /** Multi-predicate [[scanRange]]: the conjunction of several column
+    * ranges. A file is skipped when ANY predicate's bounds rule it out
+    * (conjunction semantics), so each extra stats column can only shrink
+    * the file set further. */
+  def scanWhere(preds: Seq[(String, Option[Any], Option[Any])],
       buckets: Option[Set[Int]] = None): DataFrame = {
     checkLayout()
     val payload = tablePayload
-    val (groups, mergeBuckets, _) = planScanRange(column, lo, hi, buckets, payload)
+    val (groups, mergeBuckets, _) = planScan(preds, buckets, payload)
     val pruned = readAligned(groups, payload) // merged files: final state, key-disjoint
     val cells =
       if (mergeBuckets.isEmpty) pruned
       else pruned.unionByName(readStateCells(Some(mergeBuckets), payload))
-    val field = payload.fields.find(_.name == column).get
     val base = flattenCells(cells.filter(col(s"$OpCell.v") =!= lit("D")), payload)
-    val resid = Seq(
-      lo.map(v => col(column) >= lit(v).cast(field.dataType)),
-      hi.map(v => col(column) <= lit(v).cast(field.dataType))
-    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    val resid = preds.flatMap { case (column, lo, hi) =>
+      val dt = payload.fields.find(_.name == column).get.dataType
+      Seq(lo.map(v => col(column) >= lit(v).cast(dt)),
+        hi.map(v => col(column) <= lit(v).cast(dt))).flatten
+    }.reduceOption(_ && _).getOrElse(lit(true))
     val out = base.filter(resid)
     if (payload.fieldNames.contains("content"))
       out.withColumn("content_sha256", sha2(col("content"), 256))
@@ -1210,16 +1218,24 @@ class CdcEngine(
   /** The [[ScanPlan]] scanRange would use (for tests and observability). */
   def scanRangePlan(column: String, lo: Option[Any], hi: Option[Any],
       buckets: Option[Set[Int]] = None): ScanPlan =
-    planScanRange(column, lo, hi, buckets, tablePayload)._3
+    planScan(Seq((column, lo, hi)), buckets, tablePayload)._3
 
-  private def planScanRange(column: String, lo: Option[Any], hi: Option[Any],
+  /** The [[ScanPlan]] scanWhere would use. */
+  def scanWherePlan(preds: Seq[(String, Option[Any], Option[Any])],
+      buckets: Option[Set[Int]] = None): ScanPlan =
+    planScan(preds, buckets, tablePayload)._3
+
+  private def planScan(preds: Seq[(String, Option[Any], Option[Any])],
       buckets: Option[Set[Int]], payload: StructType)
       : (Map[Int, Seq[String]], Set[Int], ScanPlan) = {
-    val field = payload.fields.find(_.name == column).getOrElse(
-      throw new IllegalArgumentException(s"scanRange: no payload column '$column'"))
-    val dt = field.dataType
-    val loC = lo.map(v => StatsSkip.canon(dt, v))
-    val hiC = hi.map(v => StatsSkip.canon(dt, v))
+    require(preds.nonEmpty, "scanWhere: at least one predicate")
+    // (column, type, canonical lo, canonical hi)
+    val canon = preds.map { case (column, lo, hi) =>
+      val field = payload.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(s"scanWhere: no payload column '$column'"))
+      val dt = field.dataType
+      (column, dt, lo.map(v => StatsSkip.canon(dt, v)), hi.map(v => StatsSkip.canon(dt, v)))
+    }
     val snap = table.currentSnapshot.getOrElse(
       return (Map.empty, Set.empty, ScanPlan(0, 0, 0)))
     val byBucket = table.bucketFilesOf(snap).iterator
@@ -1234,9 +1250,11 @@ class CdcEngine(
     byBucket.foreach { case (b, files) =>
       if (allMerged || files.forall(_.merged)) {
         files.foreach { f =>
-          val overlap = f.colStats.flatMap(_.get(column)) match {
-            case Some(bounds) => StatsSkip.overlaps(dt, bounds, loC, hiC)
-            case None => true // no stats: never skip
+          val overlap = canon.forall { case (column, dt, loC, hiC) =>
+            f.colStats.flatMap(_.get(column)) match {
+              case Some(bounds) => StatsSkip.overlaps(dt, bounds, loC, hiC)
+              case None => true // no stats for this column: cannot rule out
+            }
           }
           if (overlap) kept += f else skipped += 1
         }

@@ -425,13 +425,12 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     if (bounds.isEmpty) return None
-    // one scanRange per read: merge per column, prefer a two-sided range
+    // every bounded stats column is pushed — conjunction: each can only
+    // shrink the file set further
     val merged = bounds.groupBy(_._1).map { case (c, bs) =>
       (c, bs.flatMap(_._2).headOption, bs.flatMap(_._3).headOption)
     }.toSeq
-    val (column, lo, hi) = merged
-      .sortBy { case (_, l, h) => -(l.size + h.size) }.head
-    val pruned = engine.scanRange(column, lo, hi).queryExecution.analyzed
+    val pruned = engine.scanWhere(merged).queryExecution.analyzed
     val byName = pruned.output.map(a => a.name -> a).toMap
     // re-alias to the substituted plan's attribute ids; bail (no rewrite)
     // on any column-set mismatch rather than risk a broken plan

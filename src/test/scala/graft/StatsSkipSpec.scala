@@ -118,11 +118,11 @@ class StatsSkipSpec extends AnyFunSuite {
     }
   }
 
-  test("numeric stats column prunes by range") {
+  test("numeric stats column prunes by range; multi-column conjunction prunes further") {
     val dir = SparkTestBase.tmpDir("statskip")
     val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 4)
     val e = new CdcEngine(spark, t,
-      EngineConf(buckets = 4, statsCols = Seq("size")))
+      EngineConf(buckets = 4, statsCols = Seq("size", "tier")))
     val ev = spark.range(2000).select(
       concat(lit("r"), pmod(col("id"), lit(7))).as("repo"),
       concat(lit("p"), col("id")).as("path"),
@@ -130,15 +130,23 @@ class StatsSkipSpec extends AnyFunSuite {
       lit(0).as("seq"),
       timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
       lit("U").as("op"),
-      (col("id") * 10L).as("size"))
+      (col("id") * 10L).as("size"),
+      concat(lit("t"), pmod(col("id"), lit(4))).as("tier"))
     e.applyBatch(0, ev)
-    e.compact(sortBy = Seq("size"), maxFileRows = 100)
-    val plan = e.scanRangePlan("size", Some(0L), Some(1000L))
-    assert(plan.filesSkipped > plan.filesTotal / 2, s"got $plan")
-    val got = e.scanRange("size", Some(0L), Some(1000L))
-    val expected = e.currentState().filter(col("size").between(0L, 1000L))
+    e.compact(sortBy = Seq("tier", "size"), maxFileRows = 60)
+    val tierOnly = e.scanRangePlan("tier", Some("t1"), Some("t1"))
+    assert(tierOnly.filesSkipped > tierOnly.filesTotal / 2, s"got $tierOnly")
+    // conjunction: the size range rules out files the tier bound kept
+    val both = e.scanWherePlan(Seq(
+      ("tier", Some("t1"), Some("t1")), ("size", Some(0L), Some(4000L))))
+    assert(both.filesSkipped > tierOnly.filesSkipped,
+      s"conjunction must prune further: $both vs $tierOnly")
+    val got = e.scanWhere(Seq(
+      ("tier", Some("t1"), Some("t1")), ("size", Some(0L), Some(4000L))))
+    val expected = e.currentState()
+      .filter(col("tier") === "t1" && col("size").between(0L, 4000L))
     assert(sortedRows(got) === sortedRows(expected))
-    assert(got.count() === 101) // sizes 0,10,...,1000
+    assert(got.count() === 100) // ids 1,5,...,397: id%4==1 and id<=400
   }
 
   test("manifests written before merged/colStats existed parse with safe defaults") {
