@@ -1193,16 +1193,23 @@ class CdcEngine(
   /** Multi-predicate [[scanRange]]: the conjunction of several column
     * ranges. A file is skipped when ANY predicate's bounds rule it out
     * (conjunction semantics), so each extra stats column can only shrink
-    * the file set further. */
+    * the file set further. `asOfSnapshot` prunes a time-travel read the
+    * same way — bounds live on the (immutable) manifest entries, so any
+    * snapshot's file list carries its own skip index. */
   def scanWhere(preds: Seq[(String, Option[Any], Option[Any])],
-      buckets: Option[Set[Int]] = None): DataFrame = {
+      buckets: Option[Set[Int]] = None,
+      asOfSnapshot: Option[Long] = None): DataFrame = {
     checkLayout()
-    val payload = tablePayload
-    val (groups, mergeBuckets, _) = planScan(preds, buckets, payload)
+    val payload = asOfSnapshot match {
+      case Some(id) => payloadOfSchema(Some(table.schema(table.snapshot(id).schemaId)))
+      case None => tablePayload
+    }
+    val (groups, mergeBuckets, _) = planScan(preds, buckets, payload, asOfSnapshot)
     val pruned = readAligned(groups, payload) // merged files: final state, key-disjoint
     val cells =
       if (mergeBuckets.isEmpty) pruned
-      else pruned.unionByName(readStateCells(Some(mergeBuckets), payload))
+      else pruned.unionByName(
+        readStateCells(Some(mergeBuckets), payload, asOfSnapshot))
     val base = flattenCells(cells.filter(col(s"$OpCell.v") =!= lit("D")), payload)
     val resid = preds.flatMap { case (column, lo, hi) =>
       val dt = payload.fields.find(_.name == column).get.dataType
@@ -1218,15 +1225,20 @@ class CdcEngine(
   /** The [[ScanPlan]] scanRange would use (for tests and observability). */
   def scanRangePlan(column: String, lo: Option[Any], hi: Option[Any],
       buckets: Option[Set[Int]] = None): ScanPlan =
-    planScan(Seq((column, lo, hi)), buckets, tablePayload)._3
+    planScan(Seq((column, lo, hi)), buckets, tablePayload, None)._3
 
   /** The [[ScanPlan]] scanWhere would use. */
   def scanWherePlan(preds: Seq[(String, Option[Any], Option[Any])],
-      buckets: Option[Set[Int]] = None): ScanPlan =
-    planScan(preds, buckets, tablePayload)._3
+      buckets: Option[Set[Int]] = None,
+      asOfSnapshot: Option[Long] = None): ScanPlan =
+    planScan(preds, buckets, asOfSnapshot match {
+      case Some(id) => payloadOfSchema(Some(table.schema(table.snapshot(id).schemaId)))
+      case None => tablePayload
+    }, asOfSnapshot)._3
 
   private def planScan(preds: Seq[(String, Option[Any], Option[Any])],
-      buckets: Option[Set[Int]], payload: StructType)
+      buckets: Option[Set[Int]], payload: StructType,
+      asOfSnapshot: Option[Long])
       : (Map[Int, Seq[String]], Set[Int], ScanPlan) = {
     require(preds.nonEmpty, "scanWhere: at least one predicate")
     // (column, type, canonical lo, canonical hi)
@@ -1236,8 +1248,9 @@ class CdcEngine(
       val dt = field.dataType
       (column, dt, lo.map(v => StatsSkip.canon(dt, v)), hi.map(v => StatsSkip.canon(dt, v)))
     }
-    val snap = table.currentSnapshot.getOrElse(
-      return (Map.empty, Set.empty, ScanPlan(0, 0, 0)))
+    val snap = asOfSnapshot.map(id => Some(table.snapshot(id)))
+      .getOrElse(table.currentSnapshot).getOrElse(
+        return (Map.empty, Set.empty, ScanPlan(0, 0, 0)))
     val byBucket = table.bucketFilesOf(snap).iterator
       .filter { case (b, _) => buckets.forall(_.contains(b.toInt)) }.toSeq
     // A COW table's files are all merged state by construction (every

@@ -102,12 +102,14 @@ object IceliteSql {
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> msg))
 
-  /** Marks a substituted CURRENT-STATE read as a candidate for WHERE →
-    * manifest stats pruning (see the Filter case in [[IceliteResolveRule]]).
-    * Carries the live engine so the rewrite can re-plan through
-    * `scanRange`. Set only on plain `ice.t` reads — never on time travel
-    * (scanRange plans against the current snapshot) or metadata tables. */
-  private[sql] val StatsScanTag = TreeNodeTag[CdcEngine]("icelite.statsScan")
+  /** Marks a substituted state read (current or time-travel) as a
+    * candidate for WHERE → manifest stats pruning (see the Filter case in
+    * [[IceliteResolveRule]]). Carries the live engine plus the pinned
+    * snapshot id (None = current head) so the rewrite can re-plan through
+    * `scanWhere` against the same snapshot. Never set on metadata tables
+    * or change feeds. */
+  private[sql] val StatsScanTag =
+    TreeNodeTag[(CdcEngine, Option[Long])]("icelite.statsScan")
 
   /** Adopt the table's CURRENT bucket layout: a rebucket after registration
     * must not strand the SQL surface on the stale engine conf (reads would
@@ -218,9 +220,9 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
     // upstream re-resolves. Fires at most once per relation (tag unset).
     case f @ Filter(cond, SubqueryAlias(ident, child))
         if cond.resolved && child.getTagValue(StatsScanTag).isDefined =>
-      val engine = child.getTagValue(StatsScanTag).get
+      val (engine, asOf) = child.getTagValue(StatsScanTag).get
       child.unsetTagValue(StatsScanTag)
-      statsPruned(engine, cond, child)
+      statsPruned(engine, asOf, cond, child)
         .map(pruned => Filter(cond, SubqueryAlias(ident, pruned)))
         .getOrElse(f)
 
@@ -367,8 +369,8 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
     }
     val inner = df.queryExecution.analyzed
-    if (sub.isEmpty && asOf.isEmpty && engine.conf.statsCols.nonEmpty)
-      inner.setTagValue(StatsScanTag, engine)
+    if (sub.isEmpty && engine.conf.statsCols.nonEmpty)
+      inner.setTagValue(StatsScanTag, (engine, asOf))
     SubqueryAlias(
       AliasIdentifier(sub.getOrElse(name), Catalog +: sub.map(_ => name).toSeq),
       inner)
@@ -382,8 +384,8 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
     * bounds relaxed to inclusive (a skipped file must be provably
     * unmatchable), and when several conjuncts bound the same column any
     * one of them is sound (they all must hold). */
-  private def statsPruned(engine: CdcEngine, cond: Expression,
-      child: LogicalPlan): Option[LogicalPlan] = {
+  private def statsPruned(engine: CdcEngine, asOf: Option[Long],
+      cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
@@ -430,7 +432,8 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
     val merged = bounds.groupBy(_._1).map { case (c, bs) =>
       (c, bs.flatMap(_._2).headOption, bs.flatMap(_._3).headOption)
     }.toSeq
-    val pruned = engine.scanWhere(merged).queryExecution.analyzed
+    val pruned = engine.scanWhere(merged, asOfSnapshot = asOf)
+      .queryExecution.analyzed
     val byName = pruned.output.map(a => a.name -> a).toMap
     // re-alias to the substituted plan's attribute ids; bail (no rewrite)
     // on any column-set mismatch rather than risk a broken plan

@@ -23,6 +23,7 @@ import graft.icelite.IceliteTable
   *     .option("morCompactThreshold", 8)    // ingest maintenance knobs
   *     .option("retainSnapshots", 40)
   *     .option("vacuumAfterExpire", true)
+  *     .option("statsCols", "lang")         // column-stats file skipping
   *     .start()
   * }}}
   *
@@ -87,6 +88,10 @@ class IceliteSink(sqlContext: SQLContext, params: Map[String, String]) extends S
       morCompactThreshold = params.get("morCompactThreshold").map(_.toInt).getOrElse(0),
       retainSnapshots = params.get("retainSnapshots").map(_.toInt).getOrElse(0),
       vacuumAfterExpire = params.get("vacuumAfterExpire").exists(_.toBoolean),
+      // comma-separated payload columns to harvest [min,max] bounds for on
+      // merged writes (column-stats file skipping; see EngineConf.statsCols)
+      statsCols = params.get("statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
       dlqDir = params.getOrElse("dlqDir", "")))
   }
 

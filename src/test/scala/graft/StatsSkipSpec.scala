@@ -214,11 +214,22 @@ class StatsSkipSpec extends AnyFunSuite {
     assert(n.count() ===
       e.currentState().filter(col("path").startsWith("src/dir1/")).count())
 
-    // time travel is never rewritten (scanRange plans the current head)
-    e.tagSnapshot("pin")
+    // time travel prunes too — bounds live on the immutable manifest
+    // entries, so a pinned snapshot carries its own skip index; rows must
+    // equal stateAt's filter even after the head moves past the pin
+    val pin = e.tagSnapshot("pin")
+    e.applyBatch(7, Seq(("rX", "pX", 7777777L, 0, "U", "py", "post-pin"))
+      .toDF("repo", "path", "commit_lsn", "seq", "op", "lang", "content")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
+      .withColumn("commit", lit(null).cast(StringType)))
     val tt = spark.sql(
-      "SELECT repo, path FROM ice.sprune VERSION AS OF 'pin' WHERE lang = 'py'")
-    assert(tt.inputFiles.length === total)
+      "SELECT repo, path, content FROM ice.sprune VERSION AS OF 'pin' WHERE lang = 'py'")
+    assert(tt.inputFiles.length < total)
+    assert(sortedRows(tt) === sortedRows(
+      e.stateAt(pin).filter(col("lang") === "py")
+        .select("repo", "path", "content")))
+    assert(tt.filter(col("repo") === "rX").count() === 0,
+      "the pinned snapshot must not see the post-pin row")
     graft.sql.IceliteSql.unregister(spark, "sprune")
   }
 
