@@ -5,13 +5,13 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.AliasIdentifier
 import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, AsOfVersion, NoSuchTableException, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation, UnresolvedTableOrView}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, DescribeRelation, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.engine.CdcEngine
+import graft.engine.{CdcEngine, StatsSkip}
 
 /** SQL read surface over icelite tables: a Catalyst resolution rule
   * (registered through `SparkSessionExtensions`, Spark's sanctioned
@@ -424,6 +424,43 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
       case LessThan(a, l) =>
         colOf(a).flatMap(c => litOf(l).map(v => (c, None: Option[Any], Some(v): Option[Any])))
           .orElse(colOf(l).flatMap(c => litOf(a).map(v => (c, Some(v): Option[Any], None: Option[Any]))))
+      // IN-list: its [min, max] range over-approximates the set — sound,
+      // and tight whenever the list is clustered (the common case after a
+      // sort-order rewrite on the same column)
+      case In(a: AttributeReference, items) if items.nonEmpty =>
+        colOf(a).flatMap { c =>
+          val vs = items.map(litOf)
+          if (vs.exists(_.isEmpty)) None
+          else {
+            val dt = a.dataType
+            val canon = vs.flatten.map(v => v -> StatsSkip.canon(dt, v))
+            val lo = canon.minBy(_._2)(Ordering.fromLessThan[String](
+              (x, y) => StatsSkip.cmp(dt, x, y) < 0))._1
+            val hi = canon.maxBy(_._2)(Ordering.fromLessThan[String](
+              (x, y) => StatsSkip.cmp(dt, x, y) < 0))._1
+            Some((c, Some(lo): Option[Any], Some(hi): Option[Any]))
+          }
+        }
+      // prefix LIKE: [prefix, prefix-with-last-char-incremented) — kept
+      // ASCII-only so the UTF-16 increment agrees with the UTF-8 byte
+      // order the bounds are compared in; otherwise lo-only (still sound).
+      // Matched as the raw `Like` node (the analyzer hands it to us before
+      // the optimizer's LikeSimplification turns it into StartsWith) and
+      // as StartsWith for DataFrame-built filters.
+      case like: org.apache.spark.sql.catalyst.expressions.Like =>
+        (like.left, litOf(like.right)) match {
+          case (a: AttributeReference, Some(s: String))
+              if s.length > 1 && s.endsWith("%") &&
+                !s.dropRight(1).exists(ch =>
+                  ch == '%' || ch == '_' || ch == like.escapeChar) =>
+            val p = s.dropRight(1)
+            colOf(a).map(c => (c, Some(p): Option[Any], prefixUpper(p)))
+          case _ => None
+        }
+      case StartsWith(a: AttributeReference, l) =>
+        colOf(a).flatMap(c => litOf(l).collect { case p: String if p.nonEmpty =>
+          (c, Some(p): Option[Any], prefixUpper(p): Option[Any])
+        })
       case _ => None
     }
     if (bounds.isEmpty) return None
@@ -441,5 +478,17 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
     val proj = child.output.map(o =>
       Alias(byName(o.name), o.name)(exprId = o.exprId))
     Some(Project(proj, pruned))
+  }
+
+  /** Smallest string strictly greater than every string with prefix `p`,
+    * in unsigned-UTF-8 order — ASCII prefixes only (None otherwise: an
+    * upper bound that might sort differently in UTF-8 than UTF-16 could
+    * skip a matching file). The last char below 0x7F is incremented and
+    * the tail dropped. */
+  private def prefixUpper(p: String): Option[Any] = {
+    if (!p.forall(c => c >= 0x20 && c < 0x7f)) return None
+    val i = p.lastIndexWhere(_ < 0x7e)
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 }

@@ -208,6 +208,20 @@ class StatsSkipSpec extends AnyFunSuite {
       e.currentState().filter(col("lang") >= "py" && col("lang") <= "rs")
         .select("repo", "lang")))
 
+    // IN-list: pruned by the list's [min, max] range
+    val in = spark.sql("SELECT repo, lang FROM ice.sprune WHERE lang IN ('py', 'rs')")
+    assert(in.inputFiles.length < total)
+    assert(sortedRows(in) === sortedRows(
+      e.currentState().filter(col("lang").isin("py", "rs"))
+        .select("repo", "lang")))
+
+    // prefix LIKE: pruned by [prefix, prefix-incremented)
+    val pre = spark.sql("SELECT repo, lang FROM ice.sprune WHERE lang LIKE 'p%'")
+    assert(pre.inputFiles.length < total)
+    assert(sortedRows(pre) === sortedRows(
+      e.currentState().filter(col("lang").startsWith("p"))
+        .select("repo", "lang")))
+
     // non-stats column predicate: no rewrite, full file set, right rows
     val n = spark.sql("SELECT repo, path FROM ice.sprune WHERE path LIKE 'src/dir1/%'")
     assert(n.inputFiles.length === total)
