@@ -82,6 +82,21 @@ case class EngineConf(
     // cannot soundly skip a file whose rows other files' carry-forward
     // merges depend on. Empty = no column stats.
     statsCols: Seq[String] = Nil,
+    // Opt-in WRITE-TIME clustering (Iceberg's write sort order): sort each
+    // copy-on-write bucket rewrite by these payload columns (then key) and
+    // split it into files of at most writeMaxFileRows rows, so statsCols
+    // bounds are tight and range-disjoint on FRESH files — selective scans
+    // prune without waiting for a sort-rewrite compaction. Costs a
+    // per-partition sort on the ingest hot path (no extra shuffle: the
+    // sort rides the existing per-bucket repartition); leave empty for
+    // pure-throughput ingest and cluster at compaction instead.
+    // Merge-on-read deltas ignore both knobs (deltas are never
+    // stats-pruned — see statsCols). A column absent from a batch's
+    // payload (pre-evolution writers) is skipped for that write. With
+    // writeSaltPerBucket > 1 the salt files sort independently, so their
+    // ranges overlap — pruning stays sound, just less selective.
+    writeSortCols: Seq[String] = Nil,
+    writeMaxFileRows: Long = 0L,
     // dead-letter quarantine: non-empty = malformed events (null key
     // column, op, lsn or seq — rows the merge's validity predicate would
     // silently drop) are written to `<dlqDir>/epoch=N` parquet with a
@@ -597,9 +612,18 @@ class CdcEngine(
     // the manifest, then the parquet reader's bloom check skips row groups
     // inside multi-file/multi-group buckets (free at read: Spark consults
     // blooms automatically for pushed-down equality predicates)
-    repartitioned.write
+    val sortNow = if (mor) Nil
+      else conf.writeSortCols.filter(targetPayload.fieldNames.contains)
+    val ordered =
+      if (sortNow.isEmpty) repartitioned
+      else repartitioned.sortWithinPartitions(
+        (col("__b") +: (sortNow.map(c => col(s"$c.v")) ++ keyColumns)): _*)
+    val writer = ordered.write
       .option("parquet.bloom.filter.enabled#repo", "true")
       .option("parquet.bloom.filter.enabled#path", "true")
+    (if (!mor && conf.writeMaxFileRows > 0)
+       writer.option("maxRecordsPerFile", conf.writeMaxFileRows)
+     else writer)
       .partitionBy("__b").parquet(outDir.toString)
     val mergeWriteMs = ms(tw0)
 

@@ -92,6 +92,10 @@ class IceliteSink(sqlContext: SQLContext, params: Map[String, String]) extends S
       // merged writes (column-stats file skipping; see EngineConf.statsCols)
       statsCols = params.get("statsCols")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      // write-time clustering (see EngineConf.writeSortCols)
+      writeSortCols = params.get("writeSortCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      writeMaxFileRows = params.get("writeMaxFileRows").map(_.toLong).getOrElse(0L),
       dlqDir = params.getOrElse("dlqDir", "")))
   }
 

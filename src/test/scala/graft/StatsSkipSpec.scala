@@ -149,6 +149,24 @@ class StatsSkipSpec extends AnyFunSuite {
     assert(got.count() === 100) // ids 1,5,...,397: id%4==1 and id<=400
   }
 
+  test("write-time clustering: fresh COW writes prune without any compaction") {
+    val dir = SparkTestBase.tmpDir("statskip")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8)
+    val e = new CdcEngine(spark, t, EngineConf(buckets = 8,
+      statsCols = Seq("lang"), writeSortCols = Seq("lang"),
+      writeMaxFileRows = 100))
+    val ev = Synth.events(spark, 3000, seed = 36)
+    e.applyBatch(0, ev.filter(col("commit_lsn") < 1500))
+    val fresh = e.scanRangePlan("lang", Some("py"), Some("py"))
+    assert(fresh.filesSkipped > 0, s"fresh write must already prune: $fresh")
+    // a second batch rewrites affected buckets — still sorted, still pruned
+    e.applyBatch(1, ev.filter(col("commit_lsn") >= 1500))
+    val after = e.scanRangePlan("lang", Some("py"), Some("py"))
+    assert(after.filesSkipped > 0 && after.unprunableBuckets === 0, s"got $after")
+    assert(sortedRows(e.scanRange("lang", Some("py"), Some("py")))
+      === sortedRows(e.currentState().filter(col("lang") === "py")))
+  }
+
   test("manifests written before merged/colStats existed parse with safe defaults") {
     import org.json4s.jackson.Serialization
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
