@@ -1197,6 +1197,61 @@ object TrainingData {
         .filter(col("rk") <= 3)
         .select(col("probe_id"), col("vec_id").as("negative_id"), col("rk"),
           round(col("cos"), 6).as("cos"))
+    }),
+
+    // MMR diversity re-ranking (Carbonell & Goldstein 1998; the dedup-aware
+    // selection step of retrieval-augmented data curation): greedy-select
+    // k=5 from the top-20 relevance candidates for one probe, each round
+    // maximizing lambda*rel(d) - (1-lambda)*max_{s in selected} cos(d, s).
+    // Greedy MMR is inherently SEQUENTIAL in k — each pick conditions the
+    // next round's penalty — so the k-round loop is driver-side by nature:
+    // per round one bounded Spark action over <= 20 candidate rows joined
+    // against the <= 4 already-selected vectors (vectors stay distributed;
+    // only (id, score) pairs ever reach the driver — k rows total). Scores
+    // are rounded to 9 dp BEFORE each argmax so the selection sequence
+    // cannot ride a last-ulp difference between engines; ties break by
+    // vec_id. The oracle replays the same greedy rounds as chained CTEs.
+    "q81_mmr_rerank" -> ((s, dir) => {
+      graft.functions.VecOps.register(s)
+      val lam = 0.7
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nrm").as("pn"))
+      val cand = e.filter(col("vec_id") > 0).crossJoin(broadcast(probe))
+        .withColumn("rel", round(dot(col("pv"), col("v")) / (col("pn") * col("nrm")), 9))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+        .cache()
+      var sel = Vector.empty[(Long, Double)]
+      (1 to 5).foreach { _ =>
+        val remaining =
+          if (sel.isEmpty) cand
+          else cand.filter(!col("vec_id").isInCollection(sel.map(_._1)))
+        val pick =
+          if (sel.isEmpty)
+            remaining.withColumn("score", round(lit(lam) * col("rel"), 9))
+          else {
+            val selDf = broadcast(cand
+              .filter(col("vec_id").isInCollection(sel.map(_._1)))
+              .select(col("v").as("sv"), col("nrm").as("snrm")))
+            remaining.crossJoin(selDf)
+              .withColumn("sim", dot(col("v"), col("sv")) / (col("nrm") * col("snrm")))
+              .groupBy(col("vec_id"), col("rel")).agg(max(col("sim")).as("maxsim"))
+              .withColumn("score",
+                round(lit(lam) * col("rel") - lit(1 - lam) * col("maxsim"), 9))
+          }
+        val row = pick.orderBy(col("score").desc, col("vec_id"))
+          .select(col("vec_id"), col("score")).head()
+        sel = sel :+ ((row.getLong(0), row.getDouble(1)))
+      }
+      cand.unpersist()
+      import s.implicits._
+      sel.zipWithIndex
+        .map { case ((id, sc), i) => (i + 1, id, sc) }.toDF()
+        .select(col("_1").cast("int").as("rank"), col("_2").as("vec_id"),
+          round(col("_3"), 6).as("score"))
     })
   )
 
@@ -1431,6 +1486,46 @@ object TrainingData {
                 FROM dd)
          SELECT probe_id, nb AS negative_id, CAST(rk AS INT) AS rk, round(cos,6) AS cos
          FROM rr WHERE rk <= 3""",
+    "q81_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         pr AS (SELECT v pv FROM e WHERE vec_id = 0),
+         cd AS (SELECT e.vec_id, unnest(pv) x, unnest(e.v) y
+                FROM pr JOIN e ON e.vec_id > 0),
+         dd AS (SELECT vec_id, round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 9) rel
+                FROM cd GROUP BY 1),
+         cand AS (SELECT vec_id, rel FROM dd ORDER BY rel DESC, vec_id LIMIT 20),
+         -- pairwise cosines among the candidate pool (20x20, cheap)
+         pp AS (SELECT a.vec_id ia, b.vec_id ib, unnest(ea.v) x, unnest(eb.v) y
+                FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+                JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+         pc AS (SELECT ia, ib, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) cos
+                FROM pp GROUP BY 1,2),
+         s1 AS (SELECT vec_id, round(0.7*rel, 9) score FROM cand
+                ORDER BY score DESC, vec_id LIMIT 1),
+         s2 AS (SELECT c.vec_id, round(0.7*c.rel - 0.3*max(p.cos), 9) score
+                FROM cand c JOIN pc p ON p.ia = c.vec_id AND p.ib IN (SELECT vec_id FROM s1)
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+                GROUP BY c.vec_id, c.rel ORDER BY score DESC, c.vec_id LIMIT 1),
+         sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+         s3 AS (SELECT c.vec_id, round(0.7*c.rel - 0.3*max(p.cos), 9) score
+                FROM cand c JOIN pc p ON p.ia = c.vec_id AND p.ib IN (SELECT vec_id FROM sel2)
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+                GROUP BY c.vec_id, c.rel ORDER BY score DESC, c.vec_id LIMIT 1),
+         sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+         s4 AS (SELECT c.vec_id, round(0.7*c.rel - 0.3*max(p.cos), 9) score
+                FROM cand c JOIN pc p ON p.ia = c.vec_id AND p.ib IN (SELECT vec_id FROM sel3)
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+                GROUP BY c.vec_id, c.rel ORDER BY score DESC, c.vec_id LIMIT 1),
+         sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+         s5 AS (SELECT c.vec_id, round(0.7*c.rel - 0.3*max(p.cos), 9) score
+                FROM cand c JOIN pc p ON p.ia = c.vec_id AND p.ib IN (SELECT vec_id FROM sel4)
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+                GROUP BY c.vec_id, c.rel ORDER BY score DESC, c.vec_id LIMIT 1)
+         SELECT CAST(1 AS INT) rank, vec_id, round(score, 6) AS score FROM s1
+         UNION ALL SELECT 2, vec_id, round(score, 6) FROM s2
+         UNION ALL SELECT 3, vec_id, round(score, 6) FROM s3
+         UNION ALL SELECT 4, vec_id, round(score, 6) FROM s4
+         UNION ALL SELECT 5, vec_id, round(score, 6) FROM s5""",
     "q29_lang_id" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) tkn FROM documents),
          sc AS (SELECT doc_id,
