@@ -80,6 +80,38 @@ object StatsBench {
       f"$full%.2f | $pruned%.2f | ${full / pruned}%.2f× |"
     println(s"full-scan filter ${f"$full%.2f"} s vs pruned scan " +
       f"$pruned%.2f s (${full / pruned}%.2f× faster) — $check")
+    // what does WRITE-TIME clustering cost on the ingest hot path? Same
+    // events replayed into two fresh tables — plain vs writeSortCols +
+    // writeMaxFileRows — interleaved best-of-2 per leg; then show the
+    // clustered table prunes with no compaction at all.
+    val wN = math.min(n, 2000000L)
+    val wEv = Synth.events(spark, wN, seed = 77, repos = 1000,
+      pathsPerRepo = 1000, hotPct = 5, parts = 32)
+    def ingest(e2: CdcEngine, epoch: Long): Double = {
+      val s = System.nanoTime(); e2.applyBatch(epoch, wEv)
+      (System.nanoTime() - s) / 1e9
+    }
+    var plain = Double.MaxValue
+    var sorted = Double.MaxValue
+    var freshPlan: CdcEngine#ScanPlan = null
+    (1 to 2).foreach { i =>
+      val pT = IceliteTable.create(s"$work/p$i", Seq("repo", "path"), 64)
+      val pE = new CdcEngine(spark, pT, EngineConf(buckets = 64))
+      plain = math.min(plain, ingest(pE, 0))
+      val sT = IceliteTable.create(s"$work/s$i", Seq("repo", "path"), 64)
+      val sE = new CdcEngine(spark, sT, EngineConf(buckets = 64,
+        statsCols = Seq("lang"), writeSortCols = Seq("lang"),
+        writeMaxFileRows = math.max(4000L, wN / 640)))
+      sorted = math.min(sorted, ingest(sE, 0))
+      freshPlan = sE.scanRangePlan("lang", Some("py"), Some("py"))
+    }
+    val overheadPct = (sorted / plain - 1.0) * 100.0
+    println(f"write-time clustering: plain ingest $plain%.1f s vs sorted+split " +
+      f"$sorted%.1f s (${overheadPct}%+.1f%% hot-path cost); fresh-file plan " +
+      s"for lang='py': $freshPlan (prunes with zero compactions)")
+    val wLine = f"| $wN%d | $plain%.1f | $sorted%.1f | ${overheadPct}%+.1f%% | " +
+      s"${freshPlan.filesSkipped}/${freshPlan.filesTotal} |"
+
     out.foreach { p =>
       val md =
         s"""
@@ -88,6 +120,10 @@ object StatsBench {
            || events | state rows | files | skipped | full-filter s | pruned s | speedup |
            ||---|---|---|---|---|---|---|
            |$line
+           |
+           || events | plain ingest s | clustered ingest s | overhead | fresh-file skip |
+           ||---|---|---|---|---|
+           |$wLine
            |""".stripMargin
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), md,
         java.nio.file.StandardOpenOption.CREATE,
