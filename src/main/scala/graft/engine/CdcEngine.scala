@@ -90,8 +90,12 @@ case class EngineConf(
     // per-partition sort on the ingest hot path (no extra shuffle: the
     // sort rides the existing per-bucket repartition); leave empty for
     // pure-throughput ingest and cluster at compaction instead.
-    // Merge-on-read deltas ignore both knobs (deltas are never
-    // stats-pruned — see statsCols). A column absent from a batch's
+    // Merge-on-read deltas ignore both knobs at WRITE time (deltas are
+    // never stats-pruned — see statsCols), but threshold auto-compaction
+    // applies them as the table's DECLARED sort order (the Iceberg
+    // table-sort-order contract), so a MOR table gets clustered,
+    // stats-prunable files from its normal maintenance with zero hot-path
+    // cost. A column absent from a batch's
     // payload (pre-evolution writers) is skipped for that write. With
     // writeSaltPerBucket > 1 the salt files sort independently, so their
     // ranges overlap — pruning stays sound, just less selective.
@@ -688,7 +692,7 @@ class CdcEngine(
         // batch is committed; the still-over-threshold buckets re-trigger
         // on the next batch
         if (over.nonEmpty)
-          try compact(Some(over))
+          try autoCompact(over)
           catch { case _: Icelite.CommitConflictException => }
       }
       maybeExpire(newSnapshots = if (mor && conf.morCompactThreshold > 0) 2 else 1)
@@ -791,7 +795,7 @@ class CdcEngine(
       val over = snap.bucketDelta.collect {
         case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
       }.toSet
-      if (over.nonEmpty) compact(Some(over))
+      if (over.nonEmpty) autoCompact(over)
     }
     maybeExpire(newSnapshots = if (morMaint) 2 else 1)
     snap.snapshotId
@@ -871,7 +875,7 @@ class CdcEngine(
     if (morMaint) {
       val over = laneBuckets.filter(b =>
         table.bucketListOf(snap, b).size >= conf.morCompactThreshold).toSet
-      if (over.nonEmpty) compact(Some(over))
+      if (over.nonEmpty) autoCompact(over)
     }
     maybeExpire(newSnapshots = laneLen + (if (morMaint) 1 else 0))
     table.currentSnapshotId
@@ -1436,6 +1440,17 @@ class CdcEngine(
     * (key-unique and key-disjoint — a sequential cut of one key-unique
     * sorted partition), so reads stay raw (no LWW re-merge) and point
     * lookups still prune by bucket + parquet key blooms. */
+  /** Threshold auto-compaction ([[EngineConf.morCompactThreshold]]):
+    * [[compact]] restricted to the over-threshold buckets, applying the
+    * table's DECLARED sort order (`writeSortCols`/`writeMaxFileRows` —
+    * the Iceberg table-sort-order contract): a merge-on-read table never
+    * pays the sort on its delta hot path, yet every file that survives
+    * maintenance comes out clustered and stats-prunable. */
+  private def autoCompact(buckets: Set[Int]): Long =
+    compact(Some(buckets),
+      sortBy = conf.writeSortCols.filter(tablePayload.fieldNames.contains),
+      maxFileRows = conf.writeMaxFileRows)
+
   def compact(buckets: Option[Set[Int]] = None, sortBy: Seq[String] = Nil,
       maxFileRows: Long = 0L): Long = {
     checkLayout()

@@ -167,6 +167,24 @@ class StatsSkipSpec extends AnyFunSuite {
       === sortedRows(e.currentState().filter(col("lang") === "py")))
   }
 
+  test("MOR threshold auto-compaction applies the declared sort order: pruning with zero explicit compactions") {
+    val dir = SparkTestBase.tmpDir("statskip")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 4,
+      mergeOnRead = true)
+    val e = new CdcEngine(spark, t, EngineConf(buckets = 4,
+      statsCols = Seq("lang"), writeSortCols = Seq("lang"),
+      writeMaxFileRows = 100, morCompactThreshold = 3))
+    val ev = Synth.events(spark, 2400, seed = 37)
+    // enough delta appends per bucket to cross the threshold in every one
+    (0 until 4).foreach(i => e.applyBatch(i,
+      ev.filter(col("commit_lsn") % 4 === i)))
+    val plan = e.scanRangePlan("lang", Some("py"), Some("py"))
+    assert(plan.filesSkipped > 0,
+      s"auto-compaction must have produced sorted, prunable files: $plan")
+    assert(sortedRows(e.scanRange("lang", Some("py"), Some("py")))
+      === sortedRows(e.currentState().filter(col("lang") === "py")))
+  }
+
   test("manifests written before merged/colStats existed parse with safe defaults") {
     import org.json4s.jackson.Serialization
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
