@@ -185,6 +185,29 @@ class StatsSkipSpec extends AnyFunSuite {
       === sortedRows(e.currentState().filter(col("lang") === "py")))
   }
 
+  test("change feed across a split sorted compaction keeps a mirror exact") {
+    val ev = Synth.events(spark, 2000, seed = 38)
+    val e = engine(mor = true)
+    e.applyBatch(0, ev.filter(col("commit_lsn") < 1000))
+    val mdir = SparkTestBase.tmpDir("statskip-mirror")
+    val mirror = new CdcEngine(spark,
+      IceliteTable.create(s"$mdir/m", Seq("repo", "path"), 8),
+      EngineConf(buckets = 8))
+    val consumer = new graft.engine.FeedConsumer(e, mirror)
+    consumer.sync()
+    // the compaction SPLITS buckets into several merged files mid-stream;
+    // the feed must stay value-exact across it (compaction adds files but
+    // changes no values) and across the follow-up delta batch
+    e.compact(sortBy = Seq("lang"), maxFileRows = 80)
+    e.applyBatch(1, ev.filter(col("commit_lsn") >= 1000))
+    consumer.sync()
+    def visible(x: CdcEngine) = x.currentState()
+      .select("repo", "path", "lang", "content", "_op")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(visible(mirror) === visible(e))
+    assert(consumer.sync() === 0L, "idle re-sync must apply nothing")
+  }
+
   test("manifests written before merged/colStats existed parse with safe defaults") {
     import org.json4s.jackson.Serialization
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
