@@ -743,9 +743,15 @@ class CdcEngine(
     val payload = payloadOfSchema(schemaAt)
     val cells = readStateCells(buckets, payload, asOfSnapshot)
     val base = flattenCells(cells.filter(col(s"$OpCell.v") =!= lit("D")), payload)
-    if (payload.fieldNames.contains("content"))
-      base.withColumn("content_sha256", sha2(col("content"), 256))
-    else base
+    val out =
+      if (payload.fieldNames.contains("content"))
+        base.withColumn("content_sha256", sha2(col("content"), 256))
+      else base
+    // full-table reads advertise themselves to the metadata-only aggregate
+    // rewrite (bucket-pruned reads don't: manifest sums cover ALL buckets)
+    if (buckets.isEmpty)
+      out.queryExecution.analyzed.setTagValue(CdcEngine.MetaScanTag, (this, asOfSnapshot))
+    out
   }
 
   /** Inspection metadata tables (Iceberg's `table.snapshots` / `.history` /
@@ -756,6 +762,75 @@ class CdcEngine(
   /** Raw cell-form state (for tests / debugging). */
   def currentCells(buckets: Option[Set[Int]] = None): DataFrame =
     readStateCells(buckets, tablePayload)
+
+  // ------------------------------------------- metadata-only aggregates
+
+  /** Exact visible-row count at `asOfSnapshot` (-1 = head) from MANIFEST
+    * metadata alone — no file is opened, no Spark job runs (the Iceberg
+    * `SupportsPushDownAggregates` count analog; at 100 TB this turns
+    * `SELECT count(*)` from a full scan into a metadata read). Answerable
+    * — `Some(n)` — only when every live file holds merged state with a
+    * footer-decided live-row count ([[Icelite.DataFile.liveRows]]); a
+    * merge-on-read table with pending deltas, or a file whose row groups
+    * interleave tombstones with live rows, returns None and the caller
+    * falls back to the scan. `Some(0)` for an empty table. */
+  def metaCount(asOfSnapshot: Long = -1L): Option[Long] = {
+    val snap = if (asOfSnapshot >= 0) Some(table.snapshot(asOfSnapshot))
+      else table.currentSnapshot
+    snap match {
+      case None => Some(0L)
+      case Some(s) =>
+        val allMerged = !table.meta.mergeOnRead // COW files are merged state
+        var sum = 0L
+        val ok = table.bucketFilesOf(s).valuesIterator.forall(_.forall { f =>
+          val usable = (allMerged || f.merged) && f.liveRows >= 0L
+          if (usable) sum += f.liveRows
+          usable
+        })
+        if (ok) Some(sum) else None
+    }
+  }
+
+  /** Exact global (min, max) of payload column `column` over the VISIBLE
+    * state at `asOfSnapshot` (-1 = head), from manifest column stats alone
+    * (Iceberg's lower/upper_bounds). Answerable only when every live file
+    * is merged state carrying bounds for the column AND is tombstone-free
+    * (`liveRows == rows`) — a retained tombstone's preimage values sit in
+    * the file's footer stats but are invisible to readers, so any
+    * tombstone poisons the metadata answer. `Some((None, None))` = the
+    * column is null everywhere (SQL min/max of nothing). Values are the
+    * external types `currentState` exposes. */
+  def metaBounds(column: String, asOfSnapshot: Long = -1L)
+      : Option[(Option[Any], Option[Any])] = {
+    val snap = if (asOfSnapshot >= 0) Some(table.snapshot(asOfSnapshot))
+      else table.currentSnapshot
+    snap match {
+      case None => Some((None, None))
+      case Some(s) =>
+        val schemaAt =
+          if (asOfSnapshot >= 0) Some(table.schema(s.schemaId)) else table.currentSchema
+        val payload = payloadOfSchema(schemaAt)
+        val field = payload.fields.find(_.name == column).getOrElse(return None)
+        val dt = field.dataType
+        if (!StatsSkip.supported(dt)) return None
+        val allMerged = !table.meta.mergeOnRead
+        var lo: Option[String] = None
+        var hi: Option[String] = None
+        val ok = table.bucketFilesOf(s).valuesIterator.forall(_.forall { f =>
+          if (!(allMerged || f.merged) || f.liveRows != f.rows) false
+          else f.colStats.flatMap(_.get(column)) match {
+            case Some(mn :: mx :: Nil) =>
+              if (lo.forall(StatsSkip.cmp(dt, mn, _) < 0)) lo = Some(mn)
+              if (hi.forall(StatsSkip.cmp(dt, mx, _) > 0)) hi = Some(mx)
+              true
+            case Some(Nil) => true // column all-null in this file
+            case _ => false // no stats harvested: unknown
+          }
+        })
+        if (ok) Some((lo.map(StatsSkip.decode(dt, _)), hi.map(StatsSkip.decode(dt, _))))
+        else None
+    }
+  }
 
   // ------------------------------------------------------ write-audit-publish
 
@@ -1579,6 +1654,18 @@ object CdcEngine {
   val TsCell = "_ts"
   private val SaltCol = "__salt"
 
+  /** Marks a FULL (un-bucket-pruned) state read — current or time-travel —
+    * as a candidate for metadata-only global aggregates: [[IceliteMetaAggRule
+    * graft.sql.IceliteMetaAggRule]] rewrites `count(*)` / `min` / `max`
+    * directly over a tagged read into a precomputed one-row relation when
+    * the manifest can answer exactly (see [[CdcEngine.metaCount]]).
+    * Carries the engine and the pinned snapshot (None = head). Set by
+    * `stateOf` itself, so both SQL reads and `currentState().count()`
+    * qualify. */
+  val MetaScanTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[
+      (CdcEngine, Option[Long])]("icelite.metaScan")
+
   def cellType(v: DataType): StructType = StructType(Seq(
     StructField("l", LongType, nullable = true),
     StructField("s", IntegerType, nullable = true),
@@ -1648,6 +1735,36 @@ object CdcEngine {
             (lsnStats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
               lsnStats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
           else (Long.MinValue, Long.MaxValue) // unknown => never skipped
+        // visible-row count, same footer, free: a row group whose op-column
+        // minimum is above "D" has no tombstones (D orders first among
+        // D/I/U), one whose maximum IS "D" is all tombstones; a group that
+        // interleaves the two leaves the file undecidable (-1 — readers
+        // fall back to scanning). Exact for the common cases metadata-only
+        // count needs: delete-free files, and key-sorted compaction output
+        // where deletes cluster into their own groups.
+        val liveRows: Long = {
+          var total = 0L
+          var decidable = true
+          r.getFooter.getBlocks.asScala.foreach { blk =>
+            val op = blk.getColumns.asScala
+              .find(_.getPath.toDotString == s"$OpCell.v").map(_.getStatistics)
+            op match {
+              case Some(s) if s != null && !s.isEmpty && s.hasNonNullValue =>
+                def asStr(v: Any): String = v match {
+                  case b: org.apache.parquet.io.api.Binary =>
+                    new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+                  case other => other.toString
+                }
+                val mn = asStr(s.genericGetMin)
+                val mx = asStr(s.genericGetMax)
+                if (mn > "D") total += blk.getRowCount
+                else if (mx == "D") () // whole group tombstoned: adds 0
+                else decidable = false
+              case _ => decidable = false
+            }
+          }
+          if (decidable) total else -1L
+        }
         // payload-column bounds (cell leaf `<col>.v`), same footer, free.
         // Per column: every chunk must carry usable statistics or the
         // column is left unknown; all chunks null-only => empty bounds
@@ -1686,7 +1803,7 @@ object CdcEngine {
             }.toMap
           }
         Icelite.DataFile(table.relativize(p), schemaId, rows, mn, mx,
-          merged = merged,
+          merged = merged, liveRows = liveRows,
           colStats = if (colStats.isEmpty) None else Some(colStats))
       } finally r.close()
     }

@@ -149,6 +149,7 @@ class Inspect(spark: SparkSession, table: IceliteTable) {
             file_path = f.path,
             origin = originOf(f.path),
             rows = f.rows,
+            live_rows = if (f.liveRows >= 0) Some(f.liveRows) else None,
             size_bytes =
               if (Files.isRegularFile(abs)) Some(Files.size(abs)) else None,
             schema_id = f.schemaId,
@@ -312,6 +313,10 @@ object Inspect {
       file_path: String,
       origin: String,
       rows: Long,
+      // rows VISIBLE to readers (rows minus retained tombstones); None =
+      // footer-undecidable or a pre-liveRows manifest — the same stat
+      // metadata-only count(*) sums (CdcEngine.metaCount)
+      live_rows: Option[Long],
       size_bytes: Option[Long],
       schema_id: Int,
       min_lsn: Option[Long],

@@ -92,6 +92,24 @@ object StatsSkip {
       ab.length - bb.length
   }
 
+  /** Decode a stored canonical bound back to the EXTERNAL value a reader
+    * of the flattened state would see for `dt` (inverse of [[encode]] +
+    * [[canon]]): timestamps micros-exact `java.sql.Timestamp`, numerics
+    * their boxed type, strings as-is. Metadata-only min/max answers are
+    * built from these. */
+  def decode(dt: DataType, s: String): Any = dt match {
+    case IntegerType => java.lang.Integer.valueOf(s.trim)
+    case LongType => java.lang.Long.valueOf(s.trim)
+    case TimestampType =>
+      val micros = s.trim.toLong
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    case FloatType => java.lang.Float.valueOf(s.trim)
+    case DoubleType => java.lang.Double.valueOf(s.trim)
+    case _ => s
+  }
+
   /** Could a file whose stored bounds are `bounds` contain a value in
     * [lo, hi] (either side optional)? Empty bounds = the column is
     * entirely null in the file: no VALUE exists, so any actual bound

@@ -98,6 +98,15 @@ object Icelite {
       // manifests written before this field existed) = treat as a delta:
       // always merge, never stats-prune. Conservative in both directions.
       merged: Boolean = false,
+      // Rows VISIBLE to readers (rows minus retained tombstones), harvested
+      // from the same footer pass as `rows` when every row group's op-column
+      // statistics decide it (no tombstones in range, or all-tombstone
+      // groups). -1 = undecidable (a row group interleaves deletes with live
+      // rows) or a manifest written before this field existed. Lets
+      // metadata-only aggregates (count/min/max — Iceberg's
+      // SupportsPushDownAggregates analog) answer without touching data:
+      // sound on merged files only, like colStats.
+      liveRows: Long = -1L,
       // Per-column [min, max] bounds for the engine's configured stats
       // columns (Iceberg's lower_bounds/upper_bounds analog), harvested
       // from the same parquet-footer pass as the LSN stats and kept only

@@ -222,6 +222,32 @@ object SqlSurface {
         s"q80: sorted compaction must make stats pruning bite, got $plan")
       engine.scanRange("lang", Some("view"), Some("view"))
         .select(col("repo"), col("path"), col("lang"), col("content"))
+    }),
+
+    // Metadata-only aggregates (IceliteMetaAggRule): replay a delete-free
+    // stream, then global count/min/max as plain SQL. The require proves
+    // the plan collapsed to a precomputed one-row LocalRelation — manifest
+    // live-row counts and column bounds, NO scan stage — and the DuckDB
+    // oracle proves those manifest numbers equal real SQL over the final
+    // LWW state. The fallback legs (tombstones, pending MOR deltas, WHERE)
+    // are pinned in MetaAggSpec.
+    "q82_meta_agg" -> ((s, dir) => {
+      val ev = derived(s, dir).filter("op <> 'D'")
+      val cutoff = cutoffOf(ev)
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"${Work.tmp("graft-sql-q82")}/t", Seq("repo", "path"), 16),
+        EngineConf(buckets = 16, statsCols = Seq("lang", "content")))
+      engine.applyBatch(0, ev.filter(s"commit_lsn <= $cutoff"))
+      engine.applyBatch(1, ev.filter(s"commit_lsn > $cutoff"))
+      IceliteSql.register(s, "q82", engine)
+      val df = s.sql("SELECT count(*) AS n_rows, " +
+        "min(lang) AS min_lang, max(lang) AS max_lang, " +
+        "min(content) AS min_content, max(content) AS max_content FROM ice.q82")
+      require(df.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "q82: expected the metadata-only plan, got a scan:\n" +
+          df.queryExecution.optimizedPlan)
+      df
     }))
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +295,12 @@ object SqlSurface {
     "q80_stats_scan" ->
       (derivedCte("") + """
         |SELECT repo, path, lang, content
-        |FROM latest WHERE rn = 1 AND op <> 'D' AND lang = 'view'""".stripMargin))
+        |FROM latest WHERE rn = 1 AND op <> 'D' AND lang = 'view'""".stripMargin),
+    "q82_meta_agg" ->
+      (derivedCte(
+        "WHERE NOT (event_type = 'click' AND event_id % 7 = 0)") + """
+        |SELECT count(*) AS n_rows,
+        |       min(lang) AS min_lang, max(lang) AS max_lang,
+        |       min(content) AS min_content, max(content) AS max_content
+        |FROM latest WHERE rn = 1""".stripMargin))
 }

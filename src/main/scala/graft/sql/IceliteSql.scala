@@ -186,8 +186,10 @@ class IceliteCatalogStub extends org.apache.spark.sql.connector.catalog.TableCat
 /** `SparkSession.builder.withExtensions(new IceliteSqlExtensions)`, or
   * `spark.sql.extensions=graft.sql.IceliteSqlExtensions`. */
 class IceliteSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(new IceliteMetaAggRule(_))
     ext.injectResolutionRule(session => new IceliteResolveRule(session))
+  }
 }
 
 class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {

@@ -49,6 +49,10 @@ class InspectSpec extends AnyFunSuite {
     assert(fileRows.map(_.getAs[Int]("bucket")).toSet.subsetOf((0 until 8).toSet))
     // copy-on-write holds exactly one merged row per key (tombstones included)
     assert(files.agg(sum("rows")).head.getLong(0) === engine.currentCells().count())
+    // live_rows, where the footer decided it, never exceeds rows and sums
+    // to at most the visible state (undecided files are None, not a lie)
+    val decided = files.filter(col("live_rows").isNotNull)
+    assert(decided.filter(col("live_rows") > col("rows")).count() === 0L)
     // LSN stats cover the full applied range
     assert(files.agg(min("min_lsn")).head.getLong(0) >= 0L)
     assert(files.agg(max("max_lsn")).head.getLong(0) <= 1999L)
