@@ -25,6 +25,7 @@ object StatsBench {
     val spark = SparkSession.builder()
       .master("local[16]")
       .appName("stats-bench")
+      .withExtensions(new graft.sql.IceliteSqlExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,6 +58,10 @@ object StatsBench {
       s"plan for lang='py': $plan")
 
     def time(f: => Long): (Double, Long) = {
+      val s = System.nanoTime(); val r = f
+      ((System.nanoTime() - s) / 1e9, r)
+    }
+    def time2[A](f: => A): (Double, A) = {
       val s = System.nanoTime(); val r = f
       ((System.nanoTime() - s) / 1e9, r)
     }
@@ -112,6 +117,58 @@ object StatsBench {
     val wLine = f"| $wN%d | $plain%.1f | $sorted%.1f | ${overheadPct}%+.1f%% | " +
       s"${freshPlan.filesSkipped}/${freshPlan.filesTotal} |"
 
+    // metadata-only aggregates: what answering a global count(*) from the
+    // manifest saves vs scanning, on a delete-free table (tombstones make
+    // the manifest undecidable by design — the main table above proves the
+    // fallback leg; this one proves the shortcut). The scan leg goes
+    // through a tautological WHERE, which blocks the rewrite rule.
+    // The SQL leg's floor is PLAN CONSTRUCTION (the resolution rule still
+    // builds the substituted scan relation — file listing — before the
+    // post-hoc rewrite discards it), so the honest claim is not one ratio
+    // but the growth curves: the scan leg grows with the data, both
+    // metadata legs stay flat. Measured at two table sizes to show it.
+    // count(*) alone is footer-cheap even for the scan (parquet prunes to
+    // an empty schema), so the aggregate includes min/max over a real
+    // string column — the scan leg must READ it, the metadata legs never
+    // open a file. Engine-API legs (metaCount/metaBounds) are pure
+    // driver-side manifest math: no Spark job, no plan.
+    val mT = IceliteTable.create(s"$work/meta", Seq("repo", "path"), 64)
+    val mE = new CdcEngine(spark, mT, EngineConf(buckets = 64,
+      statsCols = Seq("lang", "commit")))
+    graft.sql.IceliteSql.register(spark, "statsbench_meta", mE)
+    val mLines = new scala.collection.mutable.ListBuffer[String]
+    Seq(0L -> wEv, 1L -> Synth.events(spark, wN, seed = 78, repos = 1000,
+      pathsPerRepo = 1000, hotPct = 5, parts = 32)).foreach { case (ep, e2) =>
+      mE.applyBatch(ep, e2.filter(col("op") =!= "D"))
+      var scanS = Double.MaxValue
+      var sqlS = Double.MaxValue
+      var apiS = Double.MaxValue
+      var r1: Seq[Any] = Nil; var r2: Seq[Any] = Nil; var r3: Seq[Any] = Nil
+      (1 to 2).foreach { _ =>
+        val (ts2, rs2) = time2(mE.currentState().where(lit(true))
+          .agg(count(lit(1)), min("commit"), max("commit")).head().toSeq)
+        val (tq, rq) = time2(spark.sql(
+          "SELECT count(*) AS n, min(commit) AS mn, max(commit) AS mx " +
+            "FROM ice.statsbench_meta").head().toSeq)
+        val (ta, ra) = time2 {
+          val b = mE.metaBounds("commit").get
+          Seq(mE.metaCount().get, b._1.orNull, b._2.orNull)
+        }
+        scanS = math.min(scanS, ts2); sqlS = math.min(sqlS, tq)
+        apiS = math.min(apiS, ta)
+        r1 = rs2; r2 = rq; r3 = ra
+      }
+      val metaCheck = if (r1 == r2 && r2 == r3) "results identical"
+        else s"MISMATCH $r1 / $r2 / $r3 (BUG!)"
+      println(f"metadata-only count+min+max @ ${r1.head}%s rows: " +
+        f"scan $scanS%.2f s, SQL-over-manifest $sqlS%.3f s " +
+        f"(plan-construction floor), engine API $apiS%.4f s — $metaCheck")
+      mLines += f"| ${r1.head}%s | $scanS%.2f | $sqlS%.3f | $apiS%.4f |"
+    }
+    // joined with an extra margin char: stripMargin eats one leading `|`
+    // from every embedded line
+    val mLine = mLines.mkString("\n|")
+
     out.foreach { p =>
       val md =
         s"""
@@ -124,6 +181,10 @@ object StatsBench {
            || events | plain ingest s | clustered ingest s | overhead | fresh-file skip |
            ||---|---|---|---|---|
            |$wLine
+           |
+           || state rows | scan agg s | SQL manifest agg s | engine API s |
+           ||---|---|---|---|
+           |$mLine
            |""".stripMargin
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), md,
         java.nio.file.StandardOpenOption.CREATE,
