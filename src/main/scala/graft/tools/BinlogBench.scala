@@ -38,27 +38,76 @@ object BinlogBench {
     // Publish ONCE (deterministic, seed=42): producer-side partitioning by
     // key hash, exactly what a CDC producer does. The publish is driver-side
     // and excluded from all timings. A small seed=7 log warms codegen.
-    val server = new BinlogServer(PARTS)
-    val warmServer = new BinlogServer(PARTS)
+    // The logs are written as per-partition text files and served by
+    // BROKERS FORKED INTO THEIR OWN JVMs (graft.tools.BinlogBroker) — the
+    // production shape, and it takes the broker's fetch handlers out of
+    // the executor JVM whose in-heap contention deflated the first
+    // measurement of this bench. SPARK_GRAFT_BROKER_INPROC=1 restores the
+    // old single-JVM mode for comparison.
+    val inproc = sys.env.get("SPARK_GRAFT_BROKER_INPROC").contains("1")
     locally {
       val s = ScalingBench.session(32, s"$work/tmp-gen")
       import org.apache.spark.sql.functions.{col, hash, lit, pmod, struct, to_json}
-      def publish(srv: BinlogServer, events: org.apache.spark.sql.DataFrame): Long = {
+      def publish(dir: String, events: org.apache.spark.sql.DataFrame): Unit = {
+        val d = Paths.get(dir); Files.createDirectories(d)
+        val writers = (0 until PARTS).map(p => Files.newBufferedWriter(
+          d.resolve(s"part-$p.txt"))).toArray
         val it = events.select(
             (pmod(hash(col("repo"), col("path")), lit(PARTS))).as("p"),
             to_json(struct(events.columns.map(col): _*)).as("j"))
           .orderBy(col("p"), col("j")) // deterministic publish order
           .toLocalIterator()
-        var c = 0L
-        while (it.hasNext) { val r = it.next(); srv.append(r.getInt(0), r.getString(1)); c += 1 }
-        c
+        while (it.hasNext) {
+          val r = it.next()
+          val w = writers(r.getInt(0)); w.write(r.getString(1)); w.newLine()
+        }
+        writers.foreach(_.close())
       }
-      publish(server, Synth.events(s, n, seed = 42, repos = 200,
+      publish(s"$work/log-main", Synth.events(s, n, seed = 42, repos = 200,
         pathsPerRepo = 2000, hotPct = 30, parts = 64))
-      publish(warmServer, Synth.events(s, 50000, seed = 7, repos = 200,
+      publish(s"$work/log-warm", Synth.events(s, 50000, seed = 7, repos = 200,
         pathsPerRepo = 2000, hotPct = 30, parts = 16))
       s.stop()
     }
+
+    /** Serve a published log: a forked-JVM broker (default) or in-process. */
+    def broker(dir: String): (String, Int, () => Unit) =
+      if (inproc) {
+        val srv = new BinlogServer(PARTS)
+        (0 until PARTS).foreach { p =>
+          val f = Paths.get(dir).resolve(s"part-$p.txt")
+          val lines = Files.lines(f)
+          try lines.forEach(srv.append(p, _)) finally lines.close()
+        }
+        (srv.address, srv.port, () => srv.stop())
+      } else {
+        val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+        val pb = new ProcessBuilder(javaBin, "-Xmx4g", "-cp",
+          System.getProperty("java.class.path"),
+          "graft.tools.BinlogBroker", dir, PARTS.toString)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var port = -1
+        var line = rd.readLine()
+        while (line != null && port < 0) {
+          if (line.startsWith("BINLOG_READY")) {
+            port = line.split(" ").find(_.startsWith("port="))
+              .map(_.drop(5).toInt).getOrElse(-1)
+            println(s"  forked broker: $line (pid ${proc.pid()})")
+          } else line = rd.readLine()
+        }
+        require(port > 0, "forked broker failed to report a port")
+        // drain the child's stdout so a full pipe can never block it
+        val drain = new Thread(() => {
+          try { while (rd.readLine() != null) () } catch { case _: Exception => () }
+        })
+        drain.setDaemon(true); drain.start()
+        ("127.0.0.1", port, () => proc.destroyForcibly())
+      }
+    val (srvAddr, srvPort, stopMain) = broker(s"$work/log-main")
+    val (warmAddr, warmPort, stopWarm) = broker(s"$work/log-warm")
 
     // machine ceiling at the same pair (see ScalingBench.calibrate)
     ScalingBench.calibrate(levelCores.last) // warm the JIT
@@ -70,21 +119,21 @@ object BinlogBench {
 
     val perTrigger = (n + k - 1) / k // admission control -> ~k micro-batches
 
-    def ingest(spark: org.apache.spark.sql.SparkSession, srv: BinlogServer,
+    def ingest(spark: org.apache.spark.sql.SparkSession, addr: String, port: Int,
         tableDir: String, ckpt: String, maxPerTrigger: Long): Double = {
       val table = IceliteTable.create(tableDir, Seq("repo", "path"), buckets = 64)
       val engine = new CdcEngine(spark, table, EngineConf(buckets = 64))
       val t0 = System.nanoTime()
-      CdcStream.runBinlogAvailableNow(spark, engine, srv.address, srv.port,
+      CdcStream.runBinlogAvailableNow(spark, engine, addr, port,
         ckpt, maxRecordsPerTrigger = maxPerTrigger)
       (System.nanoTime() - t0) / 1e9
     }
 
     val levels = levelCores.map { cores =>
       val s = ScalingBench.session(cores, s"$work/tmp-$cores")
-      ingest(s, warmServer, s"$work/warm-$cores", s"$work/warmckpt-$cores", 50000)
+      ingest(s, warmAddr, warmPort, s"$work/warm-$cores", s"$work/warmckpt-$cores", 50000)
       val secs = (1 to trials).map { t =>
-        val sec = ingest(s, server, s"$work/table-$cores-$t",
+        val sec = ingest(s, srvAddr, srvPort, s"$work/table-$cores-$t",
           s"$work/ckpt-$cores-$t", perTrigger)
         println(f"  local[$cores] trial $t: $sec%.1fs")
         sec
@@ -98,7 +147,8 @@ object BinlogBench {
     val json =
       s"""{"metric":"binlog_ingest_scaling","events":$n,"batches":$k,"partitions":$PARTS,""" +
         levels.map(l => s""""local${l.cores}_sec":${f"${l.seconds}%.2f"},"local${l.cores}_eps":${f"${l.eventsPerSec}%.0f"}""").mkString(",") +
-        s""","speedup":${f"$speedup%.3f"},"efficiency":${f"$eff%.3f"},"machine_ceiling":${f"$ceiling%.3f"}}"""
+        s""","speedup":${f"$speedup%.3f"},"efficiency":${f"$eff%.3f"},"machine_ceiling":${f"$ceiling%.3f"},""" +
+        s""""broker":"${if (inproc) "inproc" else "forked-jvm"}"}"""
     println(json)
     val md =
       s"""
@@ -117,13 +167,16 @@ object BinlogBench {
          || local[${big.cores}] | ${f"${big.seconds}%.1f"} | ${f"${big.eventsPerSec}%,.0f"} |
          |
          |Speedup ${f"$speedup%.2f"}x over a ${big.cores / small.cores}x core increase ⇒
-         |**scaling efficiency ${f"$eff%.2f"}** (machine ceiling ${f"$ceiling%.2f"}).
-         |Note the single-process server serializes all partitions through one
-         |loopback NIC and one JVM — a real broker adds brokers with executors.
+         |**scaling efficiency ${f"$eff%.2f"}** (machine ceiling ${f"$ceiling%.2f"};
+         |broker ${if (inproc) "IN-PROCESS (executor-JVM shared)"
+          else "in its own forked JVM — production shape"}).
+         |The broker still shares the MACHINE's cores with the executors
+         |(one sandbox host) — a real deployment adds broker machines with
+         |executor machines, so this number remains a lower bound.
          |""".stripMargin
     Files.writeString(Paths.get(outMd), md,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    server.stop(); warmServer.stop()
+    stopMain(); stopWarm()
     ScalingBench.deleteRecursivelyPublic(Paths.get(work))
   }
 }
