@@ -38,6 +38,18 @@ case class EngineConf(
     // BENCH.md's sustained-ingest section. COW fits update-heavy tables
     // with a bounded key set and read-hot workloads.
     morCompactThreshold: Int = 0,
+    // tombstone GC (the Kafka log-compaction / Iceberg delete-file-expiry
+    // analog): >= 0 makes every AUTO-compaction also drop tombstone rows
+    // whose delete LSN is below highWatermark - lag. Deletes are retained
+    // as revocable tombstones by default, which under sustained churn
+    // accumulates rows that are invisible yet rewritten by every
+    // compaction forever — unbounded at 10^10 events. The lag is the
+    // source's replay lower bound: the caller contracts that no event
+    // with an LSN below (highWatermark - lag) will EVER arrive; a
+    // sub-line event delivered after a purge would meet no tombstone to
+    // lose against and resurrect the key. -1 = keep tombstones forever
+    // (explicit compact(purgeTombstonesBelowLsn=...) still available).
+    tombstonePurgeLagLsn: Long = -1L,
     // snapshot retention: once the chain exceeds 2x this, expire down to
     // this many (0 = keep all history). Bounds manifest accumulation over
     // long replays (10^5 micro-batches must not mean 10^5 manifest files);
@@ -1041,14 +1053,17 @@ class CdcEngine(
     else None // `since` expired / not an ancestor, or bootstrap over a re-rooted chain
   }
 
-  /** Does the chain segment (since, to] contain a RESTORE commit? Restores
-    * change visible values while adding no data files, which suspends two
-    * shortcuts `changesSince` otherwise relies on (see there). */
-  private def windowHasRestore(sinceSnapshotId: Long, toSnapshotId: Long): Boolean = {
+  /** Does the chain segment (since, to] contain a commit that can REMOVE
+    * keys from the cell-level state without any added file carrying them —
+    * a RESTORE (reverts values, adds nothing) or a tombstone-GC PURGE
+    * (drops tombstone rows)? Both suspend two shortcuts `changesSince`
+    * otherwise relies on, and both require synthesizing deletes for
+    * vanished keys (see there). */
+  private def windowRemovesKeys(sinceSnapshotId: Long, toSnapshotId: Long): Boolean = {
     var id = toSnapshotId
     while (id >= 0 && id != sinceSnapshotId) {
       val s = table.snapshot(id)
-      if (s.restoreOf >= 0) return true
+      if (s.restoreOf >= 0 || s.purge) return true
       id = s.parentId
     }
     false
@@ -1131,12 +1146,13 @@ class CdcEngine(
       if (sinceSnapshotId < 0 || (unbounded && !crosses)) cur
       else {
         val old = readStateCells(bsel, payload, Some(sinceSnapshotId))
-        // A restore in the window suspends two invariants of normal CDC
-        // operation: changed keys need NOT appear in any added file (a
-        // restore reverts values while adding none), and keys CAN vanish
-        // outright (inserted in the rolled-back window — no tombstone cell
-        // exists for them, so one is synthesized below).
-        val hasRestore = windowHasRestore(sinceSnapshotId, toId)
+        // A restore (or tombstone purge) in the window suspends two
+        // invariants of normal CDC operation: changed keys need NOT appear
+        // in any added file (a restore reverts values while adding none; a
+        // purge only removes rows), and keys CAN vanish outright (inserted
+        // in the rolled-back window, or tombstone rows GC'd — no tombstone
+        // cell remains for them, so one is synthesized below).
+        val removes = windowRemovesKeys(sinceSnapshotId, toId)
         // Merge-on-read: files are append-only, so any key whose merged
         // value changed after `since` MUST appear in a file added after
         // `since` (delta or compaction). Reading JUST those files' keys
@@ -1146,7 +1162,7 @@ class CdcEngine(
         // applied on copy-on-write, where added files are whole rewritten
         // buckets and the semi-join would prune nothing.)
         val (curSel, oldSel) =
-          if (!table.meta.mergeOnRead || hasRestore || crosses) (cur, old)
+          if (!table.meta.mergeOnRead || removes || crosses) (cur, old)
           else table.fileGroupsAddedSince(sinceSnapshotId, bsel, toId) match {
             case Some(groups) =>
               val deltaKeys = readAligned(groups, payload)
@@ -1158,7 +1174,7 @@ class CdcEngine(
         val cond = keyCols.map(k => col(s"c.$k") === col(s"o.$k")).reduce(_ && _) &&
           cellCols.map(c => col(s"c.$c") <=> col(s"o.$c")).reduce(_ && _)
         val diff = curSel.as("c").join(oldSel.as("o"), cond, "left_anti")
-        if (!hasRestore) diff
+        if (!removes) diff
         else {
           // synthetic tombstones for vanished keys: their old payload cells
           // ride along (a delete is an op-cell overwrite), only _op flips
@@ -1524,10 +1540,22 @@ class CdcEngine(
   private def autoCompact(buckets: Set[Int]): Long =
     compact(Some(buckets),
       sortBy = conf.writeSortCols.filter(tablePayload.fieldNames.contains),
-      maxFileRows = conf.writeMaxFileRows)
+      maxFileRows = conf.writeMaxFileRows,
+      purgeTombstonesBelowLsn =
+        if (conf.tombstonePurgeLagLsn < 0) -1L
+        else math.max(0L,
+          highWatermark(table.currentSnapshotId) - conf.tombstonePurgeLagLsn))
 
+  /** Rewrite buckets back to one merged file each (all of them by default).
+    * `purgeTombstonesBelowLsn` >= 0 additionally DROPS tombstone rows whose
+    * delete LSN is below the line — visible state is unchanged (tombstoned
+    * keys were already hidden) and value-level change feeds diff states so
+    * they are unaffected, but the key's revival-by-late-event contract
+    * narrows: an event with an LSN below the line arriving later meets no
+    * tombstone and resurrects the key. Only purge below the source's
+    * replay lower bound (see `EngineConf.tombstonePurgeLagLsn`). */
   def compact(buckets: Option[Set[Int]] = None, sortBy: Seq[String] = Nil,
-      maxFileRows: Long = 0L): Long = {
+      maxFileRows: Long = 0L, purgeTombstonesBelowLsn: Long = -1L): Long = {
     checkLayout()
     // CAS pin: compaction is a read-modify-write of whole buckets, so a
     // concurrent append between the read and the replace-commit would be
@@ -1542,8 +1570,16 @@ class CdcEngine(
         .getOrElse(Set.empty))
     // read pinned to the SAME snapshot the CAS expects (read + commit form
     // one atomic unit or conflict)
-    val cells = readStateCells(Some(selected), payload,
+    val allCells = readStateCells(Some(selected), payload,
       asOfSnapshot = Some(observedParent))
+    // tombstone GC: coalesce(false) so a (theoretical) null op cell is
+    // KEPT, never silently purged
+    val cells =
+      if (purgeTombstonesBelowLsn < 0) allCells
+      else allCells.filter(!coalesce(
+        col(s"$OpCell.v") === lit("D") &&
+          col(s"$OpCell.l") < lit(purgeTombstonesBelowLsn),
+        lit(false)))
     val outDir = table.root.resolve("data").resolve(f"compact-${System.nanoTime()}%x")
     // compaction output is SORTED by key (Iceberg sort-compaction): ingest
     // writes stay sort-free (the hot path never pays it), but the files
@@ -1567,13 +1603,25 @@ class CdcEngine(
      else writer)
       .partitionBy("__b").parquet(outDir.toString)
     val sid = table.ensureSchema(stateSchema(payload))
-    val bucketFiles =
+    val collected =
       collectBucketFiles(outDir, table, sid, spark.sessionState.newHadoopConf(),
         merged = true, statsCols = typedStatsCols(payload))
+    // A bucket whose rows ALL purged away writes no parquet output, but the
+    // replace-commit only replaces buckets present in the map — an absent
+    // bucket would silently KEEP its old (tombstone-only) files. Emit an
+    // explicit empty file list for every selected bucket that had files
+    // and produced none.
+    val bucketFiles =
+      if (purgeTombstonesBelowLsn < 0) collected
+      else collected ++
+        groups.keySet.filterNot(collected.contains).map(_ -> List.empty[Icelite.DataFile])
     // replace-commit (append=false) even on merge-on-read tables: compaction
-    // folds a bucket's delta pile back into one merged file
+    // folds a bucket's delta pile back into one merged file. A purging
+    // compaction is flagged on the snapshot: change-feed windows spanning
+    // it must synthesize deletes for vanished keys (Snapshot.purge).
     table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0,
-      expectedParentId = observedParent).snapshotId
+      expectedParentId = observedParent,
+      purge = purgeTombstonesBelowLsn >= 0).snapshotId
   }
 
   /** Bucket-count EVOLUTION (Iceberg's partition evolution): rewrite the

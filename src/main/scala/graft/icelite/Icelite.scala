@@ -165,7 +165,13 @@ object Icelite {
       // makes a rebucket commit the root, its parent — and with it any
       // adjacency-derived classification — is gone. false on legacy
       // manifests (readers fall back to parent adjacency there).
-      rebucket: Boolean = false)
+      rebucket: Boolean = false,
+      // true = this commit PURGED tombstone rows (tombstone GC at
+      // compaction). Like a restore, a purge makes keys vanish from the
+      // cell-level state without any added file carrying them, so change
+      // feeds over windows containing one must synthesize deletes for
+      // vanished keys and suspend the added-files key refinement.
+      purge: Boolean = false)
 
   /** `mergeOnRead` = the table's write discipline: false = copy-on-write
     * (each commit rewrites affected buckets, reads are plain scans), true =
@@ -1048,7 +1054,9 @@ class IceliteTable private (val root: Path) {
       // ref instead of the main pointer (see the branches section).
       // Exactly-once is scoped per ref chain — after fastForward the lane's
       // epochs are main's epochs, so replaying the lane stays a no-op.
-      toBranch: Option[String] = None): Snapshot = rootLock.synchronized {
+      toBranch: Option[String] = None,
+      // true marks a tombstone-GC commit (see Snapshot.purge)
+      purge: Boolean = false): Snapshot = rootLock.synchronized {
     require(toBranch.isEmpty || (!stage && rebucketTo < 0),
       "staged and rebucket commits are main-only")
     val parent = toBranch match {
@@ -1093,7 +1101,8 @@ class IceliteTable private (val root: Path) {
       // rewritten once a chain exists)
       buckets = if (rebucketTo > 0) rebucketTo
         else parent.map(_.buckets).getOrElse(meta.buckets),
-      rebucket = rebucketTo > 0)
+      rebucket = rebucketTo > 0,
+      purge = purge)
     write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
     if (stage) return snap // manifest on disk, pointer untouched: invisible
     toBranch match {

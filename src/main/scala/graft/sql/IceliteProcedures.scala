@@ -154,13 +154,15 @@ object IceliteProcedures {
         "into a file-skip index for scanRange.",
       Seq(tableParam,
         inD("sort_by", S, "''", "payload columns to cluster each bucket by (comma-separated; empty = key sort only)"),
-        inD("max_file_rows", L, "0", "split each bucket into files of at most this many rows (0 = one file per bucket)")),
+        inD("max_file_rows", L, "0", "split each bucket into files of at most this many rows (0 = one file per bucket)"),
+        inD("purge_tombstones_below_lsn", L, "-1", "also drop tombstone rows deleted below this LSN (tombstone GC; only purge below the source's replay lower bound — a later sub-line event would resurrect the key)")),
       schema("snapshot_id" -> L, "files_before" -> I, "files_after" -> I),
       (_, _, engine, input) => {
         val sortBy = input.getUTF8String(1).toString.split(",")
           .map(_.trim).filter(_.nonEmpty).toSeq
         val before = engine.table.currentFiles().size
-        val sid = engine.compact(sortBy = sortBy, maxFileRows = input.getLong(2))
+        val sid = engine.compact(sortBy = sortBy, maxFileRows = input.getLong(2),
+          purgeTombstonesBelowLsn = input.getLong(3))
         Seq(row(sid, before, engine.table.currentFiles().size))
       }),
 
