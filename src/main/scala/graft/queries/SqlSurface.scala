@@ -248,6 +248,30 @@ object SqlSurface {
         "q82: expected the metadata-only plan, got a scan:\n" +
           df.queryExecution.optimizedPlan)
       df
+    }),
+
+    // Tombstone GC through SQL maintenance: replay the derived stream
+    // (deletes included), then CALL rewrite_data_files with
+    // purge_tombstones_below_lsn above the high watermark — every retained
+    // tombstone row is dropped (asserted in-query) — and read the state
+    // back. The oracle is the SAME latest-per-key visible fold as q71:
+    // a green row proves the purge changed NOTHING a reader can see.
+    "q83_purge_compact" -> ((s, dir) => {
+      val ev = derived(s, dir)
+      val cutoff = cutoffOf(ev)
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"${Work.tmp("graft-sql-q83")}/t", Seq("repo", "path"), 16),
+        EngineConf(buckets = 16))
+      engine.applyBatch(0, ev.filter(s"commit_lsn <= $cutoff"))
+      engine.applyBatch(1, ev.filter(s"commit_lsn > $cutoff"))
+      IceliteSql.register(s, "q83", engine)
+      val hwm = engine.highWatermark(engine.table.currentSnapshotId)
+      s.sql("CALL ice.system.rewrite_data_files('q83', " +
+        s"purge_tombstones_below_lsn => ${hwm + 1})").collect()
+      require(engine.currentCells()
+          .filter(org.apache.spark.sql.functions.col("_op.v") === "D").isEmpty,
+        "q83: tombstones must be purged")
+      s.sql("SELECT repo, path, lang, content FROM ice.q83")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +326,8 @@ object SqlSurface {
         |SELECT count(*) AS n_rows,
         |       min(lang) AS min_lang, max(lang) AS max_lang,
         |       min(content) AS min_content, max(content) AS max_content
-        |FROM latest WHERE rn = 1""".stripMargin))
+        |FROM latest WHERE rn = 1""".stripMargin),
+    "q83_purge_compact" ->
+      (derivedCte("") +
+        "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"))
 }
