@@ -75,17 +75,38 @@ class LifecyclePropSpec extends AnyFunSuite {
     val rowsOfEpoch = scala.collection.mutable.Map.empty[Long, Seq[Row]]
     // epochs currently VISIBLE on main, in commit order (rollback truncates)
     var surviving = Vector.empty[Long]
-    // main snapshot id -> surviving epochs at that commit (time-travel model)
-    val snapModels = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+    // tombstone-GC erasures: key -> the epochs whose events for that key a
+    // purge compaction DISCARDED (the merged tombstone row, carry-forward
+    // cells and all, is physically gone). A later event of the key — any
+    // LSN — folds against nothing and resurrects it, which is exactly the
+    // engine's documented contract boundary; the model replicates it by
+    // excluding only the folded-at-purge-time epochs per erased key.
+    var erased = Map.empty[(String, String), Set[Long]]
+    // main snapshot id -> (surviving epochs, erasures) at that commit
+    // (time-travel model; rollback restores BOTH — the restored files
+    // physically contain the pre-purge tombstones)
+    val snapModels =
+      scala.collection.mutable.Map.empty[Long, (Vector[Long], Map[(String, String), Set[Long]])]
     // everything that ever committed on main: re-delivery must be a no-op
     // even after the epoch was rolled back
     val committed = scala.collection.mutable.ArrayBuffer.empty[(Long, DataFrame)]
     val tagModels = scala.collection.mutable.Map.empty[String, Model]
     val opsHit = scala.collection.mutable.Set.empty[String]
 
-    def modelOf(epochs: Vector[Long]): Model =
-      TestOracle.finalState(epochs.flatMap(rowsOfEpoch), payload)
-    def record(): Unit = snapModels(engine.table.currentSnapshotId) = surviving
+    def keyOf(r: Row): (String, String) =
+      (r.getString(r.fieldIndex("repo")), r.getString(r.fieldIndex("path")))
+    def rowsOf(epochs: Vector[Long],
+        er: Map[(String, String), Set[Long]]): Seq[Row] =
+      epochs.flatMap(e => rowsOfEpoch(e).filter(r =>
+        !er.get(keyOf(r)).exists(_.contains(e))))
+    def foldOf(epochs: Vector[Long],
+        er: Map[(String, String), Set[Long]]): Model =
+      TestOracle.fold(rowsOf(epochs, er), payload)
+    def modelOf(epochs: Vector[Long],
+        er: Map[(String, String), Set[Long]] = null): Model =
+      foldOf(epochs, if (er == null) erased else er).filter(_._2.op != "D")
+    def record(): Unit =
+      snapModels(engine.table.currentSnapshotId) = (surviving, erased)
     // rollback across a rebucket boundary restores the target's LAYOUT too;
     // the engine instance must then be rebuilt against it, like any resume
     def adoptLayout(): Unit =
@@ -133,9 +154,25 @@ class LifecyclePropSpec extends AnyFunSuite {
         rowsOfEpoch(e) = rowsOfEpoch(orig); surviving :+= e; committed += ((e, df))
         record(); check(s"step $step dup-content")
       } else if (roll < 53) {
-        opsHit += "compact"
-        engine.compact()
-        record(); check(s"step $step compact")
+        if (rnd.nextBoolean()) {
+          // tombstone-GC compaction: purge below a line that is either
+          // total (all tombstones) or a RANDOM tombstone's own lsn — the
+          // strict-< boundary keeps exactly that tombstone
+          val tombs = foldOf(surviving, erased).filter(_._2.op == "D")
+          val line =
+            if (tombs.isEmpty || rnd.nextBoolean()) Long.MaxValue
+            else tombs.values.toSeq(rnd.nextInt(tombs.size)).lsn
+          opsHit += "purgecompact"
+          engine.compact(purgeTombstonesBelowLsn = line)
+          val purgedKeys = tombs.filter(_._2.lsn < line).keySet
+          erased = purgedKeys.foldLeft(erased)((acc, k) =>
+            acc.updated(k, acc.getOrElse(k, Set.empty) ++ surviving))
+          record(); check(s"step $step purge-compact(line=$line)")
+        } else {
+          opsHit += "compact"
+          engine.compact()
+          record(); check(s"step $step compact")
+        }
       } else if (roll < 59) {
         val choices = Seq(4, 8, 12, 16).filterNot(_ == engine.conf.buckets)
         opsHit += "rebucket"
@@ -145,7 +182,8 @@ class LifecyclePropSpec extends AnyFunSuite {
         val target = snapModels.keys.toSeq.sorted.apply(rnd.nextInt(snapModels.size))
         opsHit += "rollback"
         engine.table.rollbackTo(target)
-        surviving = snapModels(target)
+        val (se, ee) = snapModels(target)
+        surviving = se; erased = ee
         adoptLayout()
         record(); check(s"step $step rollback->$target")
       } else if (roll < 72) {
@@ -159,9 +197,9 @@ class LifecyclePropSpec extends AnyFunSuite {
         check(s"step $step vacuum")
       } else if (roll < 84 && snapModels.nonEmpty) {
         // time travel against the model recorded at that snapshot
-        val (id, epochs) = snapModels.toSeq.sortBy(_._1).apply(rnd.nextInt(snapModels.size))
+        val (id, (epochs, er)) = snapModels.toSeq.sortBy(_._1).apply(rnd.nextInt(snapModels.size))
         opsHit += "timetravel"
-        assertMatches(engine.stateAt(id), modelOf(epochs), s"step $step stateAt($id)")
+        assertMatches(engine.stateAt(id), modelOf(epochs, er), s"step $step stateAt($id)")
         // the same snapshot through the SQL surface: resolution must route
         // VERSION AS OF correctly through whatever chain/layout/refs this
         // interleaving built (rebucket swaps the engine instance — re-register)
@@ -169,7 +207,7 @@ class LifecyclePropSpec extends AnyFunSuite {
           graft.sql.IceliteSql.register(spark, "fuzz", engine)
           opsHit += "sqltravel"
           assertMatches(spark.sql(s"SELECT * FROM ice.fuzz VERSION AS OF $id"),
-            modelOf(epochs), s"step $step SQL VERSION AS OF $id")
+            modelOf(epochs, er), s"step $step SQL VERSION AS OF $id")
         }
         // CDF fold contract at a random live-ancestor cut: since-state with
         // the changelog applied (drop touched keys, add inserts+postimages)
