@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.engine.CdcEngine
+import graft.icelite.IceliteTable
 
 /** SQL maintenance surface: Iceberg-style stored procedures, invoked as
   * `CALL ice.system.<proc>(...)` through Spark's DSv2 `ProcedureCatalog`
@@ -36,6 +37,12 @@ import graft.engine.CdcEngine
   *     snapshot
   *   - `rebucket(table, buckets)` — bucket-layout evolution; re-registers
   *     the table under the new layout
+  *   - `create_table(name, location, key_cols, buckets, merge_on_read,
+  *     stats_cols, columns)` / `register_table(name, location)` /
+  *     `drop_table(name, purge)` — the table-lifecycle DDL verbs: create
+  *     (optionally pinning a declared payload schema via an empty genesis
+  *     commit so DML works before any batch), attach an existing
+  *     directory, detach (purge => also delete the files)
   *
   * Engines are looked up at CALL time in the active session's registry, so
   * a procedure always acts on the current table head — same snapshot
@@ -107,7 +114,120 @@ object IceliteProcedures {
     }
   }
 
+  /** A procedure that does NOT resolve a registered engine (table
+    * lifecycle verbs: the table may not exist or be registered yet). */
+  private final class RawProc(
+      procName: String,
+      desc: String,
+      params: Seq[ProcedureParameter],
+      out: StructType,
+      body: (SparkSession, InternalRow) => Seq[InternalRow])
+      extends UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val rows = body(SparkSession.active, input)
+        java.util.Collections.singletonList[Scan](ResultScan(out, rows)).iterator()
+      }
+    }
+  }
+
+  private def stripName(raw: String): String =
+    raw.stripPrefix(s"${IceliteSql.Catalog}.").toLowerCase
+
   private val procs: Map[String, UnboundProcedure] = Seq[UnboundProcedure](
+
+    new RawProc("create_table",
+      "Create a NEW icelite table at `location` and register it as " +
+        "ice.<name> in the active session: the SQL-surface DDL verb " +
+        "(tables are otherwise created programmatically or by the " +
+        "streaming sink's create-if-missing). key_cols is the MERGE key; " +
+        "stats_cols opts columns into manifest min/max harvesting " +
+        "(file skipping + metadata-only aggregates).",
+      Seq(in("name", S, "SQL name to register (with or without the ice. prefix)"),
+        in("location", S, "directory for the new table (must not already hold one)"),
+        inD("key_cols", S, "'repo,path'", "comma-separated merge key columns"),
+        inD("buckets", I, "16", "hash-bucket count of the layout"),
+        inD("merge_on_read", B, "false", "true = delta appends + read-time merge"),
+        inD("stats_cols", S, "''", "comma-separated payload columns to harvest [min,max] bounds for"),
+        inD("columns", S, "''", "payload schema DDL ('lang STRING, content STRING'): pins schema-0 via an empty genesis commit so SQL DML (INSERT/MERGE) works before any batch; empty = schema is write-defined by the first batch")),
+      schema("table_name" -> S, "location" -> S, "buckets" -> I),
+      (spark, input) => {
+        val name = stripName(input.getUTF8String(0).toString)
+        if (IceliteSql.lookup(spark, name).nonEmpty)
+          IceliteSql.fail(s"create_table: ice.$name is already registered")
+        val location = input.getUTF8String(1).toString
+        val keys = input.getUTF8String(2).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        if (keys.isEmpty) IceliteSql.fail("create_table: key_cols must name at least one column")
+        val buckets = input.getInt(3)
+        val statsCols = input.getUTF8String(5).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val colsDdl = input.getUTF8String(6).toString.trim
+        val t = IceliteTable.create(location, keys, buckets,
+          mergeOnRead = input.getBoolean(4))
+        if (colsDdl.nonEmpty) {
+          if (keys != Seq("repo", "path"))
+            IceliteSql.fail("create_table: a declared schema requires the " +
+              "standard (repo, path) key — custom-key state schemas are " +
+              "write-defined")
+          val payload =
+            try org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+            catch { case e: Exception =>
+              IceliteSql.fail(s"create_table: bad columns DDL '$colsDdl': ${e.getMessage}") }
+          val sid = t.ensureSchema(CdcEngine.stateSchema(payload))
+          t.commit(-1L, sid, Map.empty, Nil, rowDelta = 0) // empty genesis pins schema-0
+        }
+        IceliteSql.register(spark, name,
+          new CdcEngine(spark, t, graft.engine.EngineConf(
+            buckets = buckets, statsCols = statsCols)))
+        Seq(row(name, location, buckets))
+      }),
+
+    new RawProc("register_table",
+      "Attach an EXISTING icelite table directory to the active session " +
+        "as ice.<name> (the external-table verb): layout and write mode " +
+        "come from the table's own metadata.",
+      Seq(in("name", S, "SQL name to register"),
+        in("location", S, "directory of an existing icelite table"),
+        inD("stats_cols", S, "''", "payload columns to harvest stats for on future writes")),
+      schema("table_name" -> S, "location" -> S, "buckets" -> I, "snapshot_id" -> L),
+      (spark, input) => {
+        val name = stripName(input.getUTF8String(0).toString)
+        if (IceliteSql.lookup(spark, name).nonEmpty)
+          IceliteSql.fail(s"register_table: ice.$name is already registered")
+        val t = IceliteTable.load(input.getUTF8String(1).toString)
+        val statsCols = input.getUTF8String(2).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        IceliteSql.register(spark, name,
+          new CdcEngine(spark, t, graft.engine.EngineConf(
+            buckets = t.currentBuckets, statsCols = statsCols)))
+        Seq(row(name, t.root.toString, t.currentBuckets, t.currentSnapshotId))
+      }),
+
+    new RawProc("drop_table",
+      "Unregister ice.<name> from the active session; purge => true also " +
+        "DELETES the table directory (data + metadata, Iceberg's DROP " +
+        "TABLE PURGE). Without purge the files stay — register_table " +
+        "re-attaches them.",
+      Seq(in("name", S, "registered table name"),
+        inD("purge", B, "false", "also delete the table directory from disk")),
+      schema("table_name" -> S, "purged" -> B),
+      (spark, input) => {
+        val name = stripName(input.getUTF8String(0).toString)
+        val registered = IceliteSql.lookup(spark, name).getOrElse(IceliteSql.fail(
+          s"drop_table: ice.$name is not registered"))
+        val purge = input.getBoolean(1)
+        IceliteSql.unregister(spark, name)
+        if (purge)
+          graft.tools.ScalingBench.deleteRecursivelyPublic(registered.table.root)
+        Seq(row(name, purge))
+      }),
     new Proc("expire_snapshots",
       "Drop retained history: pass exactly one of older_than_millis (expire " +
         "snapshots committed strictly before the cutoff) or retain_last " +

@@ -71,15 +71,22 @@ object IceliteSql {
       m
     }
 
-  /** Expose `engine`'s table to SQL in `spark` as `ice.<name>`. */
-  def register(spark: SparkSession, name: String, engine: CdcEngine): Unit = {
-    // make `ice` a real catalog name so Spark's own resolver routes
-    // multi-part identifiers (`ice.t.snapshots`) here instead of erroring
-    // on `spark_catalog` namespace depth — the stub always reports
-    // table-not-found, leaving the relation for the resolution rule
+  /** Make `ice` a real catalog name so Spark's own resolver routes
+    * multi-part identifiers (`ice.t.snapshots`, `CALL ice.system.*`) here
+    * instead of erroring on `spark_catalog` namespace depth — the stub
+    * always reports table-not-found, leaving the relation for the
+    * resolution rule. [[register]] calls this automatically; call it
+    * directly when the FIRST SQL statement of a session is a table-less
+    * procedure (`CALL ice.system.create_table(...)`). */
+  def ensureCatalog(spark: SparkSession): Unit = {
     val key = s"spark.sql.catalog.$Catalog"
     if (!spark.conf.getOption(key).contains(classOf[IceliteCatalogStub].getName))
       spark.conf.set(key, classOf[IceliteCatalogStub].getName)
+  }
+
+  /** Expose `engine`'s table to SQL in `spark` as `ice.<name>`. */
+  def register(spark: SparkSession, name: String, engine: CdcEngine): Unit = {
+    ensureCatalog(spark)
     forSession(spark).put(name.toLowerCase, engine)
   }
 

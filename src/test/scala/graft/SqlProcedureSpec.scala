@@ -157,6 +157,49 @@ class SqlProcedureSpec extends AnyFunSuite {
     assert(rowsOf(spark.sql("SELECT * FROM ice.pr")) === rowsOf(again.currentState()))
   }
 
+  test("table lifecycle is SQL-complete: create_table with a declared schema, DML, drop, re-register") {
+    graft.sql.IceliteSql.ensureCatalog(spark) // no register() has to precede DDL
+    val dir = SparkTestBase.tmpDir("proc-ddl")
+    spark.sql(s"CALL ice.system.create_table('pddl', '$dir/t', " +
+      "buckets => 8, stats_cols => 'lang', " +
+      "columns => 'commit STRING, lang STRING, content STRING')").collect()
+    // the genesis commit pinned the schema: DML works before any batch
+    spark.sql("INSERT INTO ice.pddl (repo, path, lang, content) " +
+      "VALUES ('r1', 'a', 'py', 'v1'), ('r2', 'b', 'go', 'v2')")
+    assert(spark.sql("SELECT repo, path, lang FROM ice.pddl ORDER BY repo")
+      .collect().map(_.toString).toSeq ===
+      Seq("[r1,a,py]", "[r2,b,go]"))
+    // metadata aggregate works over the SQL-created table too
+    assert(spark.sql("SELECT count(*) AS n FROM ice.pddl").head().getLong(0) === 2L)
+
+    // drop WITHOUT purge: unregistered, files intact, re-attachable
+    spark.sql("CALL ice.system.drop_table('pddl')").collect()
+    assert(intercept[AnalysisException] {
+      spark.sql("SELECT * FROM ice.pddl").collect()
+    }.getMessage.nonEmpty)
+    spark.sql(s"CALL ice.system.register_table('pddl2', '$dir/t')").collect()
+    assert(spark.sql("SELECT count(*) AS n FROM ice.pddl2").head().getLong(0) === 2L)
+
+    // duplicate registrations fail loudly
+    assert(intercept[AnalysisException] {
+      spark.sql(s"CALL ice.system.register_table('pddl2', '$dir/t')").collect()
+    }.getMessage.contains("already registered"))
+
+    // drop WITH purge deletes the directory
+    spark.sql("CALL ice.system.drop_table('pddl2', purge => true)").collect()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t")))
+  }
+
+  test("create_table without a declared schema: first batch defines it") {
+    graft.sql.IceliteSql.ensureCatalog(spark)
+    val dir = SparkTestBase.tmpDir("proc-ddl2")
+    spark.sql(s"CALL ice.system.create_table('pddl3', '$dir/t', buckets => 8)").collect()
+    val engine = graft.sql.IceliteSql.lookup(spark, "pddl3").get
+    engine.applyBatch(0, shifted(50, 99, 0))
+    assert(spark.sql("SELECT count(*) AS n FROM ice.pddl3").head().getLong(0) > 0L)
+    spark.sql("CALL ice.system.drop_table('pddl3', purge => true)").collect()
+  }
+
   test("unknown procedure, unknown table, and wrong namespace fail loudly") {
     freshEngine("px").applyBatch(0, shifted(100, 97, 0))
     val unknownProc = intercept[AnalysisException] {
