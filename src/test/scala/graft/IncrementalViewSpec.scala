@@ -123,6 +123,31 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(r2.getInt(r2.fieldIndex("max_bytes")) === 4)
   }
 
+  test("a tombstone-GC purge between refreshes is a view no-op (delta path)") {
+    val engine = newEngine()
+    val v = newView(engine)
+    val ev = Synth.events(spark, 3000, seed = 17) // ~5% deletes
+    engine.applyBatch(0, ev.filter(col("commit_lsn") < 1500))
+    v.refresh()
+    engine.applyBatch(1, ev.filter(col("commit_lsn") >= 1500))
+    // purge INSIDE the refresh window: the feed synthesizes deletes for the
+    // GC'd keys, but those keys were invisible at `since`, so the delta
+    // math must net them to zero — no phantom retraction
+    engine.compact(purgeTombstonesBelowLsn =
+      engine.highWatermark(engine.table.currentSnapshotId) + 1)
+    assert(engine.currentCells().filter(col("_op.v") === "D").count() === 0L)
+    v.refresh()
+    assertMatches(v, engine)
+    // and a refresh window that is PURELY a purge nets to zero rows applied
+    engine.applyBatch(2, Synth.events(spark, 500, seed = 18)
+      .withColumn("commit_lsn", col("commit_lsn") + 10000))
+    v.refresh()
+    engine.compact(purgeTombstonesBelowLsn =
+      engine.highWatermark(engine.table.currentSnapshotId) + 1)
+    v.refresh()
+    assertMatches(v, engine)
+  }
+
   test("expired `since` falls back to a full recompute") {
     val engine = newEngine()
     val v = newView(engine)
