@@ -121,6 +121,15 @@ class StreamFeedSpec extends AnyFunSuite {
     source.applyBatch(2, shifted(400, seed = 83, by = 1800))
     replicate()
     assert(visible(mirror) === visible(source), "mirror diverged after incremental windows")
+    // tombstone-GC purge inside the next window: the stream's changesSince
+    // synthesizes deletes for the GC'd keys (Snapshot.purge), so the mirror
+    // must stay equal even though no tombstone cell survives at the source
+    source.applyBatch(3, shifted(400, seed = 84, by = 2600))
+    source.compact(purgeTombstonesBelowLsn =
+      source.highWatermark(source.table.currentSnapshotId) + 1)
+    assert(source.currentCells().filter(col("_op.v") === "D").count() === 0L)
+    replicate()
+    assert(visible(mirror) === visible(source), "mirror diverged across a purge window")
   }
 
   test("declarative replication: feed source straight into the icelite sink, no foreachBatch") {
