@@ -748,21 +748,27 @@ class CdcEngine(
     stateAt(table.snapshotForTag(name).snapshotId, buckets)
 
   private def stateOf(buckets: Option[Set[Int]], asOfSnapshot: Option[Long]): DataFrame = {
-    val schemaAt = asOfSnapshot match {
-      case Some(id) => Some(table.schema(table.snapshot(id).schemaId))
-      case None => table.currentSchema
+    // Pin a head read to the CONCRETE current snapshot, so the plan's file
+    // list, its schema, and the metadata-aggregate tag all describe the
+    // same table version — a held DataFrame must not answer count(*) from
+    // a snapshot newer than the files it scans (None = empty table).
+    val pinned = asOfSnapshot.orElse {
+      val id = table.currentSnapshotId
+      if (id >= 0) Some(id) else None
     }
+    val schemaAt = pinned.map(id => table.schema(table.snapshot(id).schemaId))
     val payload = payloadOfSchema(schemaAt)
-    val cells = readStateCells(buckets, payload, asOfSnapshot)
+    val cells = readStateCells(buckets, payload, pinned)
     val base = flattenCells(cells.filter(col(s"$OpCell.v") =!= lit("D")), payload)
     val out =
       if (payload.fieldNames.contains("content"))
         base.withColumn("content_sha256", sha2(col("content"), 256))
       else base
     // full-table reads advertise themselves to the metadata-only aggregate
-    // rewrite (bucket-pruned reads don't: manifest sums cover ALL buckets)
+    // rewrite (bucket-pruned reads don't: manifest sums cover ALL buckets);
+    // the tag carries the PINNED snapshot, not "head"
     if (buckets.isEmpty)
-      out.queryExecution.analyzed.setTagValue(CdcEngine.MetaScanTag, (this, asOfSnapshot))
+      out.queryExecution.analyzed.setTagValue(CdcEngine.MetaScanTag, (this, pinned))
     out
   }
 
@@ -1609,19 +1615,41 @@ class CdcEngine(
     // A bucket whose rows ALL purged away writes no parquet output, but the
     // replace-commit only replaces buckets present in the map — an absent
     // bucket would silently KEEP its old (tombstone-only) files. Emit an
-    // explicit empty file list for every selected bucket that had files
-    // and produced none.
+    // explicit empty file list for every SELECTED bucket that had files at
+    // the pinned snapshot and produced none. (`groups` is schemaId-keyed —
+    // using it here once wiped an unselected bucket.)
+    val oldSelected: Map[Int, List[Icelite.DataFile]] =
+      table.bucketFilesOf(table.snapshot(observedParent))
+        .collect { case (b, fs) if selected.contains(b.toInt) && fs.nonEmpty =>
+          b.toInt -> fs }
     val bucketFiles =
       if (purgeTombstonesBelowLsn < 0) collected
-      else collected ++
-        groups.keySet.filterNot(collected.contains).map(_ -> List.empty[Icelite.DataFile])
+      else collected ++ oldSelected.keySet
+        .filterNot(collected.contains).map(_ -> List.empty[Icelite.DataFile])
+    // Was anything ACTUALLY purged? The purge flag makes every change-feed
+    // window crossing this commit synthesize vanished-key deletes and (on
+    // merge-on-read) abandon the added-files key refinement — flagging a
+    // no-op purge would degrade incremental reads forever. Manifest math
+    // decides: no old file's LSN range reaches below the line => nothing
+    // could drop; all-merged inputs are key-disjoint final rows, so a
+    // row-count delta IS the purge count; live deltas collapse under the
+    // merge, so a no-op cannot be proven — stay conservative there.
+    val purgedSomething = purgeTombstonesBelowLsn >= 0 && {
+      val oldFiles = oldSelected.values.flatten
+      oldFiles.exists(_.minLsn < purgeTombstonesBelowLsn) && {
+        val allMerged = !table.meta.mergeOnRead || oldFiles.forall(_.merged)
+        if (allMerged)
+          oldFiles.map(_.rows).sum != collected.values.flatten.map(_.rows).sum
+        else true
+      }
+    }
     // replace-commit (append=false) even on merge-on-read tables: compaction
     // folds a bucket's delta pile back into one merged file. A purging
     // compaction is flagged on the snapshot: change-feed windows spanning
     // it must synthesize deletes for vanished keys (Snapshot.purge).
     table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0,
       expectedParentId = observedParent,
-      purge = purgeTombstonesBelowLsn >= 0).snapshotId
+      purge = purgedSomething).snapshotId
   }
 
   /** Bucket-count EVOLUTION (Iceberg's partition evolution): rewrite the
@@ -1797,14 +1825,12 @@ object CdcEngine {
             val op = blk.getColumns.asScala
               .find(_.getPath.toDotString == s"$OpCell.v").map(_.getStatistics)
             op match {
-              case Some(s) if s != null && !s.isEmpty && s.hasNonNullValue =>
-                def asStr(v: Any): String = v match {
-                  case b: org.apache.parquet.io.api.Binary =>
-                    new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
-                  case other => other.toString
-                }
-                val mn = asStr(s.genericGetMin)
-                val mx = asStr(s.genericGetMax)
+              // a null op cell would be filtered by readers but counted by
+              // the bounds alone — require a known zero null count
+              case Some(s) if s != null && !s.isEmpty && s.hasNonNullValue &&
+                  s.isNumNullsSet && s.getNumNulls == 0 =>
+                val mn = StatsSkip.binToString(s.genericGetMin)
+                val mx = StatsSkip.binToString(s.genericGetMax)
                 if (mn > "D") total += blk.getRowCount
                 else if (mx == "D") () // whole group tombstoned: adds 0
                 else decidable = false

@@ -47,7 +47,7 @@ object StatsSkip {
     case _ => None
   }
 
-  private def binToString(v: Any): String = v match {
+  private[engine] def binToString(v: Any): String = v match {
     case b: org.apache.parquet.io.api.Binary =>
       new String(b.getBytes, StandardCharsets.UTF_8)
     case s: String => s

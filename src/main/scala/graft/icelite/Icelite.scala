@@ -216,6 +216,17 @@ object Icelite {
     Files.writeString(tmp, s, StandardOpenOption.CREATE_NEW)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Recursively delete a table directory (DROP TABLE PURGE). Lives with
+    * the table format's own file handling so callers (SQL DDL, tools) do
+    * not depend on test/bench utilities for a core operation. */
+  def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteTree(_)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
 }
 
 class IceliteTable private (val root: Path) {

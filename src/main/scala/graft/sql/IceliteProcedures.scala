@@ -103,7 +103,7 @@ object IceliteProcedures {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val spark = SparkSession.active
         val raw = input.getUTF8String(0).toString
-        val tn = raw.stripPrefix(s"${IceliteSql.Catalog}.").toLowerCase
+        val tn = raw.toLowerCase.stripPrefix(s"${IceliteSql.Catalog}.")
         val registered = IceliteSql.lookup(spark, tn).getOrElse(IceliteSql.fail(
           s"${IceliteSql.Catalog}.$tn is not a registered icelite table — " +
             "register engines with IceliteSql.register"))
@@ -138,7 +138,7 @@ object IceliteProcedures {
   }
 
   private def stripName(raw: String): String =
-    raw.stripPrefix(s"${IceliteSql.Catalog}.").toLowerCase
+    raw.toLowerCase.stripPrefix(s"${IceliteSql.Catalog}.")
 
   private val procs: Map[String, UnboundProcedure] = Seq[UnboundProcedure](
 
@@ -168,18 +168,23 @@ object IceliteProcedures {
         val buckets = input.getInt(3)
         val statsCols = input.getUTF8String(5).toString.split(",")
           .map(_.trim).filter(_.nonEmpty).toSeq
+        // validate EVERYTHING before touching disk: a failed CALL must not
+        // leave an orphan table that blocks the corrected retry
         val colsDdl = input.getUTF8String(6).toString.trim
-        val t = IceliteTable.create(location, keys, buckets,
-          mergeOnRead = input.getBoolean(4))
-        if (colsDdl.nonEmpty) {
-          if (keys != Seq("repo", "path"))
-            IceliteSql.fail("create_table: a declared schema requires the " +
-              "standard (repo, path) key — custom-key state schemas are " +
-              "write-defined")
-          val payload =
-            try org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+        val payloadOpt =
+          if (colsDdl.isEmpty) None
+          else {
+            if (keys != Seq("repo", "path"))
+              IceliteSql.fail("create_table: a declared schema requires the " +
+                "standard (repo, path) key — custom-key state schemas are " +
+                "write-defined")
+            try Some(org.apache.spark.sql.types.StructType.fromDDL(colsDdl))
             catch { case e: Exception =>
               IceliteSql.fail(s"create_table: bad columns DDL '$colsDdl': ${e.getMessage}") }
+          }
+        val t = IceliteTable.create(location, keys, buckets,
+          mergeOnRead = input.getBoolean(4))
+        payloadOpt.foreach { payload =>
           val sid = t.ensureSchema(CdcEngine.stateSchema(payload))
           t.commit(-1L, sid, Map.empty, Nil, rowDelta = 0) // empty genesis pins schema-0
         }
@@ -225,7 +230,7 @@ object IceliteProcedures {
         val purge = input.getBoolean(1)
         IceliteSql.unregister(spark, name)
         if (purge)
-          graft.tools.ScalingBench.deleteRecursivelyPublic(registered.table.root)
+          graft.icelite.Icelite.deleteTree(registered.table.root)
         Seq(row(name, purge))
       }),
     new Proc("expire_snapshots",

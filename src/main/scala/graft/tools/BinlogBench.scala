@@ -94,9 +94,11 @@ object BinlogBench {
         while (line != null && port < 0) {
           if (line.startsWith("BINLOG_READY")) {
             port = line.split(" ").find(_.startsWith("port="))
-              .map(_.drop(5).toInt).getOrElse(-1)
+              .flatMap(_.drop(5).toIntOption).getOrElse(-1)
             println(s"  forked broker: $line (pid ${proc.pid()})")
-          } else line = rd.readLine()
+          }
+          if (port < 0) line = rd.readLine() // always advance: a malformed
+          // READY line must fall through to the require, not spin here
         }
         require(port > 0, "forked broker failed to report a port")
         // drain the child's stdout so a full pipe can never block it

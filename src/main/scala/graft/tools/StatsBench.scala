@@ -57,11 +57,7 @@ object StatsBench {
     println(f"sort-rewrite: $compactSec%.1f s, $filesTotal%d files; " +
       s"plan for lang='py': $plan")
 
-    def time(f: => Long): (Double, Long) = {
-      val s = System.nanoTime(); val r = f
-      ((System.nanoTime() - s) / 1e9, r)
-    }
-    def time2[A](f: => A): (Double, A) = {
+    def time[A](f: => A): (Double, A) = {
       val s = System.nanoTime(); val r = f
       ((System.nanoTime() - s) / 1e9, r)
     }
@@ -145,12 +141,12 @@ object StatsBench {
       var apiS = Double.MaxValue
       var r1: Seq[Any] = Nil; var r2: Seq[Any] = Nil; var r3: Seq[Any] = Nil
       (1 to 2).foreach { _ =>
-        val (ts2, rs2) = time2(mE.currentState().where(lit(true))
+        val (ts2, rs2) = time(mE.currentState().where(lit(true))
           .agg(count(lit(1)), min("commit"), max("commit")).head().toSeq)
-        val (tq, rq) = time2(spark.sql(
+        val (tq, rq) = time(spark.sql(
           "SELECT count(*) AS n, min(commit) AS mn, max(commit) AS mx " +
             "FROM ice.statsbench_meta").head().toSeq)
-        val (ta, ra) = time2 {
+        val (ta, ra) = time {
           val b = mE.metaBounds("commit").get
           Seq(mE.metaCount().get, b._1.orNull, b._2.orNull)
         }

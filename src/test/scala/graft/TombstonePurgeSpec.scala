@@ -136,6 +136,62 @@ class TombstonePurgeSpec extends AnyFunSuite {
     assert(stateKeys(e) === Set(("r1", "p1")))
   }
 
+  test("subset purge-compaction never touches unselected buckets; a purged-empty bucket really empties") {
+    val e = mk(mor = false)
+    // two single-key buckets, found by probing the engine's own hash
+    def bucketOf(path: String): Int = {
+      import spark.implicits._
+      Seq(("rX", path)).toDF("repo", "path").select(e.bucketCol).head().getInt(0)
+    }
+    val paths = (0 until 64).map(i => s"p$i")
+    val pA = paths.find(bucketOf(_) != 0).get // NOT bucket 0 (the old bug
+    // backfilled schema-id 0 as if it were a bucket id)
+    val pB = paths.find(p => bucketOf(p) != bucketOf(pA)).get
+    def ev(path: String, lsn: Long, op: String) =
+      Seq(("rX", path, s"c$lsn", "scala", s"v$lsn", op, lsn, 0,
+        new java.sql.Timestamp(1700000000000L + lsn)))
+        .toDF("repo", "path", "commit", "lang", "content", "op",
+          "commit_lsn", "seq", "ts")
+    e.applyBatch(0, ev(pA, 10, "U").unionAll(ev(pB, 11, "U")))
+    e.applyBatch(1, ev(pA, 20, "D")) // bucket A now holds ONLY a tombstone
+    // purge-compact ONLY bucket A: bucket B must be untouched and visible,
+    // bucket A's tombstone-only file must actually disappear
+    e.compact(buckets = Some(Set(bucketOf(pA))), purgeTombstonesBelowLsn = 21)
+    assert(stateKeys(e) === Set(("rX", pB)))
+    assert(e.currentCells().count() === 1L) // only B's row remains anywhere
+    // and the all-tombstone bucket was emptied even though it wrote no file
+    assert(e.metaCount() === Some(1L))
+  }
+
+  test("a held DataFrame answers metadata aggregates from ITS snapshot, not a later head") {
+    val e = mk(mor = false)
+    e.applyBatch(0, Synth.events(spark, 1000, seed = 86).filter(col("op") =!= "D"))
+    val held = e.currentState()
+    val atHold = held.where(lit(true)).count() // rewrite-proof scan answer
+    e.applyBatch(1, Synth.events(spark, 1000, seed = 87).filter(col("op") =!= "D")
+      .withColumn("commit_lsn", col("commit_lsn") + 5000))
+    // the held plan's files AND its metadata answer are both the old version
+    assert(held.groupBy().count().head().getLong(0) === atHold,
+      "held DataFrame leaked the newer snapshot through the metadata rewrite")
+    assert(e.currentState().where(lit(true)).count() > atHold)
+  }
+
+  test("a no-op purge line does not flag the snapshot (feed refinement survives)") {
+    val e = mk(mor = true, EngineConf(buckets = 8))
+    val ev = Synth.events(spark, 1500, seed = 88) // deletes present
+    e.applyBatch(0, ev)
+    // line 0: nothing can be below it — the commit must NOT carry purge
+    e.compact(purgeTombstonesBelowLsn = 0)
+    val head = e.table.snapshot(e.table.currentSnapshotId)
+    assert(!head.purge, "no-op purge must not degrade feed windows")
+    // a line above the watermark on a delete-bearing table DOES flag
+    e.applyBatch(1, Synth.events(spark, 500, seed = 89)
+      .withColumn("commit_lsn", col("commit_lsn") + 9000))
+    e.compact(purgeTombstonesBelowLsn =
+      e.highWatermark(e.table.currentSnapshotId) + 1)
+    assert(e.table.snapshot(e.table.currentSnapshotId).purge)
+  }
+
   test("a feed-consumer mirror synced across a purge window equals the source") {
     val dir = SparkTestBase.tmpDir("tombgc-mirror")
     val src = new CdcEngine(spark,
