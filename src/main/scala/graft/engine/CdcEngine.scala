@@ -113,6 +113,19 @@ case class EngineConf(
     // ranges overlap — pruning stays sound, just less selective.
     writeSortCols: Seq[String] = Nil,
     writeMaxFileRows: Long = 0L,
+    // Declared Z-ORDER clustering (Delta's OPTIMIZE ZORDER BY / Iceberg's
+    // z-order rewrite strategy), applied ONLY at maintenance time —
+    // threshold auto-compaction and explicit compact() — never on the
+    // ingest hot path (matching Delta/Iceberg, where z-order is an
+    // OPTIMIZE-time rewrite: the interleave needs global column bounds a
+    // hot batch write should not pay to learn). 2-4 payload columns;
+    // files come out clustered on the Z-curve of ALL of them, so a
+    // predicate on ANY named column prunes files via its statsCols
+    // bounds — the multi-column answer to writeSortCols' lexicographic
+    // bias, where only the leading column's bounds are tight. Takes
+    // precedence over writeSortCols at auto-compaction when set. See
+    // compact(zorderBy = ...).
+    zorderCols: Seq[String] = Nil,
     // dead-letter quarantine: non-empty = malformed events (null key
     // column, op, lsn or seq — rows the merge's validity predicate would
     // silently drop) are written to `<dlqDir>/epoch=N` parquet with a
@@ -1536,7 +1549,12 @@ class CdcEngine(
     * × files instead of all of them. The split files are all `merged`
     * (key-unique and key-disjoint — a sequential cut of one key-unique
     * sorted partition), so reads stay raw (no LWW re-merge) and point
-    * lookups still prune by bucket + parquet key blooms. */
+    * lookups still prune by bucket + parquet key blooms.
+    *
+    * `zorderBy` (mutually exclusive with `sortBy`): cluster on the MORTON
+    * key of 2-4 payload columns instead — see [[zorderKey]] — so after the
+    * maxFileRows split a predicate on ANY named column prunes files, not
+    * just the lexicographic leading one. */
   /** Threshold auto-compaction ([[EngineConf.morCompactThreshold]]):
     * [[compact]] restricted to the over-threshold buckets, applying the
     * table's DECLARED sort order (`writeSortCols`/`writeMaxFileRows` —
@@ -1545,12 +1563,64 @@ class CdcEngine(
     * maintenance comes out clustered and stats-prunable. */
   private def autoCompact(buckets: Set[Int]): Long =
     compact(Some(buckets),
-      sortBy = conf.writeSortCols.filter(tablePayload.fieldNames.contains),
+      sortBy =
+        if (conf.zorderCols.nonEmpty) Nil
+        else conf.writeSortCols.filter(tablePayload.fieldNames.contains),
+      zorderBy = conf.zorderCols.filter(tablePayload.fieldNames.contains),
       maxFileRows = conf.writeMaxFileRows,
       purgeTombstonesBelowLsn =
         if (conf.tombstonePurgeLagLsn < 0) -1L
         else math.max(0L,
           highWatermark(table.currentSnapshotId) - conf.tombstonePurgeLagLsn))
+
+  /** The Z-order (Morton) clustering key for `compact(zorderBy = cols)` —
+    * Delta's OPTIMIZE ZORDER / Iceberg's z-order rewrite strategy. Each
+    * column is mapped by a monotone "rank proxy" onto a 65536-cell grid
+    * (linear min-max scaling — one small aggregate over the compaction
+    * input learns the bounds; maintenance-time only, never the ingest hot
+    * path), and the per-column cells are bit-interleaved by the codegen'd
+    * [[graft.functions.InterleaveBits]] expression into one long sort key.
+    * Sorting by it clusters every named dimension ~sqrt-tight, so after
+    * the maxFileRows split a predicate on ANY of the columns prunes files
+    * through its harvested statsCols bounds — where a lexicographic
+    * `sortBy(a, b)` leaves `b`'s per-file bounds full-width.
+    *
+    * Monotone proxies per type: numerics/timestamps cast to double;
+    * strings take their first 7 UTF-8 bytes as a left-justified big-endian
+    * integer (preserves lexicographic order on that prefix — the same
+    * bounded-prefix trade Iceberg makes truncating string bounds). Linear
+    * scaling is skew-sensitive (a heavy hitter crowds one cell); Delta's
+    * range-id variant resists skew at the cost of a per-column sample
+    * pass — linear is the deterministic choice and the statsCols pruning
+    * it feeds stays SOUND either way (bounds never lie; skew only costs
+    * selectivity). Nulls map to cell 0 (they carry no bound anyway). */
+  private def zorderKey(cells: DataFrame, cols: Seq[String],
+      payload: StructType): Column = {
+    graft.functions.VecOps.register(spark)
+    def proxy(c: String): Column = payload(c).dataType match {
+      case StringType =>
+        // left-justified 7-byte prefix value: hex preserves byte order,
+        // rpad keeps short strings below their extensions, 14 hex digits
+        // stay within a double's exact-integer range after conv
+        conv(rpad(substring(hex(encode(col(s"$c.v"), "UTF-8")), 1, 14),
+          14, "0"), 16, 10).cast("double")
+      case _ => col(s"$c.v").cast("double")
+    }
+    val aggs = cols.flatMap(c =>
+      Seq(min(proxy(c)).as(s"__zmn_$c"), max(proxy(c)).as(s"__zmx_$c")))
+    // one driver row of 2k doubles — the bounds-learning pass
+    val bounds = cells.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val codes = cols.zipWithIndex.map { case (c, i) =>
+      val mn = Option(bounds.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
+      val mx = Option(bounds.get(2 * i + 1)).fold(mn)(_.asInstanceOf[Double])
+      val scaled =
+        if (mx > mn) (proxy(c) - lit(mn)) / lit(mx - mn) * lit(65535.0)
+        else lit(0.0)
+      least(greatest(coalesce(scaled, lit(0.0)), lit(0.0)), lit(65535.0))
+        .cast("int")
+    }
+    graft.functions.VecOps.interleaveBits(codes)
+  }
 
   /** Rewrite buckets back to one merged file each (all of them by default).
     * `purgeTombstonesBelowLsn` >= 0 additionally DROPS tombstone rows whose
@@ -1561,8 +1631,11 @@ class CdcEngine(
     * tombstone and resurrects the key. Only purge below the source's
     * replay lower bound (see `EngineConf.tombstonePurgeLagLsn`). */
   def compact(buckets: Option[Set[Int]] = None, sortBy: Seq[String] = Nil,
-      maxFileRows: Long = 0L, purgeTombstonesBelowLsn: Long = -1L): Long = {
+      maxFileRows: Long = 0L, purgeTombstonesBelowLsn: Long = -1L,
+      zorderBy: Seq[String] = Nil): Long = {
     checkLayout()
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "compact: sortBy and zorderBy are mutually exclusive cluster orders")
     // CAS pin: compaction is a read-modify-write of whole buckets, so a
     // concurrent append between the read and the replace-commit would be
     // silently folded away — conflict instead (caller/auto-compact simply
@@ -1595,10 +1668,13 @@ class CdcEngine(
     // A caller sort order goes FIRST (stats clustering beats key pages for
     // the columns it names); key blooms are sort-independent, so lookups
     // keep their row-group pruning either way.
-    val badSort = sortBy.filterNot(payload.fieldNames.contains)
+    val badSort = (sortBy ++ zorderBy).filterNot(payload.fieldNames.contains)
     require(badSort.isEmpty, s"compact sortBy: not payload columns: $badSort")
-    val sortCols =
-      col("__b") +: (sortBy.map(c => col(s"$c.v")) ++ keyColumns)
+    val clusterCols: Seq[Column] =
+      if (zorderBy.size >= 2) Seq(zorderKey(cells, zorderBy, payload))
+      // one z column degenerates to a plain range sort on it
+      else (sortBy ++ zorderBy).map(c => col(s"$c.v"))
+    val sortCols = col("__b") +: (clusterCols ++ keyColumns)
     val writer = cells.withColumn("__b", bucketCol)
       .repartition(selected.size, col("__b"))
       .sortWithinPartitions(sortCols: _*)
@@ -1650,6 +1726,100 @@ class CdcEngine(
     table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0,
       expectedParentId = observedParent,
       purge = purgedSomething).snapshotId
+  }
+
+  /** MINOR compaction (LSM "minor"/Iceberg-binpack analog of [[compact]]):
+    * fold each selected bucket's DELTA files into ONE combined delta file,
+    * leaving merged (base) files untouched. The per-column cell merge is
+    * associative, commutative and idempotent, so pre-reducing any subset
+    * of deltas is exact — read-time LWW over {base, combined} equals LWW
+    * over {base, d1..dk}. The point is the cost class: maintenance write
+    * work is O(delta rows), not O(bucket rows). At 10^10 events a table's
+    * base dwarfs its churn window, so the full rewrite grows with the
+    * TABLE while this grows with the CHANGE volume — use it to bound read
+    * fan-in (and the per-read LWW width) between much rarer full rewrites,
+    * which stay the only way to fold cells into key-unique rows, purge
+    * tombstones, or produce stats-prunable merged files.
+    *
+    * Only buckets holding at least `minInputFiles` delta files are
+    * touched. The combined delta keeps everything a delta carries:
+    * tombstone cells survive (revival semantics unchanged), LSN stats are
+    * re-harvested from the new footer, and the key-fingerprint bitmap is
+    * the driver-side OR of the inputs' bitmaps (a union of
+    * no-false-negative single-hash blooms is one; dropped if any input
+    * lacks one or the union crosses the write path's 25% load cap).
+    * Commits CAS-style against the snapshot it read (a concurrent append
+    * between read and replace-commit would otherwise be silently folded
+    * away — same protection as [[compact]]). Merge-on-read tables only.
+    * Returns the new snapshot id (the current one when nothing
+    * qualified). */
+  def compactDeltas(buckets: Option[Set[Int]] = None,
+      minInputFiles: Int = 2): Long = {
+    checkLayout()
+    require(table.meta.mergeOnRead, "compactDeltas: merge-on-read tables only")
+    require(minInputFiles >= 2, s"minInputFiles must be >= 2, got $minInputFiles")
+    val observedParent = table.currentSnapshotId
+    if (observedParent < 0) return observedParent
+    val payload = tablePayload
+    val selected: Map[Int, List[Icelite.DataFile]] =
+      table.bucketFilesOf(table.snapshot(observedParent)).collect {
+        case (b, fs) if buckets.forall(_.contains(b.toInt)) &&
+          fs.count(!_.merged) >= minInputFiles => b.toInt -> fs
+      }
+    if (selected.isEmpty) return observedParent
+    val deltas: Map[Int, List[Icelite.DataFile]] =
+      selected.map { case (b, fs) => b -> fs.filterNot(_.merged) }
+    // (schemaId -> absolute paths) over JUST the delta files — the read
+    // never opens a base file
+    val groups: Map[Int, Seq[String]] = deltas.values.flatten.toSeq
+      .groupBy(_.schemaId)
+      .map { case (sid, fs) =>
+        sid -> fs.map(f => table.root.resolve(f.path).toString) }
+    val cells = lwwAgg(readAligned(groups, payload),
+      Seq(OpCell, TsCell) ++ payload.fieldNames)
+    val outDir =
+      table.root.resolve("data").resolve(f"minor-${System.nanoTime()}%x")
+    // key-sorted like every other maintenance output: combined deltas live
+    // until the next rewrite, so they earn page stats + dictionary runs
+    cells.withColumn("__b", bucketCol)
+      .repartition(selected.size, col("__b"))
+      .sortWithinPartitions((col("__b") +: keyColumns): _*)
+      .write
+      .option("parquet.bloom.filter.enabled#repo", "true")
+      .option("parquet.bloom.filter.enabled#path", "true")
+      .partitionBy("__b").parquet(outDir.toString)
+    val sid = table.ensureSchema(stateSchema(payload))
+    val collected = collectBucketFiles(outDir, table, sid,
+      spark.sessionState.newHadoopConf(), merged = false, statsCols = Nil)
+    val bucketFiles: Map[Int, List[Icelite.DataFile]] =
+      selected.map { case (b, fs) =>
+        val fp = fpUnionOf(deltas(b))
+        b -> (fs.filter(_.merged) ++
+          collected.getOrElse(b, Nil).map(_.copy(keyFp = fp)))
+      }
+    table.commit(-1L, sid, bucketFiles, Nil, rowDelta = 0,
+      expectedParentId = observedParent).snapshotId
+  }
+
+  /** OR-union of delta files' key-fingerprint bitmaps (see
+    * [[Icelite.fpBitmap]]): sound because each input has no false
+    * negatives, so neither does the union. None when any input lacks a
+    * bitmap (unknown stays unknown), widths disagree (mixed keyFpBits
+    * configs), or the union's load crosses the write path's 25% cap
+    * (useless before wrong). */
+  private def fpUnionOf(inputs: Seq[Icelite.DataFile]): Option[String] = {
+    val bms = inputs.map(_.keyFp)
+    if (bms.isEmpty || bms.exists(_.isEmpty)) return None
+    val arrs = bms.flatten.map(java.util.Base64.getDecoder.decode)
+    if (arrs.map(_.length).distinct.size != 1) return None
+    val out = new Array[Byte](arrs.head.length)
+    arrs.foreach { a =>
+      var i = 0
+      while (i < out.length) { out(i) = (out(i) | a(i)).toByte; i += 1 }
+    }
+    val setBits = out.iterator.map(b => Integer.bitCount(b & 0xff)).sum
+    if (setBits > out.length * 8 / 4) None
+    else Some(java.util.Base64.getEncoder.encodeToString(out))
   }
 
   /** Bucket-count EVOLUTION (Iceberg's partition evolution): rewrite the

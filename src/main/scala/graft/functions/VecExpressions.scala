@@ -112,23 +112,39 @@ object VecOps {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
 
-  /** Register `vec_dot` in the session's function registry so `expr()` /
-    * `spark.sql` can call it. Idempotent. (The SparkSessionExtensions route
-    * — spark.sql.extensions=graft.functions.GraftExtensions — injects the
-    * same builder at session build time.) */
-  def register(spark: SparkSession): Unit =
+  /** `interleave_bits(c0, c1[, c2[, c3]])` as a Column — the Morton
+    * (Z-order) sort key over 16-bit grid codes (see [[InterleaveBits]]). */
+  def interleaveBits(codes: Seq[Column]): Column =
+    org.apache.spark.sql.functions.call_function("interleave_bits", codes: _*)
+
+  /** Register graft's native functions in the session's function registry
+    * so `expr()` / `spark.sql` can call them. Idempotent. (The
+    * SparkSessionExtensions route — spark.sql.extensions=
+    * graft.functions.GraftExtensions — injects the same builders at
+    * session build time.) */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (children: Seq[Expression]) => InterleaveBits(children))
+  }
 }
 
 /** Session extension installing graft's native functions:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (children: Seq[Expression]) => InterleaveBits(children)))
+  }
 }

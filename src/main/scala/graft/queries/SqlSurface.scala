@@ -250,6 +250,36 @@ object SqlSurface {
       df
     }),
 
+    // Z-ORDER clustering, oracle-gated (q80's multi-dimensional twin):
+    // replay with an extra int payload dim `ver`, rewrite under
+    // zorderBy = (lang, ver) — the Morton-key sort via the codegen'd
+    // interleave_bits expression — then a two-sided scanWhere. The
+    // in-query requires prove files were skipped on BOTH dimensions
+    // (a lexicographic sort could only ever prune the leading one);
+    // the driver gate proves the doubly-pruned read's rows equal plain
+    // SQL over the final LWW state. 4 buckets / 25-row splits so both
+    // dims get interleaved bits at every driver SF, sf0.001's ~900-key
+    // state included.
+    "q84_zorder_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = derived(s, dir)
+        .withColumn("ver", (col("commit_lsn") % 97).cast("int"))
+      val work = Work.tmp("graft-sql-q84")
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"$work/t", Seq("repo", "path"), 4),
+        EngineConf(buckets = 4, statsCols = Seq("lang", "ver")))
+      engine.applyBatch(0, ev)
+      engine.compact(zorderBy = Seq("lang", "ver"), maxFileRows = 25)
+      val pl = engine.scanRangePlan("lang", Some("view"), Some("view"))
+      val pv = engine.scanRangePlan("ver", Some(10), Some(39))
+      require(pl.filesSkipped > 0 && pv.filesSkipped > 0,
+        s"q84: z-order must prune both dims, got lang=$pl ver=$pv")
+      engine.scanWhere(Seq(("lang", Some("view"), Some("view")),
+          ("ver", Some(10), Some(39))))
+        .select(col("repo"), col("path"), col("lang"), col("ver"),
+          col("content"))
+    }),
+
     // Tombstone GC through SQL maintenance: replay the derived stream
     // (deletes included), then CALL rewrite_data_files with
     // purge_tombstones_below_lsn above the high watermark — every retained
@@ -329,5 +359,23 @@ object SqlSurface {
         |FROM latest WHERE rn = 1""".stripMargin),
     "q83_purge_compact" ->
       (derivedCte("") +
-        "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"))
+        "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"),
+    "q84_zorder_scan" -> """
+      |WITH ev AS (
+      |  SELECT concat('r', CAST(user_id % 40 AS VARCHAR)) AS repo,
+      |         concat('p', CAST(event_id % 181 AS VARCHAR)) AS path,
+      |         event_id AS lsn,
+      |         CASE WHEN event_type = 'click' AND event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+      |         event_type AS lang,
+      |         CAST(event_id % 97 AS INT) AS ver,
+      |         concat('v', CAST(event_id % 997 AS VARCHAR)) AS content
+      |  FROM events
+      |), latest AS (
+      |  SELECT repo, path, lang, ver, content, op,
+      |         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      |  FROM ev
+      |)
+      |SELECT repo, path, lang, ver, content
+      |FROM latest
+      |WHERE rn = 1 AND op <> 'D' AND lang = 'view' AND ver BETWEEN 10 AND 39""".stripMargin)
 }

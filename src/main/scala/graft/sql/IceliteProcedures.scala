@@ -280,14 +280,27 @@ object IceliteProcedures {
       Seq(tableParam,
         inD("sort_by", S, "''", "payload columns to cluster each bucket by (comma-separated; empty = key sort only)"),
         inD("max_file_rows", L, "0", "split each bucket into files of at most this many rows (0 = one file per bucket)"),
-        inD("purge_tombstones_below_lsn", L, "-1", "also drop tombstone rows deleted below this LSN (tombstone GC; only purge below the source's replay lower bound — a later sub-line event would resurrect the key)")),
+        inD("purge_tombstones_below_lsn", L, "-1", "also drop tombstone rows deleted below this LSN (tombstone GC; only purge below the source's replay lower bound — a later sub-line event would resurrect the key)"),
+        inD("zorder_by", S, "''", "cluster each bucket on the Z-curve of these 2-4 payload columns instead of sort_by (Delta's OPTIMIZE ZORDER BY): predicates on ANY named column prune the split files"),
+        inD("strategy", S, "'full'", "'full' = rewrite whole buckets (default); 'binpack' = MINOR compaction on merge-on-read tables — fold each bucket's delta files into one combined delta, base files untouched, write work O(delta rows) not O(bucket rows)"),
+        inD("min_input_files", I, "2", "binpack only: skip buckets with fewer delta files than this")),
       schema("snapshot_id" -> L, "files_before" -> I, "files_after" -> I),
       (_, _, engine, input) => {
-        val sortBy = input.getUTF8String(1).toString.split(",")
+        def cols(ord: Int) = input.getUTF8String(ord).toString.split(",")
           .map(_.trim).filter(_.nonEmpty).toSeq
         val before = engine.table.currentFiles().size
-        val sid = engine.compact(sortBy = sortBy, maxFileRows = input.getLong(2),
-          purgeTombstonesBelowLsn = input.getLong(3))
+        val sid = input.getUTF8String(5).toString match {
+          case "full" =>
+            engine.compact(sortBy = cols(1), maxFileRows = input.getLong(2),
+              purgeTombstonesBelowLsn = input.getLong(3), zorderBy = cols(4))
+          case "binpack" =>
+            require(cols(1).isEmpty && cols(4).isEmpty && input.getLong(3) < 0,
+              "binpack folds deltas as-is: sort_by/zorder_by/purge need a full rewrite")
+            engine.compactDeltas(minInputFiles = input.getInt(6))
+          case other =>
+            throw new IllegalArgumentException(
+              s"strategy must be 'full' or 'binpack', got '$other'")
+        }
         Seq(row(sid, before, engine.table.currentFiles().size))
       }),
 

@@ -37,7 +37,7 @@ object StatsBench {
     val work = java.nio.file.Files.createTempDirectory("statsbench")
     val table = IceliteTable.create(s"$work/t", Seq("repo", "path"), 64)
     val engine = new CdcEngine(spark, table,
-      EngineConf(buckets = 64, statsCols = Seq("lang")))
+      EngineConf(buckets = 64, statsCols = Seq("lang", "commit")))
 
     // wide key domain so state row count ~ events (a fact-table shape)
     val ev = Synth.events(spark, n, seed = 99, repos = 2000,
@@ -81,6 +81,41 @@ object StatsBench {
       f"$full%.2f | $pruned%.2f | ${full / pruned}%.2f× |"
     println(s"full-scan filter ${f"$full%.2f"} s vs pruned scan " +
       f"$pruned%.2f s (${full / pruned}%.2f× faster) — $check")
+
+    // Z-ORDER: the multi-column counterpart. Under the lexicographic
+    // lang-sort above, a predicate on the INDEPENDENT `commit` column can
+    // skip nothing (its per-file bounds are full-width); rewrite the same
+    // table on the Morton key of (lang, commit) and BOTH dims prune —
+    // each at ~sqrt tightness instead of one at full tightness.
+    val sortCommitPlan =
+      engine.scanRangePlan("commit", Some("c05"), Some("c06"))
+    val z0 = System.nanoTime()
+    engine.compact(zorderBy = Seq("lang", "commit"),
+      maxFileRows = math.max(4000L, rows / 640))
+    val zCompactSec = (System.nanoTime() - z0) / 1e9
+    val zLang = engine.scanRangePlan("lang", Some("py"), Some("py"))
+    val zCommit = engine.scanRangePlan("commit", Some("c05"), Some("c06"))
+    var zFullC = Double.MaxValue; var zPrunedC = Double.MaxValue
+    var zc1 = -1L; var zc2 = -2L
+    (1 to 2).foreach { _ =>
+      val (tf, rf) = time(aggOf(engine.currentState()
+        .filter(col("commit").between("c05", "c06"))))
+      val (tp, rp) = time(aggOf(
+        engine.scanRange("commit", Some("c05"), Some("c06"))))
+      zFullC = math.min(zFullC, tf); zPrunedC = math.min(zPrunedC, tp)
+      zc1 = rf; zc2 = rp
+    }
+    val zCheck = if (zc1 == zc2) "results identical"
+      else s"MISMATCH $zc1 != $zc2 (BUG!)"
+    println(f"z-order rewrite (lang, commit): $zCompactSec%.1f s; " +
+      s"lang='py' plan $zLang, commit in [c05,c06] plan $zCommit " +
+      s"(was $sortCommitPlan under the lang sort); commit-range agg " +
+      f"full $zFullC%.2f s vs pruned $zPrunedC%.2f s " +
+      f"(${zFullC / zPrunedC}%.2f× faster) — $zCheck")
+    val zLine = f"| ${sortCommitPlan.filesSkipped}/${sortCommitPlan.filesTotal} " +
+      f"| ${zLang.filesSkipped}/${zLang.filesTotal} " +
+      f"| ${zCommit.filesSkipped}/${zCommit.filesTotal} " +
+      f"| $zFullC%.2f | $zPrunedC%.2f | ${zFullC / zPrunedC}%.2f× |"
     // what does WRITE-TIME clustering cost on the ingest hot path? Same
     // events replayed into two fresh tables — plain vs writeSortCols +
     // writeMaxFileRows — interleaved best-of-2 per leg; then show the
@@ -173,6 +208,10 @@ object StatsBench {
            || events | state rows | files | skipped | full-filter s | pruned s | speedup |
            ||---|---|---|---|---|---|---|
            |$line
+           |
+           || commit-skip under lang-sort | lang-skip under z-order | commit-skip under z-order | commit full s | commit pruned s | speedup |
+           ||---|---|---|---|---|---|
+           |$zLine
            |
            || events | plain ingest s | clustered ingest s | overhead | fresh-file skip |
            ||---|---|---|---|---|

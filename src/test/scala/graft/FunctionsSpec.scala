@@ -67,6 +67,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  /** Reference Morton interleave for the tests — independent loop shape
+    * from the expression's (MSB-first fold vs the expression's shift-or). */
+  private def morton(vals: Int*): Long =
+    (15 to 0 by -1).foldLeft(0L)((acc, b) =>
+      vals.foldLeft(acc)((a, v) => (a << 1) | ((v >>> b) & 1)))
+
+  test("interleave_bits matches the reference Morton fold (2, 3 and 4 args)") {
+    VecOps.register(spark)
+    assert(spark.sql("SELECT interleave_bits(65535, 0)").head().getLong(0)
+      === 0xAAAAAAAAL)
+    assert(spark.sql("SELECT interleave_bits(0, 65535)").head().getLong(0)
+      === 0x55555555L)
+    val cases = Seq(Seq(40000, 123), Seq(7, 65535, 0), Seq(1, 2, 3, 4))
+    for (c <- cases) {
+      val got = spark.sql(s"SELECT interleave_bits(${c.mkString(",")})")
+        .head().getLong(0)
+      assert(got === morton(c: _*), s"args $c")
+    }
+  }
+
+  test("interleave_bits: null in, null out; arity and type checked at analysis") {
+    VecOps.register(spark)
+    assert(spark.sql("SELECT interleave_bits(1, cast(null as int))")
+      .head().isNullAt(0))
+    assertThrows[Exception](spark.sql("SELECT interleave_bits(1)").collect())
+    assertThrows[Exception](
+      spark.sql("SELECT interleave_bits(1,2,3,4,5)").collect())
+    assertThrows[Exception](
+      spark.sql("SELECT interleave_bits(1.5, 2.5)").collect())
+  }
+
+  test("interleave_bits codegen equals interpreted eval over a distributed column") {
+    // CODEGEN_ONLY turns any silent interpreter fallback into a hard fail;
+    // two fused interleaves exercise the freshName discipline (the VecDot
+    // Janino-redefinition regression class).
+    VecOps.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = spark.range(4096).selectExpr(
+        "CAST(pmod(xxhash64('a', id), 65536) AS INT) AS a",
+        "CAST(pmod(xxhash64('b', id), 65536) AS INT) AS b")
+        .selectExpr("a", "b", "interleave_bits(a, b) AS z",
+          "interleave_bits(b, a) AS zr")
+        .collect()
+      assert(rows.nonEmpty && rows.forall { r =>
+        r.getLong(2) === morton(r.getInt(0), r.getInt(1)) &&
+        r.getLong(3) === morton(r.getInt(1), r.getInt(0))
+      })
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("vec_dot participates in whole-stage codegen (no HOF lambda nodes)") {
     VecOps.register(spark)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

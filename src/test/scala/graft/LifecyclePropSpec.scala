@@ -169,9 +169,16 @@ class LifecyclePropSpec extends AnyFunSuite {
             acc.updated(k, acc.getOrElse(k, Set.empty) ++ surviving))
           record(); check(s"step $step purge-compact(line=$line)")
         } else {
+          // plain, sort-clustered, Z-ordered, or (MOR) minor rewrite —
+          // every flavor must be a visible-state no-op under any
+          // surrounding interleaving
+          val mode = rnd.nextInt(if (engine.table.meta.mergeOnRead) 4 else 3)
           opsHit += "compact"
-          engine.compact()
-          record(); check(s"step $step compact")
+          if (mode == 0) engine.compact()
+          else if (mode == 1) engine.compact(sortBy = Seq("lang"), maxFileRows = 64)
+          else if (mode == 2) engine.compact(zorderBy = Seq("lang", "commit"), maxFileRows = 64)
+          else engine.compactDeltas()
+          record(); check(s"step $step compact(mode=$mode)")
         }
       } else if (roll < 59) {
         val choices = Seq(4, 8, 12, 16).filterNot(_ == engine.conf.buckets)
