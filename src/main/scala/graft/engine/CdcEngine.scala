@@ -38,6 +38,17 @@ case class EngineConf(
     // BENCH.md's sustained-ingest section. COW fits update-heavy tables
     // with a bounded key set and read-hot workloads.
     morCompactThreshold: Int = 0,
+    // opt-in SIZE-TIERED auto-maintenance (LSM leveling): when a bucket
+    // crosses morCompactThreshold, fold ONLY its delta pile
+    // (compactDeltas — write work O(pile)) while the pile is small next
+    // to the merged base, and run the full rewrite only when combined
+    // delta rows reach this fraction of base rows — or when the bucket
+    // has no base yet to fold against. Bounds maintenance write work per
+    // crossing at ~ratio × base instead of (1 + ratio) × base, at the
+    // cost that tombstone GC (tombstonePurgeLagLsn) only runs on the
+    // full-rewrite rounds. 0.0 = off: every crossing is a full rewrite
+    // (the previous behavior).
+    morMinorRatio: Double = 0.0,
     // tombstone GC (the Kafka log-compaction / Iceberg delete-file-expiry
     // analog): >= 0 makes every AUTO-compaction also drop tombstone rows
     // whose delete LSN is below highWatermark - lag. Deletes are retained
@@ -710,15 +721,29 @@ class CdcEngine(
         // the delta manifest lists exactly the touched buckets (with their
         // complete post-append lists) — the only ones that can newly cross
         // the threshold, so no full-map resolution is needed here
-        val over = snap.bucketDelta.collect {
-          case (b, files) if files.size >= conf.morCompactThreshold => b.toInt
-        }.toSet
+        val overFiles = snap.bucketDelta.collect {
+          case (b, files) if files.size >= conf.morCompactThreshold =>
+            b.toInt -> files
+        }
         // a compaction losing a commit race is NOT a batch failure — the
         // batch is committed; the still-over-threshold buckets re-trigger
         // on the next batch
-        if (over.nonEmpty)
-          try autoCompact(over)
-          catch { case _: Icelite.CommitConflictException => }
+        if (overFiles.nonEmpty)
+          try {
+            if (conf.morMinorRatio > 0) {
+              // size-tiered: fold the pile while it is small next to the
+              // base; full rewrite (with purge) only when it rivals the
+              // base or there is no base yet to fold against
+              val (major, minor) = overFiles.keySet.partition { b =>
+                val fs = overFiles(b)
+                val base = fs.filter(_.merged).map(_.rows).sum
+                base == 0 || fs.filterNot(_.merged).map(_.rows).sum >=
+                  conf.morMinorRatio * base
+              }
+              if (minor.nonEmpty) compactDeltas(Some(minor))
+              if (major.nonEmpty) autoCompact(major)
+            } else autoCompact(overFiles.keySet)
+          } catch { case _: Icelite.CommitConflictException => }
       }
       maybeExpire(newSnapshots = if (mor && conf.morCompactThreshold > 0) 2 else 1)
     }

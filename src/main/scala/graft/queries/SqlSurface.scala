@@ -302,6 +302,34 @@ object SqlSurface {
           .filter(org.apache.spark.sql.functions.col("_op.v") === "D").isEmpty,
         "q83: tombstones must be purged")
       s.sql("SELECT repo, path, lang, content FROM ice.q83")
+    }),
+
+    // MINOR compaction through SQL maintenance, oracle-gated: replay the
+    // derived stream as THREE interleaved-LSN merge-on-read epochs (each
+    // bucket ends with a 3-file delta pile, no merged base), then CALL
+    // rewrite_data_files(strategy => 'binpack') — the fold that combines
+    // a bucket's delta files WITHOUT a full rewrite. The in-query require
+    // proves the pile actually folded (delta fan-in <= 1); the driver gate
+    // proves the folded table's visible state still equals the oracle's
+    // latest-per-key fold — cell LWW is associative/idempotent, so
+    // pre-reducing deltas must change nothing, including under the
+    // out-of-order delivery the %3 split creates.
+    "q85_minor_compact" -> ((s, dir) => {
+      val ev = derived(s, dir)
+      val engine = new CdcEngine(s,
+        IceliteTable.create(s"${Work.tmp("graft-sql-q85")}/t",
+          Seq("repo", "path"), 16, mergeOnRead = true),
+        EngineConf(buckets = 16))
+      (0 until 3).foreach(i =>
+        engine.applyBatch(i, ev.filter(s"commit_lsn % 3 = $i")))
+      IceliteSql.register(s, "q85", engine)
+      s.sql("CALL ice.system.rewrite_data_files('q85', strategy => 'binpack')")
+        .collect()
+      val fanIn = engine.table.currentSnapshot
+        .map(engine.table.bucketFilesOf).getOrElse(Map.empty)
+        .values.map(_.count(!_.merged)).max
+      require(fanIn <= 1, s"q85: binpack must fold the pile, fan-in $fanIn")
+      s.sql("SELECT repo, path, lang, content FROM ice.q85")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -358,6 +386,9 @@ object SqlSurface {
         |       min(content) AS min_content, max(content) AS max_content
         |FROM latest WHERE rn = 1""".stripMargin),
     "q83_purge_compact" ->
+      (derivedCte("") +
+        "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"),
+    "q85_minor_compact" ->
       (derivedCte("") +
         "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"),
     "q84_zorder_scan" -> """

@@ -81,9 +81,10 @@ object MinorBench {
         }
       }
       val (readSec, stateRows) = time {
-        val df = e.currentState().select("repo", "path", "content")
-          .agg(count(lit(1)), sum(xxhash64(col("repo"), col("path"),
-            coalesce(col("content"), lit("-")))))
+        // bit_xor: order-independent row checksum with no ANSI overflow
+        val df = e.currentState().select(xxhash64(col("repo"), col("path"),
+            coalesce(col("content"), lit("-"))).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)"))
         val r = df.head(); (r.getLong(0), r.getLong(1))
       }
       Run(maintRows, maintSec, ingestSec, readSec, stateRows._1, stateRows._2)

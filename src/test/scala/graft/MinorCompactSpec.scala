@@ -139,6 +139,45 @@ class MinorCompactSpec extends AnyFunSuite {
       "full rewrite still purges")
   }
 
+  test("size-tiered auto-maintenance: minor folds while the pile is small, major when it rivals the base") {
+    val dir = SparkTestBase.tmpDir("minor-tier")
+    val t = IceliteTable.create(s"$dir/t", Seq("repo", "path"), 8,
+      mergeOnRead = true)
+    val e = new CdcEngine(spark, t, EngineConf(buckets = 8,
+      morCompactThreshold = 3, morMinorRatio = 0.5))
+    val cow = mkEngine(SparkTestBase.tmpDir("minor-tier-cow"), mor = false)
+    // a big seed batch (becomes the base at the first crossing, which has
+    // no base yet and so runs the full rewrite), then a stream of small
+    // churn batches whose piles stay under half the base for several
+    // crossings (minor rounds) until growth forces a major round
+    val seed = Synth.events(spark, 3000, seed = 56)
+    e.applyBatch(0, seed); cow.applyBatch(0, seed)
+    var basePathSets = Vector.empty[Set[String]]
+    (1 to 25).foreach { i =>
+      val b = Synth.events(spark, 100, seed = 560 + i)
+        .withColumn("commit_lsn", col("commit_lsn") + lit(3000L * i))
+      e.applyBatch(i, b); cow.applyBatch(i, b)
+      basePathSets :+= e.table.currentSnapshot.map(e.table.bucketFilesOf)
+        .getOrElse(Map.empty).values.flatten.filter(_.merged).map(_.path).toSet
+    }
+    // both tiers actually fired: base-path transitions are the MAJOR
+    // rounds (the full rewrite replaces base files); every other
+    // maintenance snapshot (batchEpoch = -1) on the chain is a MINOR
+    // round that folded deltas while keeping the base untouched
+    val changes = basePathSets.sliding(2).count(p => p(0) != p(1))
+    val maint = e.table.snapshotChain.count(_.batchEpoch == -1L)
+    assert(basePathSets.last.nonEmpty, "a base must have formed")
+    assert(changes >= 2, s"expected major rounds, base changed $changes times")
+    assert(maint >= changes + 4,
+      s"expected >=4 minor rounds, got $maint maintenance commits for $changes majors")
+    // read fan-in stays bounded by the threshold
+    val fanIn = e.table.currentSnapshot.map(e.table.bucketFilesOf)
+      .getOrElse(Map.empty).values.map(_.count(!_.merged)).max
+    assert(fanIn <= 3, s"delta fan-in must stay under the threshold, got $fanIn")
+    assert(visible(e) === visible(cow),
+      "tiered maintenance must equal the COW fold")
+  }
+
   test("SQL: rewrite_data_files(strategy => 'binpack') folds; misuse fails loudly") {
     val dir = SparkTestBase.tmpDir("minor")
     val e = mkEngine(dir)
