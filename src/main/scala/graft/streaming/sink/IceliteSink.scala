@@ -21,6 +21,9 @@ import graft.icelite.IceliteTable
   *     .option("buckets", 64)               // create-time layout
   *     .option("mergeOnRead", true)         // create-time write mode
   *     .option("morCompactThreshold", 8)    // ingest maintenance knobs
+  *     .option("morMinorRatio", 0.5)        // size-tiered minor/full folds
+  *     .option("zorderCols", "lang,ver")    // declared Z-order at maintenance
+  *     .option("tombstonePurgeLagLsn", 100000) // tombstone GC lag
   *     .option("retainSnapshots", 40)
   *     .option("vacuumAfterExpire", true)
   *     .option("statsCols", "lang")         // column-stats file skipping
@@ -86,6 +89,16 @@ class IceliteSink(sqlContext: SQLContext, params: Map[String, String]) extends S
       buckets = t.currentBuckets,
       writeSaltPerBucket = params.get("writeSaltPerBucket").map(_.toInt).getOrElse(1),
       morCompactThreshold = params.get("morCompactThreshold").map(_.toInt).getOrElse(0),
+      // size-tiered maintenance: fold deltas (minor) while the pile is
+      // under ratio x base rows, full-rewrite when it rivals the base
+      // (see EngineConf.morMinorRatio)
+      morMinorRatio = params.get("morMinorRatio").map(_.toDouble).getOrElse(0.0),
+      // declared Z-order (see EngineConf.zorderCols): auto-compaction
+      // clusters maintenance output on the Morton key of these columns
+      zorderCols = params.get("zorderCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      tombstonePurgeLagLsn =
+        params.get("tombstonePurgeLagLsn").map(_.toLong).getOrElse(-1L),
       retainSnapshots = params.get("retainSnapshots").map(_.toInt).getOrElse(0),
       vacuumAfterExpire = params.get("vacuumAfterExpire").exists(_.toBoolean),
       // comma-separated payload columns to harvest [min,max] bounds for on

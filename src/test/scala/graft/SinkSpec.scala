@@ -101,6 +101,42 @@ class SinkSpec extends AnyFunSuite {
     assertMatchesOracle(new CdcEngine(spark, table, EngineConf(buckets = 4)), ev)
   }
 
+  test("size-tiered maintenance through options: a big first wave becomes the base, later piles fold minor") {
+    val work = SparkTestBase.tmpDir("sinktier")
+    val input = s"$work/in"; val root = s"$work/t"
+    // wave 0 is large (the base after the first, base-less, full rewrite);
+    // waves 1..5 are small churn whose piles stay under half the base
+    val seed = Synth.events(spark, 3000, seed = 137, repos = 20, pathsPerRepo = 50)
+    seed.coalesce(1).write.mode("append").parquet(input)
+    val churn = Synth.events(spark, 500, seed = 138, repos = 20, pathsPerRepo = 50)
+      .selectExpr("repo", "path", "commit", "lang", "content", "op",
+        "commit_lsn + 3000 AS commit_lsn", "seq", "ts")
+    (0 until 5).foreach(i =>
+      churn.filter(s"commit_lsn % 5 = $i").coalesce(1)
+        .write.mode("append").parquet(input))
+    runSink(input, s"$work/ckpt", root,
+      Map("keyCols" -> "repo,path", "buckets" -> "4", "mergeOnRead" -> "true",
+        "morCompactThreshold" -> "2", "morMinorRatio" -> "0.5"),
+      maxFilesPerTrigger = 1)
+    val table = IceliteTable.load(root)
+    val head = table.currentSnapshot.get
+    val files = table.bucketFilesOf(head)
+    // the pile stayed bounded, a base formed, and BOTH tiers fired: a
+    // maintenance commit (batchEpoch -1) that writes an UNMERGED file is a
+    // minor fold (full rewrites emit only merged files), one that writes a
+    // merged file is a major round
+    assert(files.values.forall(_.count(!_.merged) <= 2),
+      "tiered maintenance must bound the delta pile")
+    assert(files.values.flatten.exists(_.merged), "a base must have formed")
+    val maint = table.snapshotChain.filter(_.batchEpoch == -1L)
+    assert(maint.exists(_.bucketDelta.values.flatten.exists(f => !f.merged)),
+      "expected at least one MINOR maintenance round")
+    assert(maint.exists(_.bucketDelta.values.flatten.exists(_.merged)),
+      "expected at least one MAJOR maintenance round")
+    val all = seed.unionByName(churn)
+    assertMatchesOracle(new CdcEngine(spark, table, EngineConf(buckets = 4)), all)
+  }
+
   test("maintenance between waves is adopted: rebucket mid-stream") {
     val work = SparkTestBase.tmpDir("sinkrb")
     val input = s"$work/in"; val ckpt = s"$work/ckpt"; val root = s"$work/t"
