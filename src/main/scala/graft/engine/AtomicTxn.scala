@@ -1,0 +1,137 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+import graft.icelite.{CatalogConflictException, Icelite, IceliteCatalog}
+
+/** Multi-table transaction coordinator: applies one epoch's change batches
+  * to SEVERAL icelite tables with all-or-nothing visibility through an
+  * [[graft.icelite.IceliteCatalog]].
+  *
+  * This is the lake-side replacement for the reference's Postgres
+  * transaction spanning dim and fact upserts
+  * (`/root/reference/ingestion.py:43-56`): stage every table's MERGE as an
+  * invisible WAP snapshot, then flip ONE catalog pointer. See the protocol
+  * scaladoc on [[graft.icelite.IceliteCatalog]].
+  *
+  * Failure containment, by crash window:
+  *   - before the catalog commit: no table pointer and no catalog version
+  *     moved — nothing is visible anywhere; the orphaned staged snapshots
+  *     are invisible by construction and swept by [[recover]];
+  *   - after the catalog commit, before/among the publishes: catalog
+  *     readers already see the full transaction (staged snapshots are
+  *     readable by id); [[recover]] finishes the pointer fast-forwards —
+  *     publish is pure completion work, idempotent per table.
+  *
+  * Exactly-once: the epoch is the catalog txn id. Redelivery finds it on
+  * the version chain, drops the redundant re-staged snapshots, completes
+  * any pending publishes, and returns the original version — regardless of
+  * whether the first attempt died before or after its publishes.
+  *
+  * Concurrency: in-JVM coordinators on the same catalog serialize on a
+  * per-catalog lock held across stage -> commit -> publish (the sandbox
+  * stand-in for the catalog service's serialized commit endpoint, exactly
+  * the role `Icelite.lockFor` plays for a single table's pointer). The
+  * lock is what makes staging safe: a stage computed against a table head
+  * that a concurrently-won transaction has committed but NOT YET published
+  * would pass the version CAS and then fail its own publish — after its
+  * catalog commit, which exactly-once forbids retrying. On top of the
+  * lock, the optimistic version CAS stays armed for CROSS-PROCESS
+  * committers: a foreign HEAD move between our version read and commitTxn
+  * raises, we drop the stale stages and retry from fresh state.
+  *
+  * Scale: coordinator work is O(tables) driver-side bookkeeping; all data
+  * movement stays inside each table's staged MERGE (the engine's normal
+  * partitioned path). Tables enrolled in a catalog must be written through
+  * it — an out-of-band writer advancing a member table's pointer makes the
+  * pending publish conflict, exactly as Iceberg tables owned by a catalog
+  * must not be committed past it.
+  */
+object AtomicTxn {
+
+  /** Atomically apply `epoch`'s batches: `writes` maps catalog table name
+    * -> (engine, batch). Returns the catalog version that committed the
+    * transaction (fresh or replayed). */
+  def commit(catalog: IceliteCatalog, epoch: Long,
+      writes: Seq[(String, CdcEngine, DataFrame)],
+      maxRetries: Int = 5): Long = Icelite.lockFor(catalog.root).synchronized {
+    require(writes.nonEmpty, "empty transaction")
+    val engines = writes.map { case (n, e, _) => n -> e }.toMap
+
+    var attempt = 0
+    while (true) {
+      // replayed transaction: complete its publishes and return
+      catalog.versionOfTxn(epoch) match {
+        case Some(v) =>
+          publishPending(catalog, engines)
+          return v
+        case None => ()
+      }
+      val expected = catalog.version
+      // 1. STAGE each table's merge (invisible; readable by id)
+      val staged = writes.map { case (name, engine, batch) =>
+        name -> engine.stageBatch(epoch, batch).snapshotId
+      }.toMap
+      try {
+        // 2. the ATOMIC point: one catalog version names every staged id
+        catalog.commitTxn(epoch, staged, expected)
+        // 3. completion: fast-forward each table pointer
+        staged.foreach { case (name, sid) => engines(name).publishStaged(sid) }
+        return catalog.version
+      } catch {
+        case _: CatalogConflictException =>
+          // lost the CAS race: our staged merges are stale — drop and redo
+          dropStale(engines, staged)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new CatalogConflictException(
+              s"txn $epoch lost the catalog race $attempt times; giving up")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Finish a crashed transaction: publish every catalog-pinned snapshot
+    * whose table pointer lags, then drop staged snapshots no catalog
+    * version references (a committer that died before its catalog commit).
+    * Idempotent; safe to run at every coordinator start. Returns
+    * (published, dropped) counts. */
+  def recover(catalog: IceliteCatalog,
+      engines: Map[String, CdcEngine]): (Int, Int) = {
+    val published = publishPending(catalog, engines)
+    // every snapshot id any catalog version ever pinned, per table
+    val everPinned: Map[String, Set[Long]] = catalog.history
+      .flatMap(_.tables.toSeq).groupBy(_._1)
+      .map { case (n, refs) => n -> refs.map(_._2.snapshotId).toSet }
+    var dropped = 0
+    engines.foreach { case (name, engine) =>
+      val keep = everPinned.getOrElse(name, Set.empty)
+      engine.table.stagedSnapshotIds.filterNot(keep.contains).foreach { sid =>
+        engine.dropStaged(sid); dropped += 1
+      }
+    }
+    (published, dropped)
+  }
+
+  private def publishPending(catalog: IceliteCatalog,
+      engines: Map[String, CdcEngine]): Int = {
+    var n = 0
+    catalog.refs().foreach { case (name, ref) =>
+      engines.get(name).foreach { engine =>
+        if (ref.snapshotId >= 0 && !engine.table.isAncestor(ref.snapshotId)) {
+          engine.publishStaged(ref.snapshotId); n += 1
+        }
+      }
+    }
+    n
+  }
+
+  private def dropStale(engines: Map[String, CdcEngine],
+      staged: Map[String, Long]): Unit =
+    staged.foreach { case (name, sid) =>
+      // a replayed epoch returns the PUBLISHED snapshot from stageBatch;
+      // only drop snapshots that are genuinely still unpublished
+      if (engines(name).table.stagedSnapshotIds.contains(sid))
+        engines(name).dropStaged(sid)
+    }
+}

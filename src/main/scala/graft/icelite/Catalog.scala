@@ -1,0 +1,191 @@
+package graft.icelite
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** A versioned multi-table CATALOG: the missing piece that makes commits
+  * spanning SEVERAL icelite tables atomic.
+  *
+  * The reference never has this problem — it ingests dims and facts inside
+  * one Postgres transaction (`/root/reference/ingestion.py:43-56`:
+  * `conn.autocommit = False`, a single `conn.commit()` after all upserts),
+  * so a reader can never observe the station dim updated but the fact table
+  * not. A lake-table engine loses that for free-of-charge atomicity the
+  * moment state is split across tables, each with its own snapshot pointer.
+  * This catalog restores it with the standard two-layer design (Iceberg's
+  * REST catalog / Project Nessie): per-table snapshots stay exactly what
+  * they are, and one EXTRA versioned pointer — the catalog version — names
+  * a consistent set of per-table snapshot ids. Readers that resolve tables
+  * through a catalog version get cross-table snapshot isolation; moving the
+  * catalog HEAD is the single atomic commit point.
+  *
+  * Layout (all under the catalog root, same write discipline as a table:
+  * immutable version files + one atomically-renamed pointer):
+  * {{{
+  *   <root>/cat-<v>.json   # immutable: tables map + txn id at version v
+  *   <root>/HEAD           # current version (write-temp + ATOMIC_MOVE)
+  * }}}
+  *
+  * The multi-table transaction protocol (driven by
+  * [[graft.engine.AtomicTxn]]) is write-audit-publish run catalog-wide:
+  *
+  *   1. STAGE the epoch's merge on every table (`CdcEngine.stageBatch` —
+  *      snapshot manifests exist, readable by id, no table pointer moves);
+  *   2. COMMIT one new catalog version naming every staged id — THE atomic
+  *      point: a crash before leaves all tables untouched, a crash after
+  *      leaves a catalog whose pinned ids are all readable;
+  *   3. PUBLISH each table's pointer (fast-forward to the staged id) — pure
+  *      completion work, idempotent, finished by [[graft.engine.AtomicTxn
+  *      .recover]] if the committer died mid-step.
+  *
+  * Exactly-once composes across tables: the txn id (the batch epoch) is
+  * recorded in the version chain, so redelivering a committed transaction
+  * is a catalog-level no-op even when each table would also individually
+  * no-op. Concurrency is optimistic CAS on the catalog version
+  * (`expectedVersion`), mirroring `Icelite.commit`'s expectedParentId.
+  *
+  * Scale: a catalog version file is O(tables), not O(data) or O(snapshots);
+  * the txn-id ancestry walk is cached per version id. On a real deployment
+  * this whole object is a row-versioned service (Iceberg REST/Nessie);
+  * the file layout here is the same stand-in `version-hint.text` is for
+  * the per-table pointer.
+  */
+case class CatalogTableRef(root: String, snapshotId: Long)
+
+case class CatalogVersion(
+    version: Long,
+    parentVersion: Long,
+    tables: Map[String, CatalogTableRef],
+    // the transaction (batch epoch) this version committed; -1 = DDL
+    txnId: Long,
+    commitMillis: Long)
+
+class CatalogConflictException(msg: String) extends RuntimeException(msg)
+
+class IceliteCatalog(val root: Path) {
+  import Icelite.fmts
+
+  private val lock = Icelite.lockFor(root)
+  private def headFile: Path = root.resolve("HEAD")
+  private def versionFile(v: Long): Path = root.resolve(s"cat-$v.json")
+
+  /** Current catalog version; 0 = the implicit empty catalog. */
+  def version: Long = lock.synchronized {
+    if (Files.exists(headFile)) Files.readString(headFile).trim.toLong else 0L
+  }
+
+  private val versionCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, CatalogVersion]()
+
+  def versionState(v: Long): CatalogVersion = {
+    if (v == 0L) return CatalogVersion(0L, -1L, Map.empty, -1L, 0L)
+    versionCache.computeIfAbsent(v, _ =>
+      Serialization.read[CatalogVersion](Files.readString(versionFile(v))))
+  }
+
+  /** The consistent table set at a catalog version (default: HEAD). */
+  def refs(atVersion: Long = -1L): Map[String, CatalogTableRef] =
+    versionState(if (atVersion < 0) version else atVersion).tables
+
+  /** Txn ids committed on the ancestry of `v` (exactly-once ledger). */
+  def committedTxns(atVersion: Long = -1L): Set[Long] = {
+    var v = if (atVersion < 0) version else atVersion
+    val acc = Set.newBuilder[Long]
+    while (v > 0) {
+      val s = versionState(v)
+      if (s.txnId >= 0) acc += s.txnId
+      v = s.parentVersion
+    }
+    acc.result()
+  }
+
+  /** The version that applied `txnId`, if any (idempotent-replay answer). */
+  def versionOfTxn(txnId: Long): Option[Long] = lock.synchronized {
+    var v = version
+    while (v > 0) {
+      val s = versionState(v)
+      if (s.txnId == txnId) return Some(v)
+      v = s.parentVersion
+    }
+    None
+  }
+
+  private def commitVersion(next: CatalogVersion): CatalogVersion = {
+    Icelite.write(versionFile(next.version), Serialization.writePretty(next))
+    Icelite.write(headFile, next.version.toString)
+    next
+  }
+
+  /** DDL: enroll a table (captures its CURRENT snapshot id as the pinned
+    * ref, so an existing table joins the catalog without a rewrite). */
+  def registerTable(name: String, tableRoot: String): CatalogVersion =
+    lock.synchronized {
+      val cur = versionState(version)
+      require(!cur.tables.contains(name), s"table '$name' already in catalog")
+      val t = IceliteTable.load(tableRoot)
+      commitVersion(CatalogVersion(
+        version + 1, version,
+        cur.tables + (name -> CatalogTableRef(tableRoot, t.currentSnapshotId)),
+        -1L, System.currentTimeMillis()))
+    }
+
+  /** DDL: remove a table from the catalog (the table itself is untouched —
+    * Iceberg's DROP TABLE without PURGE). */
+  def dropTable(name: String): CatalogVersion = lock.synchronized {
+    val cur = versionState(version)
+    require(cur.tables.contains(name), s"no table '$name' in catalog")
+    commitVersion(CatalogVersion(
+      version + 1, version, cur.tables - name, -1L, System.currentTimeMillis()))
+  }
+
+  /** THE atomic commit point of a multi-table transaction: move the tables
+    * named in `updates` to their staged snapshot ids in one new version.
+    *
+    *   - exactly-once: if `txnId` is already on the version chain the call
+    *     is a no-op returning the version that applied it;
+    *   - optimistic concurrency: `expectedVersion` (-2 = skip) must equal
+    *     HEAD or the commit raises [[CatalogConflictException]] — the
+    *     caller re-stages against the advanced table heads and retries;
+    *   - every updated table must be enrolled.
+    */
+  def commitTxn(txnId: Long, updates: Map[String, Long],
+      expectedVersion: Long = -2L): CatalogVersion = lock.synchronized {
+    require(txnId >= 0, s"txnId must be >= 0, got $txnId")
+    versionOfTxn(txnId).foreach(v => return versionState(v))
+    val head = version
+    if (expectedVersion != -2L && expectedVersion != head)
+      throw new CatalogConflictException(
+        s"catalog advanced to version $head past the writer's view $expectedVersion")
+    val cur = versionState(head)
+    val missing = updates.keySet -- cur.tables.keySet
+    require(missing.isEmpty, s"tables not in catalog: ${missing.mkString(", ")}")
+    val next = cur.tables ++ updates.map { case (n, sid) =>
+      n -> cur.tables(n).copy(snapshotId = sid)
+    }
+    commitVersion(CatalogVersion(
+      head + 1, head, next, txnId, System.currentTimeMillis()))
+  }
+
+  /** Version history, newest first (catalog-level `snapshots` inspection). */
+  def history: List[CatalogVersion] = lock.synchronized {
+    var v = version
+    val acc = List.newBuilder[CatalogVersion]
+    while (v > 0) { val s = versionState(v); acc += s; v = s.parentVersion }
+    acc.result()
+  }
+}
+
+object IceliteCatalog {
+  def create(root: String): IceliteCatalog = {
+    val p = Paths.get(root)
+    Files.createDirectories(p)
+    new IceliteCatalog(p)
+  }
+  def load(root: String): IceliteCatalog = {
+    val p = Paths.get(root)
+    require(Files.exists(p), s"no catalog at $root")
+    new IceliteCatalog(p)
+  }
+}

@@ -992,6 +992,12 @@ class IceliteTable private (val root: Path) {
     * (a crash in between leaks one skipped id, never a clobber);
     * deregistered at publish/drop. */
   private def stagedFile: Path = metaDir.resolve("staged.json")
+
+  /** Registered staged (unpublished) snapshot ids — the WAP in-flight set.
+    * Public so a catalog-level recovery sweep ([[graft.engine.AtomicTxn
+    * .recover]]) can drop stages orphaned by a committer crash. */
+  def stagedSnapshotIds: Set[Long] = rootLock.synchronized(stagedIds)
+
   private def stagedIds: Set[Long] =
     if (Files.exists(stagedFile))
       Serialization.read[List[Long]](Files.readString(stagedFile)).toSet

@@ -330,6 +330,60 @@ object SqlSurface {
         .values.map(_.count(!_.merged)).max
       require(fanIn <= 1, s"q85: binpack must fold the pile, fan-in $fanIn")
       s.sql("SELECT repo, path, lang, content FROM ice.q85")
+    }),
+
+    // MULTI-TABLE atomic transaction through the catalog, oracle-gated:
+    // the reference commits dims and facts in ONE Postgres transaction
+    // (ingestion.py:43-56); here each epoch MERGEs a files table (keyed
+    // repo,path) AND a per-repo rollup table (keyed repo) with
+    // all-or-nothing visibility via one IceliteCatalog version. Three
+    // contiguous-LSN epochs, exactly-once re-proved in-query (replaying
+    // epoch 2 moves nothing), then BOTH tables are read at the SAME
+    // catalog version and joined. The oracle recomputes each table's
+    // final state independently from the raw events — a green row proves
+    // the transactional plumbing changed no visible semantics.
+    "q86_catalog_txn" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = derived(s, dir)
+      val mx = ev.selectExpr("max(commit_lsn)").collect()(0).getLong(0)
+      val (c1, c2) = (mx / 3, 2 * mx / 3)
+      def rollup(b: DataFrame): DataFrame = b.groupBy("repo").agg(
+        max("commit_lsn").as("commit_lsn"), count(lit(1)).as("n"), max("ts").as("ts"))
+        .selectExpr("repo", "'rollup' AS path", "commit_lsn", "0 AS seq", "ts",
+          "'U' AS op", "CAST(NULL AS STRING) AS lang",
+          "CAST(n AS STRING) AS content", "commit_lsn AS last_lsn")
+      val work = Work.tmp("graft-sql-q86")
+      val files = new CdcEngine(s,
+        IceliteTable.create(s"$work/files", Seq("repo", "path"), 16),
+        EngineConf(buckets = 16))
+      val repos = new CdcEngine(s,
+        IceliteTable.create(s"$work/repos", Seq("repo"), 4),
+        EngineConf(buckets = 4))
+      val cat = graft.icelite.IceliteCatalog.create(s"$work/cat")
+      cat.registerTable("files", s"$work/files")
+      cat.registerTable("repos", s"$work/repos")
+      val epochs = Seq(s"commit_lsn <= $c1",
+        s"commit_lsn > $c1 AND commit_lsn <= $c2", s"commit_lsn > $c2")
+      epochs.zipWithIndex.foreach { case (pred, e) =>
+        val b = ev.filter(pred)
+        graft.engine.AtomicTxn.commit(cat, e,
+          Seq(("files", files, b), ("repos", repos, rollup(b))))
+      }
+      require(cat.version == 5, s"q86: expected 2 DDL + 3 txn versions, got ${cat.version}")
+      val b2 = ev.filter(epochs(2))
+      val replayed = graft.engine.AtomicTxn.commit(cat, 2,
+        Seq(("files", files, b2), ("repos", repos, rollup(b2))))
+      require(replayed == 5 && cat.version == 5,
+        "q86: replaying a committed txn must be a catalog-level no-op")
+      // one consistent catalog version pins BOTH reads
+      val refs = cat.refs()
+      val f = files.stateAt(refs("files").snapshotId)
+        .groupBy("repo").agg(count(lit(1)).as("n_files"))
+      repos.stateAt(refs("repos").snapshotId)
+        .select(col("repo"), col("content").as("last_epoch_events"), col("last_lsn"))
+        .join(f, Seq("repo"), "left")
+        .select(col("repo"), coalesce(col("n_files"), lit(0L)).as("n_files"),
+          col("last_epoch_events"), col("last_lsn"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -391,6 +445,42 @@ object SqlSurface {
     "q85_minor_compact" ->
       (derivedCte("") +
         "\nSELECT repo, path, lang, content FROM latest WHERE rn = 1 AND op <> 'D'"),
+    "q86_catalog_txn" -> """
+      |WITH ev AS (
+      |  SELECT concat('r', CAST(user_id % 40 AS VARCHAR)) AS repo,
+      |         concat('p', CAST(event_id % 181 AS VARCHAR)) AS path,
+      |         event_id AS lsn,
+      |         CASE WHEN event_type = 'click' AND event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM events
+      |), cut AS (
+      |  SELECT CAST(max(event_id) AS BIGINT) // 3 AS c1,
+      |         2 * CAST(max(event_id) AS BIGINT) // 3 AS c2
+      |  FROM events
+      |), eev AS (
+      |  SELECT ev.*, CASE WHEN lsn <= (SELECT c1 FROM cut) THEN 0
+      |                    WHEN lsn <= (SELECT c2 FROM cut) THEN 1
+      |                    ELSE 2 END AS epoch
+      |  FROM ev
+      |), latest AS (
+      |  SELECT repo, path, op,
+      |         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      |  FROM eev
+      |), fcount AS (
+      |  SELECT repo, count(*) AS n_files FROM latest
+      |  WHERE rn = 1 AND op <> 'D' GROUP BY repo
+      |), rlast AS (
+      |  SELECT repo, max(lsn) AS last_lsn, max(epoch) AS last_epoch
+      |  FROM eev GROUP BY repo
+      |), rcount AS (
+      |  SELECT e.repo, count(*) AS n FROM eev e
+      |  JOIN rlast r ON e.repo = r.repo AND e.epoch = r.last_epoch
+      |  GROUP BY e.repo
+      |)
+      |SELECT r.repo, coalesce(f.n_files, 0) AS n_files,
+      |       CAST(c.n AS VARCHAR) AS last_epoch_events, r.last_lsn
+      |FROM rlast r
+      |JOIN rcount c ON r.repo = c.repo
+      |LEFT JOIN fcount f ON r.repo = f.repo""".stripMargin,
     "q84_zorder_scan" -> """
       |WITH ev AS (
       |  SELECT concat('r', CAST(user_id % 40 AS VARCHAR)) AS repo,

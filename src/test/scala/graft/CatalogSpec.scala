@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{AtomicTxn, CdcEngine, EngineConf}
+import graft.icelite.{IceliteCatalog, IceliteTable}
+import graft.synth.Synth
+
+/** Multi-table atomic commits through the versioned catalog: all-or-nothing
+  * visibility across tables, torn-crash recovery, exactly-once transaction
+  * replay, optimistic concurrency between coordinators, and cross-table
+  * consistent time travel by catalog version. */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Per-repo rollup of a batch, shaped as change events for a table keyed
+    * by (repo): the dim-table side of the reference's dim+fact transaction. */
+  private def repoAgg(batch: DataFrame): DataFrame =
+    batch.groupBy("repo").agg(
+      max("commit_lsn").as("commit_lsn"), count(lit(1)).as("n"), max("ts").as("ts"))
+      .selectExpr("repo", "'rollup' AS path", "CAST(NULL AS STRING) AS commit",
+        "CAST(NULL AS STRING) AS lang", "CAST(n AS STRING) AS content",
+        "'U' AS op", "commit_lsn", "0 AS seq", "ts")
+
+  private def mkPair(work: String): (CdcEngine, CdcEngine, IceliteCatalog) = {
+    val files = new CdcEngine(spark,
+      IceliteTable.create(s"$work/files", Seq("repo", "path"), 4),
+      EngineConf(buckets = 4))
+    val repos = new CdcEngine(spark,
+      IceliteTable.create(s"$work/repos", Seq("repo"), 2),
+      EngineConf(buckets = 2))
+    val cat = IceliteCatalog.create(s"$work/cat")
+    cat.registerTable("files", s"$work/files")
+    cat.registerTable("repos", s"$work/repos")
+    (files, repos, cat)
+  }
+
+  private def stateOf(e: CdcEngine, at: Long = -1L): Map[String, String] = {
+    val df = if (at >= 0) e.stateAt(at) else e.currentState()
+    df.collect().map { r =>
+      val k = r.getString(r.fieldIndex("repo")) + "/" + r.getString(r.fieldIndex("path"))
+      val c = r.fieldIndex("content")
+      k -> (if (r.isNullAt(c)) null else r.getString(c))
+    }.toMap
+  }
+
+  test("a crash BEFORE the catalog commit leaves nothing visible; recover sweeps the stages") {
+    val work = SparkTestBase.tmpDir("cat-precrash")
+    val (files, repos, cat) = mkPair(work)
+    val ev = Synth.events(spark, 2000, seed = 401, repos = 10, pathsPerRepo = 40)
+    AtomicTxn.commit(cat, 0L, Seq(("files", files, ev), ("repos", repos, repoAgg(ev))))
+    val v1 = cat.version
+    val (f1, r1) = (stateOf(files), stateOf(repos))
+
+    // crash simulation: a second epoch is STAGED on both tables, but the
+    // coordinator dies before its catalog commit
+    val ev2 = Synth.events(spark, 800, seed = 402, repos = 10, pathsPerRepo = 40)
+      .withColumn("commit_lsn", col("commit_lsn") + 2000L)
+    files.stageBatch(1L, ev2)
+    repos.stageBatch(1L, repoAgg(ev2))
+
+    assert(cat.version === v1, "catalog must not have moved")
+    assert(stateOf(files) === f1 && stateOf(repos) === r1,
+      "no table state may be visible before the catalog commit")
+    assert(files.table.stagedSnapshotIds.nonEmpty && repos.table.stagedSnapshotIds.nonEmpty)
+
+    val (published, dropped) = AtomicTxn.recover(cat,
+      Map("files" -> files, "repos" -> repos))
+    assert(published === 0 && dropped === 2, s"got ($published, $dropped)")
+    assert(files.table.stagedSnapshotIds.isEmpty && repos.table.stagedSnapshotIds.isEmpty)
+    // the swept epoch was never committed, so redelivery must apply fully
+    AtomicTxn.commit(cat, 1L, Seq(("files", files, ev2), ("repos", repos, repoAgg(ev2))))
+    assert(stateOf(files) !== f1)
+  }
+
+  test("a crash AFTER the catalog commit is already atomic to catalog readers; recover completes the publishes") {
+    val work = SparkTestBase.tmpDir("cat-torn")
+    val (files, repos, cat) = mkPair(work)
+    val ev = Synth.events(spark, 2000, seed = 411, repos = 10, pathsPerRepo = 40)
+    AtomicTxn.commit(cat, 0L, Seq(("files", files, ev), ("repos", repos, repoAgg(ev))))
+    val ev2 = Synth.events(spark, 800, seed = 412, repos = 10, pathsPerRepo = 40)
+      .withColumn("commit_lsn", col("commit_lsn") + 2000L)
+
+    // run the protocol by hand, dying between the catalog commit (step 2)
+    // and the publishes (step 3) — with only ONE table published (torn)
+    val sFiles = files.stageBatch(1L, ev2).snapshotId
+    val sRepos = repos.stageBatch(1L, repoAgg(ev2)).snapshotId
+    cat.commitTxn(1L, Map("files" -> sFiles, "repos" -> sRepos))
+    files.publishStaged(sFiles) // repos' publish never happens
+
+    // catalog readers see the FULL transaction despite the torn publish:
+    // the pinned ids resolve on both tables (staged snapshots read by id)
+    val refs = cat.refs()
+    val fCat = stateOf(files, refs("files").snapshotId)
+    val rCat = stateOf(repos, refs("repos").snapshotId)
+    assert(fCat.nonEmpty && rCat.nonEmpty)
+    // consistency invariant across the pair: the rollup's content (row
+    // count per repo in the LAST batch that touched it) matches a recount
+    // over the same batches — both tables reflect epochs 0 AND 1
+    assert(rCat.keySet.map(_.stripSuffix("/rollup")) === fCat.keySet.map(_.split("/")(0)))
+    // the repos table's own pointer is still at epoch 0 (publish pending)
+    assert(stateOf(repos) !== rCat)
+
+    val (published, dropped) = AtomicTxn.recover(cat,
+      Map("files" -> files, "repos" -> repos))
+    assert(published === 1 && dropped === 0, s"got ($published, $dropped)")
+    assert(stateOf(repos) === rCat, "recovery must fast-forward the lagging pointer")
+    assert(AtomicTxn.recover(cat, Map("files" -> files, "repos" -> repos)) === ((0, 0)),
+      "recover must be idempotent")
+  }
+
+  test("transaction replay is exactly-once: same epoch, same version, no new snapshots") {
+    val work = SparkTestBase.tmpDir("cat-replay")
+    val (files, repos, cat) = mkPair(work)
+    val ev = Synth.events(spark, 1500, seed = 421, repos = 8, pathsPerRepo = 30)
+    val writes = Seq(("files", files, ev), ("repos", repos, repoAgg(ev)))
+    val v = AtomicTxn.commit(cat, 7L, writes)
+    val (f1, r1) = (stateOf(files), stateOf(repos))
+    val chainLens = (files.table.snapshotChain.size, repos.table.snapshotChain.size)
+
+    val v2 = AtomicTxn.commit(cat, 7L, writes) // duplicate delivery
+    assert(v2 === v, "replay must return the original catalog version")
+    assert(cat.version === v, "no new catalog version")
+    assert((files.table.snapshotChain.size, repos.table.snapshotChain.size) === chainLens,
+      "no new table snapshots")
+    assert(stateOf(files) === f1 && stateOf(repos) === r1)
+    assert(files.table.stagedSnapshotIds.isEmpty && repos.table.stagedSnapshotIds.isEmpty,
+      "replay must not leak staged snapshots")
+  }
+
+  test("two coordinators race: CAS serializes them, both transactions land, none is lost") {
+    val work = SparkTestBase.tmpDir("cat-race")
+    val (files, repos, cat) = mkPair(work)
+    val evA = Synth.events(spark, 1200, seed = 431, repos = 8, pathsPerRepo = 30)
+    val evB = Synth.events(spark, 1200, seed = 432, repos = 8, pathsPerRepo = 30)
+      .withColumn("commit_lsn", col("commit_lsn") + 1200L)
+    val engines = Map("files" -> files, "repos" -> repos)
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fa = Future(AtomicTxn.commit(cat, 100L,
+      Seq(("files", files, evA), ("repos", repos, repoAgg(evA)))))
+    val fb = Future(AtomicTxn.commit(cat, 101L,
+      Seq(("files", files, evB), ("repos", repos, repoAgg(evB)))))
+    val (va, vb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    pool.shutdown()
+
+    assert(va !== vb, "each transaction gets its own catalog version")
+    assert(cat.committedTxns() === Set(100L, 101L))
+    // final files state = LWW fold of BOTH batches (evB's lsns are higher
+    // on colliding keys) — nothing lost to the race
+    val oracle = TestOracle.finalState(
+      evA.unionByName(evB).collect().toSeq, Seq("commit", "lang", "content"))
+    val got = stateOf(files)
+    assert(got.keySet === oracle.keySet.map { case (r, p) => s"$r/$p" })
+    assert(files.table.stagedSnapshotIds.isEmpty && repos.table.stagedSnapshotIds.isEmpty,
+      "the race loser must have dropped its stale stages")
+    AtomicTxn.recover(cat, engines) // and recovery agrees nothing is pending
+    assert(cat.version >= 4) // 2 DDL + 2 txns
+  }
+
+  test("the version CAS detects a foreign committer: stale expectedVersion raises") {
+    val work = SparkTestBase.tmpDir("cat-cas")
+    val (files, repos, cat) = mkPair(work)
+    val ev = Synth.events(spark, 800, seed = 451, repos = 6, pathsPerRepo = 20)
+    val stale = cat.version
+    // a "foreign" committer (another process in production) moves HEAD
+    AtomicTxn.commit(cat, 0L, Seq(("files", files, ev), ("repos", repos, repoAgg(ev))))
+    val sid = files.stageBatch(1L, ev.withColumn("commit_lsn", col("commit_lsn") + 800L))
+      .snapshotId
+    intercept[graft.icelite.CatalogConflictException] {
+      cat.commitTxn(1L, Map("files" -> sid), expectedVersion = stale)
+    }
+    files.dropStaged(sid)
+    assert(cat.committedTxns() === Set(0L), "the conflicted txn must not have landed")
+  }
+
+  test("catalog versions give cross-table consistent time travel") {
+    val work = SparkTestBase.tmpDir("cat-tt")
+    val (files, repos, cat) = mkPair(work)
+    val ev1 = Synth.events(spark, 1500, seed = 441, repos = 8, pathsPerRepo = 30)
+    val ev2 = Synth.events(spark, 1500, seed = 442, repos = 8, pathsPerRepo = 30)
+      .withColumn("commit_lsn", col("commit_lsn") + 1500L)
+    val vTxn1 = AtomicTxn.commit(cat, 0L,
+      Seq(("files", files, ev1), ("repos", repos, repoAgg(ev1))))
+    val (f1, r1) = (stateOf(files), stateOf(repos)) // the post-txn1 pair
+    AtomicTxn.commit(cat, 1L,
+      Seq(("files", files, ev2), ("repos", repos, repoAgg(ev2))))
+    assert(stateOf(files) !== f1, "txn2 must have changed the files table")
+
+    // resolve BOTH tables through the old catalog version: exactly the
+    // consistent pair a reader saw between the transactions
+    val old = cat.refs(vTxn1)
+    assert(stateOf(files, old("files").snapshotId) === f1)
+    assert(stateOf(repos, old("repos").snapshotId) === r1)
+    // and the version history records the txn ids in order
+    assert(cat.history.map(_.txnId).filter(_ >= 0) === List(1L, 0L))
+  }
+}
