@@ -4,8 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.streaming.Trigger
+
 import graft.engine.{AtomicTxn, CdcEngine, EngineConf}
 import graft.icelite.{IceliteCatalog, IceliteTable}
+import graft.model.ChangeEvent
 import graft.synth.Synth
 
 /** Multi-table atomic commits through the versioned catalog: all-or-nothing
@@ -178,6 +181,41 @@ class CatalogSpec extends AnyFunSuite {
     }
     files.dropStaged(sid)
     assert(cat.committedTxns() === Set(0L), "the conflicted txn must not have landed")
+  }
+
+  test("streaming foreachBatch transaction: one epoch per micro-batch, exactly-once across full redelivery") {
+    val work = SparkTestBase.tmpDir("cat-stream")
+    val (files, repos, cat) = mkPair(work)
+    val input = s"$work/in"
+    val ev = Synth.events(spark, 3000, seed = 461, repos = 10, pathsPerRepo = 40)
+    (0 until 3).foreach(i => ev.filter(s"commit_lsn % 3 = $i").coalesce(1)
+      .write.mode("append").parquet(input))
+    // the checkpointed micro-batch id IS the transaction id: Structured
+    // Streaming's replayed-batch contract composes with the catalog's
+    // exactly-once txn ledger, across BOTH tables at once
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(ChangeEvent.schema)
+        .option("maxFilesPerTrigger", 1).parquet(input)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          AtomicTxn.commit(cat, id, Seq(("files", files, b), ("repos", repos, repoAgg(b))))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    run(s"$work/ckpt1")
+    val v1 = cat.version
+    val (f1, r1) = (stateOf(files), stateOf(repos))
+    val oracle = TestOracle.finalState(ev.collect().toSeq, Seq("commit", "lang", "content"))
+    assert(f1.keySet === oracle.keySet.map { case (r, p) => s"$r/$p" })
+    assert(cat.committedTxns() === Set(0L, 1L, 2L))
+
+    // FULL redelivery (fresh checkpoint, same input): every micro-batch
+    // replays, every transaction no-ops — no version moves, no state drift
+    run(s"$work/ckpt2")
+    assert(cat.version === v1, "replayed stream must commit nothing")
+    assert(stateOf(files) === f1 && stateOf(repos) === r1)
   }
 
   test("catalog versions give cross-table consistent time travel") {
