@@ -93,6 +93,21 @@ object IceliteSql {
   def unregister(spark: SparkSession, name: String): Unit =
     forSession(spark).remove(name.toLowerCase)
 
+  /** Register every table of a [[graft.icelite.IceliteCatalog]] under its
+    * catalog name, returning the snapshot-id pins of the catalog's current
+    * version: plain SQL then reads the whole table SET consistently with
+    * `FROM ice.<name> VERSION AS OF <pins(name)>` — cross-table snapshot
+    * isolation (and, with an older catalog version, cross-table time
+    * travel) through the existing time-travel syntax, no new SQL. */
+  def registerCatalog(spark: SparkSession,
+      catalog: graft.icelite.IceliteCatalog,
+      mkEngine: String => CdcEngine,
+      atVersion: Long = -1L): Map[String, Long] = {
+    val refs = catalog.refs(atVersion)
+    refs.foreach { case (name, _) => register(spark, name, mkEngine(name)) }
+    refs.map { case (name, ref) => name -> ref.snapshotId }
+  }
+
   /** Names registered in `spark` (the `SHOW TABLES IN ice` listing). */
   def registeredNames(spark: SparkSession): Seq[String] = {
     import scala.jdk.CollectionConverters._

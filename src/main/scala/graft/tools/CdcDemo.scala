@@ -477,6 +477,55 @@ object CdcDemo {
         s"; idle re-drain appended ${after - bootstrap} " +
         (if (after == bootstrap) "(exactly-once holds)" else "(DUPLICATES — BUG!)"))
     }
+
+    // ---- round-4 surface: MULTI-TABLE atomic transactions through the
+    // versioned catalog — stage both tables' MERGEs, flip one catalog
+    // version, publish; then prove a torn crash (catalog committed, one
+    // publish missing) is invisible to catalog readers and healed by
+    // recover(), and that replaying a committed txn moves nothing.
+    locally {
+      import org.apache.spark.sql.functions.{col, count, lit, max}
+      val filesE = new CdcEngine(spark,
+        IceliteTable.create(s"$work/cat-files", Seq("repo", "path"), 16),
+        EngineConf(buckets = 16))
+      val reposE = new CdcEngine(spark,
+        IceliteTable.create(s"$work/cat-repos", Seq("repo"), 4),
+        EngineConf(buckets = 4))
+      val cat = graft.icelite.IceliteCatalog.create(s"$work/cat")
+      cat.registerTable("files", s"$work/cat-files")
+      cat.registerTable("repos", s"$work/cat-repos")
+      def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("repo").agg(
+        max("commit_lsn").as("commit_lsn"), count(lit(1)).as("n"), max("ts").as("ts"))
+        .selectExpr("repo", "'rollup' AS path", "commit_lsn", "0 AS seq", "ts",
+          "'U' AS op", "CAST(NULL AS STRING) AS lang", "CAST(n AS STRING) AS content")
+      val engines = Map("files" -> filesE, "repos" -> reposE)
+      val evC = Synth.events(spark, 4000, seed = 83, repos = 20, pathsPerRepo = 40)
+      val v1 = graft.engine.AtomicTxn.commit(cat, 0L,
+        Seq(("files", filesE, evC), ("repos", reposE, rollup(evC))))
+      val replayV = graft.engine.AtomicTxn.commit(cat, 0L,
+        Seq(("files", filesE, evC), ("repos", reposE, rollup(evC))))
+      // torn crash: txn 1 catalog-commits but only ONE table publishes
+      val evC2 = Synth.events(spark, 1500, seed = 84, repos = 20, pathsPerRepo = 40)
+        .withColumn("commit_lsn", col("commit_lsn") + 4000L)
+      val sF = filesE.stageBatch(1L, evC2).snapshotId
+      val sR = reposE.stageBatch(1L, rollup(evC2)).snapshotId
+      cat.commitTxn(1L, Map("files" -> sF, "repos" -> sR))
+      filesE.publishStaged(sF) // reposE's publish "crashes"
+      val refs = cat.refs()
+      val catConsistent = // catalog readers resolve BOTH tables at txn 1
+        filesE.stateAt(refs("files").snapshotId).count() > 0 &&
+          reposE.stateAt(refs("repos").snapshotId).count() > 0 &&
+          refs("repos").snapshotId == sR
+      val (published, dropped) = graft.engine.AtomicTxn.recover(cat, engines)
+      val healed = reposE.table.isAncestor(sR)
+      println(s"== catalog txn: 2 tables committed atomically at version $v1; " +
+        s"replaying the txn returned version $replayV " +
+        (if (replayV == v1) "(no-op, exactly-once holds)" else "(BUG!)") +
+        s"; torn-crash probe: catalog readers " +
+        (if (catConsistent) "stayed consistent" else "TORE (BUG!)") +
+        s", recover() published $published/1 pending " +
+        (if (healed && published == 1 && dropped == 0) "(healed)" else "(BUG!)"))
+    }
     spark.stop()
   }
 }

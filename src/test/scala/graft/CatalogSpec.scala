@@ -218,6 +218,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(stateOf(files) === f1 && stateOf(repos) === r1)
   }
 
+  test("plain SQL reads the table set consistently through catalog pins") {
+    val work = SparkTestBase.tmpDir("cat-sql")
+    val (files, repos, cat) = mkPair(work)
+    val engines = Map("files" -> files, "repos" -> repos)
+    val ev1 = Synth.events(spark, 1500, seed = 471, repos = 8, pathsPerRepo = 30)
+    val ev2 = Synth.events(spark, 1500, seed = 472, repos = 8, pathsPerRepo = 30)
+      .withColumn("commit_lsn", col("commit_lsn") + 1500L)
+    val vTxn1 = AtomicTxn.commit(cat, 0L,
+      Seq(("files", files, ev1), ("repos", repos, repoAgg(ev1))))
+    val (f1, r1) = (stateOf(files), stateOf(repos))
+    AtomicTxn.commit(cat, 1L,
+      Seq(("files", files, ev2), ("repos", repos, repoAgg(ev2))))
+
+    // pins of the OLD catalog version -> cross-table time travel in SQL
+    val pins = graft.sql.IceliteSql.registerCatalog(spark, cat, engines, vTxn1)
+    assert(pins.keySet === Set("files", "repos"))
+    val nFiles = spark.sql(
+      s"SELECT count(*) AS n FROM ice.files VERSION AS OF ${pins("files")}")
+      .collect()(0).getLong(0)
+    assert(nFiles === f1.size)
+    val gotRepos = spark.sql(
+      s"SELECT repo, content FROM ice.repos VERSION AS OF ${pins("repos")}")
+      .collect().map(r => s"${r.getString(0)}/rollup" -> r.getString(1)).toMap
+    assert(gotRepos === r1)
+    // a cross-table SQL join at the consistent pair: every repo the files
+    // table knows is present in the rollup at the SAME catalog version
+    val orphans = spark.sql(
+      s"""SELECT count(*) AS n FROM
+         |  (SELECT DISTINCT repo FROM ice.files VERSION AS OF ${pins("files")}) f
+         |  LEFT ANTI JOIN
+         |  (SELECT repo FROM ice.repos VERSION AS OF ${pins("repos")}) r
+         |  ON f.repo = r.repo""".stripMargin).collect()(0).getLong(0)
+    assert(orphans === 0L, "consistent pins must leave no cross-table orphans")
+  }
+
   test("catalog versions give cross-table consistent time travel") {
     val work = SparkTestBase.tmpDir("cat-tt")
     val (files, repos, cat) = mkPair(work)
