@@ -218,6 +218,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(stateOf(files) === f1 && stateOf(repos) === r1)
   }
 
+  test("schema evolution rides the transaction: an added column lands atomically with the other table") {
+    val work = SparkTestBase.tmpDir("cat-evolve")
+    val (files, repos, cat) = mkPair(work)
+    val ev1 = Synth.events(spark, 1200, seed = 481, repos = 8, pathsPerRepo = 30)
+    AtomicTxn.commit(cat, 0L, Seq(("files", files, ev1), ("repos", repos, repoAgg(ev1))))
+    assert(!files.currentState().columns.contains("stars"))
+
+    // epoch 1 widens the files schema (new payload column) mid-txn
+    val ev2 = Synth.events(spark, 800, seed = 482, repos = 8, pathsPerRepo = 30)
+      .withColumn("commit_lsn", col("commit_lsn") + 1200L)
+      .withColumn("stars", (col("commit_lsn") % 5).cast("int"))
+    AtomicTxn.commit(cat, 1L, Seq(("files", files, ev2), ("repos", repos, repoAgg(ev2))))
+
+    val refs = cat.refs()
+    val head = files.stateAt(refs("files").snapshotId)
+    assert(head.columns.contains("stars"), "the added column must be visible at the pin")
+    assert(head.filter(col("stars").isNotNull).count() > 0)
+    // and the PREVIOUS catalog version still reads with the OLD schema
+    val old = cat.refs(cat.versionOfTxn(0L).get)
+    assert(!files.stateAt(old("files").snapshotId).columns.contains("stars"),
+      "cross-table time travel must keep the pre-evolution schema")
+  }
+
   test("plain SQL reads the table set consistently through catalog pins") {
     val work = SparkTestBase.tmpDir("cat-sql")
     val (files, repos, cat) = mkPair(work)
