@@ -60,7 +60,11 @@ case class CatalogVersion(
     tables: Map[String, CatalogTableRef],
     // the transaction (batch epoch) this version committed; -1 = DDL
     txnId: Long,
-    commitMillis: Long)
+    commitMillis: Long,
+    // txn ids of versions expired beneath this re-root: the exactly-once
+    // ledger survives expireVersions (same carry rule as table epochs
+    // across expireSnapshots re-roots)
+    carriedTxns: List[Long] = Nil)
 
 class CatalogConflictException(msg: String) extends RuntimeException(msg)
 
@@ -96,17 +100,20 @@ class IceliteCatalog(val root: Path) {
     while (v > 0) {
       val s = versionState(v)
       if (s.txnId >= 0) acc += s.txnId
+      acc ++= s.carriedTxns
       v = s.parentVersion
     }
     acc.result()
   }
 
-  /** The version that applied `txnId`, if any (idempotent-replay answer). */
+  /** The version that applied `txnId`, if any (idempotent-replay answer).
+    * A txn carried across an expiry re-root answers with the re-rooted
+    * version — its own version file is gone, but replay must still no-op. */
   def versionOfTxn(txnId: Long): Option[Long] = lock.synchronized {
     var v = version
     while (v > 0) {
       val s = versionState(v)
-      if (s.txnId == txnId) return Some(v)
+      if (s.txnId == txnId || s.carriedTxns.contains(txnId)) return Some(v)
       v = s.parentVersion
     }
     None
@@ -174,6 +181,54 @@ class IceliteCatalog(val root: Path) {
     val acc = List.newBuilder[CatalogVersion]
     while (v > 0) { val s = versionState(v); acc += s; v = s.parentVersion }
     acc.result()
+  }
+
+  /** TRANSACTION-ALIGNED cross-table change windows: for every table in
+    * `toVersion` (default HEAD), the `(fromSnapshotId, toSnapshotId)`
+    * window a consumer drains with `engine.changesSince(from, to)` to see
+    * exactly the transactions in `(fromVersion, toVersion]` — never half a
+    * transaction, because both bounds are catalog pins. A table enrolled
+    * after `fromVersion` gets `from = -1` (bootstrap). This is the
+    * multi-table analog of the single table's incremental (from, to] scan:
+    * consumers that mirror a table SET stay txn-consistent batch by batch. */
+  def changeWindows(fromVersion: Long,
+      toVersion: Long = -1L): Map[String, (Long, Long)] = {
+    val to = versionState(if (toVersion < 0) version else toVersion).tables
+    val from = versionState(fromVersion).tables
+    to.map { case (name, ref) =>
+      name -> (from.get(name).map(_.snapshotId).getOrElse(-1L), ref.snapshotId)
+    }
+  }
+
+  /** Trim catalog history to the newest `keepLast` versions, deleting the
+    * older cat-N.json files (the catalog-level analog of a table's
+    * expireSnapshots). The version counter keeps advancing; expired
+    * versions simply stop being resolvable. RETENTION INTERPLAY: a
+    * catalog version only time-travels while every table snapshot it pins
+    * is still retained, so keep each member table's `retainSnapshots` at
+    * least as deep as the txn count covered by `keepLast` — mirroring
+    * Iceberg's rule that catalog-level GC must be coordinated with
+    * snapshot expiry. Returns the expired version ids. */
+  def expireVersions(keepLast: Int): Seq[Long] = lock.synchronized {
+    require(keepLast >= 1, "must keep at least the head version")
+    val hist = history // newest first
+    val doomed = hist.drop(keepLast)
+    // re-root FIRST (carrying the doomed txn ids), then delete — a crash
+    // between the two steps must never lose ledger entries
+    hist.lift(keepLast - 1).foreach { oldest =>
+      if (doomed.nonEmpty) {
+        val carried = (oldest.carriedTxns ++
+          doomed.flatMap(s => s.carriedTxns :+ s.txnId).filter(_ >= 0)).distinct
+        val rerooted = oldest.copy(parentVersion = 0L, carriedTxns = carried)
+        Icelite.write(versionFile(oldest.version), Serialization.writePretty(rerooted))
+        versionCache.put(oldest.version, rerooted)
+      }
+    }
+    doomed.foreach { s =>
+      Files.deleteIfExists(versionFile(s.version))
+      versionCache.remove(s.version)
+    }
+    doomed.map(_.version)
   }
 }
 

@@ -276,6 +276,71 @@ class CatalogSpec extends AnyFunSuite {
     assert(orphans === 0L, "consistent pins must leave no cross-table orphans")
   }
 
+  test("changeWindows: txn-aligned cross-table incremental feeds between catalog versions") {
+    val work = SparkTestBase.tmpDir("cat-win")
+    val (files, repos, cat) = mkPair(work)
+    val ev1 = Synth.events(spark, 1500, seed = 491, repos = 8, pathsPerRepo = 30)
+    val ev2 = Synth.events(spark, 1000, seed = 492, repos = 8, pathsPerRepo = 30)
+      .withColumn("commit_lsn", col("commit_lsn") + 1500L)
+    val v1 = AtomicTxn.commit(cat, 0L,
+      Seq(("files", files, ev1), ("repos", repos, repoAgg(ev1))))
+    AtomicTxn.commit(cat, 1L,
+      Seq(("files", files, ev2), ("repos", repos, repoAgg(ev2))))
+
+    val wins = cat.changeWindows(v1)
+    // both bounds are catalog pins — never half a transaction
+    assert(wins("files") === (cat.refs(v1)("files").snapshotId, cat.refs()("files").snapshotId))
+    assert(wins("repos") === (cat.refs(v1)("repos").snapshotId, cat.refs()("repos").snapshotId))
+    // the drained diff covers EXACTLY the keys whose visible value changed
+    for ((name, e) <- Seq(("files", files), ("repos", repos))) {
+      val (from, to) = wins(name)
+      val changed = e.changesSince(from, toSnapshotId = to)
+        .select("repo", "path").collect()
+        .map(r => s"${r.getString(0)}/${r.getString(1)}").toSet
+      assert(changed.nonEmpty, s"$name window must feed rows")
+      val before = stateOf(e, from); val after = stateOf(e, to)
+      val differing = (before.keySet ++ after.keySet)
+        .filter(k => before.get(k) != after.get(k))
+      assert(differing.subsetOf(changed),
+        s"$name: a changed key escaped the window feed")
+      ((before.keySet ++ after.keySet) -- changed).foreach(k =>
+        assert(before.get(k) === after.get(k), s"$name: unchanged key $k drifted"))
+    }
+    // a table enrolled AFTER fromVersion bootstraps from -1
+    val extra = IceliteTable.create(s"$work/extra", Seq("repo"), 2)
+    cat.registerTable("extra", s"$work/extra")
+    assert(cat.changeWindows(v1)("extra")._1 === -1L)
+  }
+
+  test("expireVersions trims catalog history but carries the exactly-once ledger") {
+    val work = SparkTestBase.tmpDir("cat-expire")
+    val (files, repos, cat) = mkPair(work)
+    val writes = (0 until 3).map { i =>
+      val ev = Synth.events(spark, 600, seed = 500 + i, repos = 6, pathsPerRepo = 20)
+        .withColumn("commit_lsn", col("commit_lsn") + i * 600L)
+      AtomicTxn.commit(cat, i.toLong,
+        Seq(("files", files, ev), ("repos", repos, repoAgg(ev))))
+      ev
+    }
+    val head = cat.version
+    val refsBefore = cat.refs()
+    val expired = cat.expireVersions(keepLast = 2)
+    assert(expired.nonEmpty && cat.history.size === 2)
+    assert(cat.version === head && cat.refs() === refsBefore,
+      "expiry must not move HEAD or its pins")
+    // the ledger survives the re-root: every txn id still answers,
+    // including DDL-version-adjacent ones carried across
+    assert(cat.committedTxns() === Set(0L, 1L, 2L))
+    // replaying an EXPIRED transaction is still a no-op
+    val v = AtomicTxn.commit(cat, 0L,
+      Seq(("files", files, writes(0)), ("repos", repos, repoAgg(writes(0)))))
+    assert(cat.version === head, "replay of an expired txn must commit nothing")
+    assert(v >= 1)
+    // expired version files are gone from disk
+    expired.foreach(ev0 => assert(
+      !java.nio.file.Files.exists(cat.root.resolve(s"cat-$ev0.json"))))
+  }
+
   test("catalog versions give cross-table consistent time travel") {
     val work = SparkTestBase.tmpDir("cat-tt")
     val (files, repos, cat) = mkPair(work)
