@@ -56,15 +56,20 @@ object AtomicTxn {
       writes: Seq[(String, CdcEngine, DataFrame)],
       maxRetries: Int = 5): Long = Icelite.lockFor(catalog.root).synchronized {
     require(writes.nonEmpty, "empty transaction")
+    require(writes.map(_._1).distinct.size == writes.size,
+      s"duplicate table names in transaction: ${writes.map(_._1).mkString(", ")}")
     val engines = writes.map { case (n, e, _) => n -> e }.toMap
 
     var attempt = 0
     while (true) {
-      // replayed transaction: complete its publishes and return
+      // ALWAYS complete a predecessor's pending publishes before staging:
+      // a committed-but-unpublished txn left by a crash would otherwise be
+      // silently fast-forwarded past (the new stage merges against the
+      // lagging head and its publish supersedes the orphan)
+      publishPending(catalog, engines)
+      // replayed transaction: nothing further to do
       catalog.versionOfTxn(epoch) match {
-        case Some(v) =>
-          publishPending(catalog, engines)
-          return v
+        case Some(v) => return v
         case None => ()
       }
       val expected = catalog.version
@@ -74,10 +79,22 @@ object AtomicTxn {
       }.toMap
       try {
         // 2. the ATOMIC point: one catalog version names every staged id
-        catalog.commitTxn(epoch, staged, expected)
+        val committed = catalog.commitTxn(epoch, staged, expected)
+        // a FOREIGN committer may have applied this txn between our replay
+        // check and the commit (commitTxn then no-ops, returning the
+        // foreign version): our stages are redundant, the foreign
+        // publishes may be pending — do not publish unpinned snapshots
+        val oursWon = committed.txnId == epoch && staged.forall {
+          case (n, sid) => committed.tables.get(n).exists(_.snapshotId == sid)
+        }
+        if (!oursWon) {
+          dropStale(engines, staged)
+          publishPending(catalog, engines)
+          return committed.version
+        }
         // 3. completion: fast-forward each table pointer
         staged.foreach { case (name, sid) => engines(name).publishStaged(sid) }
-        return catalog.version
+        return committed.version
       } catch {
         case _: CatalogConflictException =>
           // lost the CAS race: our staged merges are stale — drop and redo
@@ -92,33 +109,46 @@ object AtomicTxn {
   }
 
   /** Finish a crashed transaction: publish every catalog-pinned snapshot
-    * whose table pointer lags, then drop staged snapshots no catalog
-    * version references (a committer that died before its catalog commit).
-    * Idempotent; safe to run at every coordinator start. Returns
-    * (published, dropped) counts. */
+    * whose table pointer lags. With `sweepOrphans = true`, additionally
+    * drop staged snapshots no retained catalog version references (a
+    * committer that died before its catalog commit). The sweep is OPT-IN
+    * because the staged registry cannot distinguish a crash orphan from a
+    * live single-table write-audit-publish stage mid-audit on a member
+    * table — only sweep when no out-of-band WAP runs on member tables.
+    * Idempotent; the publish-only default is safe to run at every
+    * coordinator start. Returns (published, dropped) counts. */
   def recover(catalog: IceliteCatalog,
-      engines: Map[String, CdcEngine]): (Int, Int) = {
-    val published = publishPending(catalog, engines)
-    // every snapshot id any catalog version ever pinned, per table
-    val everPinned: Map[String, Set[Long]] = catalog.history
-      .flatMap(_.tables.toSeq).groupBy(_._1)
-      .map { case (n, refs) => n -> refs.map(_._2.snapshotId).toSet }
-    var dropped = 0
-    engines.foreach { case (name, engine) =>
-      val keep = everPinned.getOrElse(name, Set.empty)
-      engine.table.stagedSnapshotIds.filterNot(keep.contains).foreach { sid =>
-        engine.dropStaged(sid); dropped += 1
+      engines: Map[String, CdcEngine],
+      sweepOrphans: Boolean = false): (Int, Int) =
+    Icelite.lockFor(catalog.root).synchronized {
+      val published = publishPending(catalog, engines)
+      var dropped = 0
+      if (sweepOrphans) {
+        // every snapshot id a retained catalog version pins, per table
+        val everPinned: Map[String, Set[Long]] = catalog.history
+          .flatMap(_.tables.toSeq).groupBy(_._1)
+          .map { case (n, refs) => n -> refs.map(_._2.snapshotId).toSet }
+        engines.foreach { case (name, engine) =>
+          val keep = everPinned.getOrElse(name, Set.empty)
+          engine.table.stagedSnapshotIds.filterNot(keep.contains).foreach { sid =>
+            engine.dropStaged(sid); dropped += 1
+          }
+        }
       }
+      (published, dropped)
     }
-    (published, dropped)
-  }
 
   private def publishPending(catalog: IceliteCatalog,
       engines: Map[String, CdcEngine]): Int = {
     var n = 0
     catalog.refs().foreach { case (name, ref) =>
       engines.get(name).foreach { engine =>
-        if (ref.snapshotId >= 0 && !engine.table.isAncestor(ref.snapshotId)) {
+        // the staged registry is the authoritative pending set: an id a
+        // catalog version pins but the table no longer resolves (published
+        // long ago, then retention-expired off the chain) must be SKIPPED,
+        // not "re-published" — recover stays a no-op on a healthy catalog
+        if (ref.snapshotId >= 0 &&
+            engine.table.stagedSnapshotIds.contains(ref.snapshotId)) {
           engine.publishStaged(ref.snapshotId); n += 1
         }
       }

@@ -26,6 +26,7 @@ import org.json4s.jackson.Serialization
   * {{{
   *   <root>/cat-<v>.json   # immutable: tables map + txn id at version v
   *   <root>/HEAD           # current version (write-temp + ATOMIC_MOVE)
+  *   <root>/ledger.json    # expiry re-root + carried txn ids (see CatalogLedger)
   * }}}
   *
   * The multi-table transaction protocol (driven by
@@ -60,11 +61,15 @@ case class CatalogVersion(
     tables: Map[String, CatalogTableRef],
     // the transaction (batch epoch) this version committed; -1 = DDL
     txnId: Long,
-    commitMillis: Long,
-    // txn ids of versions expired beneath this re-root: the exactly-once
-    // ledger survives expireVersions (same carry rule as table epochs
-    // across expireSnapshots re-roots)
-    carriedTxns: List[Long] = Nil)
+    commitMillis: Long)
+
+/** Expiry side-ledger (`ledger.json`): version files stay IMMUTABLE (other
+  * instances' caches never go stale), so an expiry re-root is recorded
+  * beside them — the oldest retained version (walks stop there instead of
+  * following its still-written parent pointer into deleted files) plus the
+  * txn ids expired beneath it, which keeps the exactly-once ledger intact
+  * (the carry rule table epochs use across expireSnapshots re-roots). */
+case class CatalogLedger(rootVersion: Long, carriedTxns: List[Long])
 
 class CatalogConflictException(msg: String) extends RuntimeException(msg)
 
@@ -89,34 +94,69 @@ class IceliteCatalog(val root: Path) {
       Serialization.read[CatalogVersion](Files.readString(versionFile(v))))
   }
 
+  private def ledgerFile: Path = root.resolve("ledger.json")
+
+  /** Expiry re-root state — re-read per walk (tiny file) so concurrent
+    * instances observe another instance's expiry immediately. */
+  def ledger: CatalogLedger =
+    if (Files.exists(ledgerFile))
+      Serialization.read[CatalogLedger](Files.readString(ledgerFile))
+    else CatalogLedger(0L, Nil)
+
   /** The consistent table set at a catalog version (default: HEAD). */
   def refs(atVersion: Long = -1L): Map[String, CatalogTableRef] =
     versionState(if (atVersion < 0) version else atVersion).tables
 
-  /** Txn ids committed on the ancestry of `v` (exactly-once ledger). */
-  def committedTxns(atVersion: Long = -1L): Set[Long] = {
-    var v = if (atVersion < 0) version else atVersion
-    val acc = Set.newBuilder[Long]
-    while (v > 0) {
+  // txnId -> version index, filled incrementally from HEAD down to the
+  // last version already indexed — lookups stay O(new versions), not
+  // O(chain), over a long-lived catalog
+  private val txnIndex = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  @volatile private var indexedTo: Long = 0L
+
+  private def ensureIndexed(): CatalogLedger = lock.synchronized {
+    val led = ledger
+    val floor = math.max(led.rootVersion, 1L)
+    var v = version
+    val top = v
+    while (v >= floor && v > indexedTo) {
       val s = versionState(v)
-      if (s.txnId >= 0) acc += s.txnId
-      acc ++= s.carriedTxns
+      if (s.txnId >= 0) txnIndex.put(s.txnId, v)
       v = s.parentVersion
     }
+    led.carriedTxns.foreach(t => txnIndex.putIfAbsent(t, led.rootVersion))
+    indexedTo = math.max(indexedTo, top)
+    led
+  }
+
+  /** Txn ids committed on the ancestry of `v` (exactly-once ledger; walks
+    * stop at the expiry re-root, whose swept txn ids ride the ledger). */
+  def committedTxns(atVersion: Long = -1L): Set[Long] = {
+    if (atVersion < 0) {
+      ensureIndexed()
+      return txnIndex.keySet.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+    }
+    val led = ledger
+    val floor = math.max(led.rootVersion, 1L)
+    var v = atVersion
+    val acc = Set.newBuilder[Long]
+    while (v >= floor) {
+      val s = versionState(v)
+      if (s.txnId >= 0) acc += s.txnId
+      v = s.parentVersion
+    }
+    acc ++= led.carriedTxns
     acc.result()
   }
 
   /** The version that applied `txnId`, if any (idempotent-replay answer).
-    * A txn carried across an expiry re-root answers with the re-rooted
-    * version — its own version file is gone, but replay must still no-op. */
+    * A txn expired off the chain answers with the re-root version — its
+    * own version file is gone, but replay must still no-op. */
   def versionOfTxn(txnId: Long): Option[Long] = lock.synchronized {
-    var v = version
-    while (v > 0) {
-      val s = versionState(v)
-      if (s.txnId == txnId || s.carriedTxns.contains(txnId)) return Some(v)
-      v = s.parentVersion
+    val led = ensureIndexed()
+    Option(txnIndex.get(txnId)).map { v =>
+      // clamp entries that predate a (possibly foreign) expiry re-root
+      if (led.rootVersion > 0 && v < led.rootVersion) led.rootVersion else v
     }
-    None
   }
 
   private def commitVersion(next: CatalogVersion): CatalogVersion = {
@@ -175,11 +215,13 @@ class IceliteCatalog(val root: Path) {
       head + 1, head, next, txnId, System.currentTimeMillis()))
   }
 
-  /** Version history, newest first (catalog-level `snapshots` inspection). */
+  /** Version history down to the expiry re-root, newest first
+    * (catalog-level `snapshots` inspection). */
   def history: List[CatalogVersion] = lock.synchronized {
+    val floor = math.max(ledger.rootVersion, 1L)
     var v = version
     val acc = List.newBuilder[CatalogVersion]
-    while (v > 0) { val s = versionState(v); acc += s; v = s.parentVersion }
+    while (v >= floor) { val s = versionState(v); acc += s; v = s.parentVersion }
     acc.result()
   }
 
@@ -202,28 +244,26 @@ class IceliteCatalog(val root: Path) {
 
   /** Trim catalog history to the newest `keepLast` versions, deleting the
     * older cat-N.json files (the catalog-level analog of a table's
-    * expireSnapshots). The version counter keeps advancing; expired
-    * versions simply stop being resolvable. RETENTION INTERPLAY: a
-    * catalog version only time-travels while every table snapshot it pins
-    * is still retained, so keep each member table's `retainSnapshots` at
-    * least as deep as the txn count covered by `keepLast` — mirroring
-    * Iceberg's rule that catalog-level GC must be coordinated with
-    * snapshot expiry. Returns the expired version ids. */
+    * expireSnapshots). Version files stay immutable: the re-root is
+    * recorded in the side ledger FIRST (new root version + the expired
+    * txn ids, so the exactly-once ledger survives), files deleted second
+    * — a crash between the steps loses nothing. The version counter keeps
+    * advancing; expired versions simply stop being resolvable.
+    * RETENTION INTERPLAY: a catalog version only time-travels while every
+    * table snapshot it pins is still retained, so keep each member
+    * table's `retainSnapshots` at least as deep as the txn count covered
+    * by `keepLast` — mirroring Iceberg's rule that catalog-level GC must
+    * be coordinated with snapshot expiry. Returns the expired ids. */
   def expireVersions(keepLast: Int): Seq[Long] = lock.synchronized {
     require(keepLast >= 1, "must keep at least the head version")
-    val hist = history // newest first
+    val hist = history // newest first, already floored at any prior root
     val doomed = hist.drop(keepLast)
-    // re-root FIRST (carrying the doomed txn ids), then delete — a crash
-    // between the two steps must never lose ledger entries
-    hist.lift(keepLast - 1).foreach { oldest =>
-      if (doomed.nonEmpty) {
-        val carried = (oldest.carriedTxns ++
-          doomed.flatMap(s => s.carriedTxns :+ s.txnId).filter(_ >= 0)).distinct
-        val rerooted = oldest.copy(parentVersion = 0L, carriedTxns = carried)
-        Icelite.write(versionFile(oldest.version), Serialization.writePretty(rerooted))
-        versionCache.put(oldest.version, rerooted)
-      }
-    }
+    if (doomed.isEmpty) return Nil
+    val led = ledger
+    val newRoot = hist(keepLast - 1).version
+    val carried = (led.carriedTxns ++ doomed.map(_.txnId).filter(_ >= 0)).distinct
+    Icelite.write(ledgerFile,
+      Serialization.writePretty(CatalogLedger(newRoot, carried)))
     doomed.foreach { s =>
       Files.deleteIfExists(versionFile(s.version))
       versionCache.remove(s.version)

@@ -70,7 +70,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(files.table.stagedSnapshotIds.nonEmpty && repos.table.stagedSnapshotIds.nonEmpty)
 
     val (published, dropped) = AtomicTxn.recover(cat,
-      Map("files" -> files, "repos" -> repos))
+      Map("files" -> files, "repos" -> repos), sweepOrphans = true)
     assert(published === 0 && dropped === 2, s"got ($published, $dropped)")
     assert(files.table.stagedSnapshotIds.isEmpty && repos.table.stagedSnapshotIds.isEmpty)
     // the swept epoch was never committed, so redelivery must apply fully
@@ -112,6 +112,61 @@ class CatalogSpec extends AnyFunSuite {
     assert(stateOf(repos) === rCat, "recovery must fast-forward the lagging pointer")
     assert(AtomicTxn.recover(cat, Map("files" -> files, "repos" -> repos)) === ((0, 0)),
       "recover must be idempotent")
+  }
+
+  test("a NEXT-epoch commit straight after a torn crash completes the predecessor first") {
+    val work = SparkTestBase.tmpDir("cat-torn2")
+    val (files, repos, cat) = mkPair(work)
+    val engines = Seq(("files", files), ("repos", repos))
+    val ev = Synth.events(spark, 1500, seed = 415, repos = 8, pathsPerRepo = 30)
+    AtomicTxn.commit(cat, 0L, Seq(("files", files, ev), ("repos", repos, repoAgg(ev))))
+
+    // txn 1 catalog-commits but NO table publishes (coordinator dies)
+    val ev2 = Synth.events(spark, 800, seed = 416, repos = 8, pathsPerRepo = 30)
+      .withColumn("commit_lsn", col("commit_lsn") + 1500L)
+    val s1 = engines.map { case (n, e) =>
+      n -> e.stageBatch(1L, if (n == "files") ev2 else repoAgg(ev2)).snapshotId
+    }.toMap
+    cat.commitTxn(1L, s1)
+
+    // a restarted caller goes straight to epoch 2 WITHOUT calling recover:
+    // the coordinator must publish txn 1 before staging, or epoch 1's rows
+    // would be silently fast-forwarded past
+    val ev3 = Synth.events(spark, 800, seed = 417, repos = 8, pathsPerRepo = 30)
+      .withColumn("commit_lsn", col("commit_lsn") + 2300L)
+    AtomicTxn.commit(cat, 2L,
+      Seq(("files", files, ev3), ("repos", repos, repoAgg(ev3))))
+    val oracle = TestOracle.finalState(
+      ev.unionByName(ev2).unionByName(ev3).collect().toSeq,
+      Seq("commit", "lang", "content"))
+    assert(stateOf(files).keySet === oracle.keySet.map { case (r, p) => s"$r/$p" },
+      "epoch 1's rows must not be lost to the torn crash")
+    assert(cat.committedTxns() === Set(0L, 1L, 2L))
+  }
+
+  test("recover is a no-op when a published pin was retention-expired off the chain") {
+    val work = SparkTestBase.tmpDir("cat-retained")
+    val (files, repos, cat) = mkPair(work)
+    val engines = Map("files" -> files, "repos" -> repos)
+    val ev = Synth.events(spark, 1200, seed = 418, repos = 8, pathsPerRepo = 30)
+    AtomicTxn.commit(cat, 0L, Seq(("files", files, ev), ("repos", repos, repoAgg(ev))))
+    // maintenance advances the files chain past the pinned snapshot, then
+    // retention expires the pinned id off the chain entirely
+    files.compact()
+    files.table.expireSnapshots(keepLast = 1)
+    assert(!files.table.isAncestor(cat.refs()("files").snapshotId))
+    assert(AtomicTxn.recover(cat, engines) === ((0, 0)),
+      "an expired published pin is not a pending publish")
+  }
+
+  test("duplicate table names in a transaction are rejected loudly") {
+    val work = SparkTestBase.tmpDir("cat-dup")
+    val (files, repos, cat) = mkPair(work)
+    val ev = Synth.events(spark, 300, seed = 419, repos = 4, pathsPerRepo = 10)
+    intercept[IllegalArgumentException] {
+      AtomicTxn.commit(cat, 0L, Seq(
+        ("files", files, ev), ("files", files, ev), ("repos", repos, repoAgg(ev))))
+    }
   }
 
   test("transaction replay is exactly-once: same epoch, same version, no new snapshots") {
