@@ -225,6 +225,22 @@ class IceliteCatalog(val root: Path) {
     acc.result()
   }
 
+  /** The version history as a DataFrame, one row per (version, table) pin
+    * — the catalog-level sibling of the engine's inspection tables
+    * (`engine.inspect.snapshots`): driver-built from the retained version
+    * files, O(versions × tables), never data-scale. `txn_id` is -1 on DDL
+    * versions; a row per version survives even for the empty catalog's
+    * DDL-only prefix (no pins yet -> no rows for that version). */
+  def historyDf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    history.flatMap(s => s.tables.toSeq.map { case (name, ref) =>
+      (s.version, s.parentVersion, s.txnId, s.commitMillis, name,
+        ref.snapshotId, ref.root)
+    }).toDF("version", "parent_version", "txn_id", "commit_millis",
+      "table_name", "snapshot_id", "table_root")
+  }
+
   /** TRANSACTION-ALIGNED cross-table change windows: for every table in
     * `toVersion` (default HEAD), the `(fromSnapshotId, toSnapshotId)`
     * window a consumer drains with `engine.changesSince(from, to)` to see

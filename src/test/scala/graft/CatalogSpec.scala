@@ -416,5 +416,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(stateOf(repos, old("repos").snapshotId) === r1)
     // and the version history records the txn ids in order
     assert(cat.history.map(_.txnId).filter(_ >= 0) === List(1L, 0L))
+    // the inspection DataFrame mirrors it: one row per (version, table),
+    // HEAD pins matching refs(), SQL-queryable like engine.inspect tables
+    val hdf = cat.historyDf(spark)
+    assert(hdf.columns.toSeq === Seq("version", "parent_version", "txn_id",
+      "commit_millis", "table_name", "snapshot_id", "table_root"))
+    val headPins = hdf.filter(col("version") === cat.version)
+      .collect().map(r => r.getString(4) -> r.getLong(5)).toMap
+    assert(headPins === cat.refs().map { case (n, r) => n -> r.snapshotId })
+    assert(hdf.filter(col("txn_id") === 0L).select("version").distinct().count() === 1)
   }
 }
