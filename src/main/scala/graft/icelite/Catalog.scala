@@ -133,7 +133,7 @@ class IceliteCatalog(val root: Path) {
   def committedTxns(atVersion: Long = -1L): Set[Long] = {
     if (atVersion < 0) {
       ensureIndexed()
-      return txnIndex.keySet.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+      return txnIndex.keySet.asScala.map(_.toLong).toSet
     }
     val led = ledger
     val floor = math.max(led.rootVersion, 1L)

@@ -347,11 +347,8 @@ object SqlSurface {
       val ev = derived(s, dir)
       val mx = ev.selectExpr("max(commit_lsn)").collect()(0).getLong(0)
       val (c1, c2) = (mx / 3, 2 * mx / 3)
-      def rollup(b: DataFrame): DataFrame = b.groupBy("repo").agg(
-        max("commit_lsn").as("commit_lsn"), count(lit(1)).as("n"), max("ts").as("ts"))
-        .selectExpr("repo", "'rollup' AS path", "commit_lsn", "0 AS seq", "ts",
-          "'U' AS op", "CAST(NULL AS STRING) AS lang",
-          "CAST(n AS STRING) AS content", "commit_lsn AS last_lsn")
+      def rollup(b: DataFrame): DataFrame = graft.synth.Synth.repoRollup(b)
+        .withColumn("last_lsn", col("commit_lsn"))
       val work = Work.tmp("graft-sql-q86")
       val files = new CdcEngine(s,
         IceliteTable.create(s"$work/files", Seq("repo", "path"), 16),

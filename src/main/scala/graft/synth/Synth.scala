@@ -23,6 +23,17 @@ import org.apache.spark.sql.types._
   */
 object Synth {
 
+  /** Per-repo rollup of a change batch, shaped as change events for a
+    * table keyed (repo): the dim-table side of a dim+fact multi-table
+    * transaction (CatalogSpec, CdcDemo, TxnBench, q86). One row per repo:
+    * `commit_lsn` = the batch's max LSN for the repo (so LWW across
+    * epochs keeps the latest rollup), `content` = the batch's row count. */
+  def repoRollup(batch: DataFrame): DataFrame =
+    batch.groupBy("repo").agg(
+      max("commit_lsn").as("commit_lsn"), count(lit(1)).as("n"), max("ts").as("ts"))
+      .selectExpr("repo", "'rollup' AS path", "commit_lsn", "0 AS seq", "ts",
+        "'U' AS op", "CAST(NULL AS STRING) AS lang", "CAST(n AS STRING) AS content")
+
   def events(
       spark: SparkSession,
       n: Long,

@@ -484,7 +484,7 @@ object CdcDemo {
     // publish missing) is invisible to catalog readers and healed by
     // recover(), and that replaying a committed txn moves nothing.
     locally {
-      import org.apache.spark.sql.functions.{col, count, lit, max}
+      import org.apache.spark.sql.functions.col
       val filesE = new CdcEngine(spark,
         IceliteTable.create(s"$work/cat-files", Seq("repo", "path"), 16),
         EngineConf(buckets = 16))
@@ -494,10 +494,7 @@ object CdcDemo {
       val cat = graft.icelite.IceliteCatalog.create(s"$work/cat")
       cat.registerTable("files", s"$work/cat-files")
       cat.registerTable("repos", s"$work/cat-repos")
-      def rollup(b: org.apache.spark.sql.DataFrame) = b.groupBy("repo").agg(
-        max("commit_lsn").as("commit_lsn"), count(lit(1)).as("n"), max("ts").as("ts"))
-        .selectExpr("repo", "'rollup' AS path", "commit_lsn", "0 AS seq", "ts",
-          "'U' AS op", "CAST(NULL AS STRING) AS lang", "CAST(n AS STRING) AS content")
+      def rollup(b: org.apache.spark.sql.DataFrame) = Synth.repoRollup(b)
       val engines = Map("files" -> filesE, "repos" -> reposE)
       val evC = Synth.events(spark, 4000, seed = 83, repos = 20, pathsPerRepo = 40)
       val v1 = graft.engine.AtomicTxn.commit(cat, 0L,

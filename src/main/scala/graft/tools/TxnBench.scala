@@ -51,10 +51,7 @@ object TxnBench {
     def batch(i: Int): DataFrame = Synth.events(spark, n, seed = 500 + i,
       repos = 1000, pathsPerRepo = 500, hotPct = 10, parts = 16)
       .withColumn("commit_lsn", col("commit_lsn") + i.toLong * n)
-    def rollup(b: DataFrame): DataFrame = b.groupBy("repo").agg(
-      max("commit_lsn").as("commit_lsn"), count(lit(1)).as("cnt"), max("ts").as("ts"))
-      .selectExpr("repo", "'rollup' AS path", "commit_lsn", "0 AS seq", "ts",
-        "'U' AS op", "CAST(NULL AS STRING) AS lang", "CAST(cnt AS STRING) AS content")
+    def rollup(b: DataFrame): DataFrame = Synth.repoRollup(b)
 
     def sha(e: CdcEngine): (Long, Long) = {
       val r = e.currentState().select(xxhash64(col("repo"), col("path"),

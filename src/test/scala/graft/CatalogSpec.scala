@@ -18,14 +18,8 @@ import graft.synth.Synth
 class CatalogSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
-  /** Per-repo rollup of a batch, shaped as change events for a table keyed
-    * by (repo): the dim-table side of the reference's dim+fact transaction. */
-  private def repoAgg(batch: DataFrame): DataFrame =
-    batch.groupBy("repo").agg(
-      max("commit_lsn").as("commit_lsn"), count(lit(1)).as("n"), max("ts").as("ts"))
-      .selectExpr("repo", "'rollup' AS path", "CAST(NULL AS STRING) AS commit",
-        "CAST(NULL AS STRING) AS lang", "CAST(n AS STRING) AS content",
-        "'U' AS op", "commit_lsn", "0 AS seq", "ts")
+  /** The dim-table side of the reference's dim+fact transaction. */
+  private def repoAgg(batch: DataFrame): DataFrame = Synth.repoRollup(batch)
 
   private def mkPair(work: String): (CdcEngine, CdcEngine, IceliteCatalog) = {
     val files = new CdcEngine(spark,
