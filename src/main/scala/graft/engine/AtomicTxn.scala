@@ -29,16 +29,22 @@ import graft.icelite.{CatalogConflictException, Icelite, IceliteCatalog}
   * whether the first attempt died before or after its publishes.
   *
   * Concurrency: in-JVM coordinators on the same catalog serialize on a
-  * per-catalog lock held across stage -> commit -> publish (the sandbox
-  * stand-in for the catalog service's serialized commit endpoint, exactly
-  * the role `Icelite.lockFor` plays for a single table's pointer). The
-  * lock is what makes staging safe: a stage computed against a table head
-  * that a concurrently-won transaction has committed but NOT YET published
-  * would pass the version CAS and then fail its own publish — after its
-  * catalog commit, which exactly-once forbids retrying. On top of the
-  * lock, the optimistic version CAS stays armed for CROSS-PROCESS
-  * committers: a foreign HEAD move between our version read and commitTxn
-  * raises, we drop the stale stages and retry from fresh state.
+  * per-catalog lock held across stage -> commit -> publish (cheap, and it
+  * makes staging safe between co-resident coordinators: a stage computed
+  * against a table head that a concurrently-won transaction has committed
+  * but NOT YET published would pass the version CAS and then fail its own
+  * publish — after its catalog commit, which exactly-once forbids
+  * retrying). ACROSS processes the lock is invisible and the version CAS
+  * is the real serialization: the catalog version FILE is created
+  * exclusively (`IceliteCatalog.commitVersion`'s hard-link CAS), so two
+  * processes that both read HEAD v and both staged cannot both commit
+  * v+1 — the loser's commitTxn raises, it drops its stale stages, first
+  * completes the winner's pending publishes (publishPending at the loop
+  * head), and retries from the winner's state. The stale-stage publish
+  * hazard the in-JVM lock prevents cannot bite cross-process either:
+  * publishing a snapshot staged against a superseded head fails the
+  * table's own per-parent claim CAS, and the retry loop re-stages.
+  * Proven across forked JVMs by CrossProcessSpec's coordinator race.
   *
   * Scale: coordinator work is O(tables) driver-side bookkeeping; all data
   * movement stays inside each table's staged MERGE (the engine's normal
@@ -73,13 +79,18 @@ object AtomicTxn {
         case None => ()
       }
       val expected = catalog.version
-      // 1. STAGE each table's merge (invisible; readable by id)
-      val staged = writes.map { case (name, engine, batch) =>
-        name -> engine.stageBatch(epoch, batch).snapshotId
-      }.toMap
+      // 1. STAGE each table's merge (invisible; readable by id) — tracked
+      // incrementally, so EVERY failure path below (a later table's stage
+      // throwing, a commitTxn require, not just the CAS conflict) drops
+      // exactly what this attempt staged instead of leaking invisible
+      // orphans until an opt-in recover(sweepOrphans = true)
+      val staged = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       try {
+        writes.foreach { case (name, engine, batch) =>
+          staged(name) = engine.stageBatch(epoch, batch).snapshotId
+        }
         // 2. the ATOMIC point: one catalog version names every staged id
-        val committed = catalog.commitTxn(epoch, staged, expected)
+        val committed = catalog.commitTxn(epoch, staged.toMap, expected)
         // a FOREIGN committer may have applied this txn between our replay
         // check and the commit (commitTxn then no-ops, returning the
         // foreign version): our stages are redundant, the foreign
@@ -88,7 +99,7 @@ object AtomicTxn {
           case (n, sid) => committed.tables.get(n).exists(_.snapshotId == sid)
         }
         if (!oursWon) {
-          dropStale(engines, staged)
+          dropStale(engines, staged.toMap)
           publishPending(catalog, engines)
           return committed.version
         }
@@ -98,11 +109,16 @@ object AtomicTxn {
       } catch {
         case _: CatalogConflictException =>
           // lost the CAS race: our staged merges are stale — drop and redo
-          dropStale(engines, staged)
+          dropStale(engines, staged.toMap)
           attempt += 1
           if (attempt > maxRetries)
             throw new CatalogConflictException(
               s"txn $epoch lost the catalog race $attempt times; giving up")
+        case scala.util.control.NonFatal(e) =>
+          // terminal failure: same cleanup, then rethrow — the attempt's
+          // stages must not sit invisible awaiting a manual sweep
+          dropStale(engines, staged.toMap)
+          throw e
       }
     }
     -1L // unreachable
@@ -130,9 +146,12 @@ object AtomicTxn {
           .map { case (n, refs) => n -> refs.map(_._2.snapshotId).toSet }
         engines.foreach { case (name, engine) =>
           val keep = everPinned.getOrElse(name, Set.empty)
-          engine.table.stagedSnapshotIds.filterNot(keep.contains).foreach { sid =>
-            engine.dropStaged(sid); dropped += 1
-          }
+          engine.table.stagedSnapshotIds.filterNot(keep.contains)
+            // a marker can be spurious — left on a CHAIN snapshot by a
+            // cross-process same-id manifest collision (see Icelite.commit's
+            // exclusive-create loop); published ancestors are never orphans
+            .filterNot(engine.table.isAncestor)
+            .foreach { sid => engine.dropStaged(sid); dropped += 1 }
         }
       }
       (published, dropped)

@@ -1624,11 +1624,13 @@ class CdcEngine(
     graft.functions.VecOps.register(spark)
     def proxy(c: String): Column = payload(c).dataType match {
       case StringType =>
-        // left-justified 7-byte prefix value: hex preserves byte order,
-        // rpad keeps short strings below their extensions, 14 hex digits
-        // stay within a double's exact-integer range after conv
-        conv(rpad(substring(hex(encode(col(s"$c.v"), "UTF-8")), 1, 14),
-          14, "0"), 16, 10).cast("double")
+        // left-justified 6.5-byte prefix value: hex preserves byte order,
+        // rpad keeps short strings below their extensions, and 13 hex
+        // digits span 2^52 — inside a double's 2^53 exact-integer range,
+        // so the conv result is exact and near-equal prefixes never tie
+        // from rounding (14 digits would exceed it and round the low bits)
+        conv(rpad(substring(hex(encode(col(s"$c.v"), "UTF-8")), 1, 13),
+          13, "0"), 16, 10).cast("double")
       case _ => col(s"$c.v").cast("double")
     }
     val aggs = cols.flatMap(c =>

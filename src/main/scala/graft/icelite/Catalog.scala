@@ -80,9 +80,18 @@ class IceliteCatalog(val root: Path) {
   private def headFile: Path = root.resolve("HEAD")
   private def versionFile(v: Long): Path = root.resolve(s"cat-$v.json")
 
-  /** Current catalog version; 0 = the implicit empty catalog. */
+  /** Current catalog version; 0 = the implicit empty catalog. Version
+    * files are created EXCLUSIVELY and HEAD is only a hint written after
+    * them, so a committer crash (or a racing read) can leave HEAD lagging
+    * by one: heal by probing forward — versions are dense integers, so one
+    * existence miss ends the probe. Healing rewrites the hint so the probe
+    * stays O(1) amortized. */
   def version: Long = lock.synchronized {
-    if (Files.exists(headFile)) Files.readString(headFile).trim.toLong else 0L
+    var v = if (Files.exists(headFile)) Files.readString(headFile).trim.toLong else 0L
+    var healed = false
+    while (Files.exists(versionFile(v + 1))) { v += 1; healed = true }
+    if (healed) Icelite.write(headFile, v.toString)
+    v
   }
 
   private val versionCache =
@@ -159,8 +168,18 @@ class IceliteCatalog(val root: Path) {
     }
   }
 
+  /** THE cross-process atomic point: the version file itself is created
+    * exclusively (hard-link CAS, [[Icelite.writeNew]]), so two processes
+    * that both passed the optimistic `expectedVersion` check against the
+    * same HEAD cannot both commit version v+1 — the loser raises
+    * [[CatalogConflictException]] and its coordinator re-stages against
+    * the winner's state ([[graft.engine.AtomicTxn]]'s retry loop). HEAD
+    * is a hint written after the fact; `version` heals a lag. */
   private def commitVersion(next: CatalogVersion): CatalogVersion = {
-    Icelite.write(versionFile(next.version), Serialization.writePretty(next))
+    if (!Icelite.writeNew(versionFile(next.version), Serialization.writePretty(next)))
+      throw new CatalogConflictException(
+        s"catalog version ${next.version} was committed by a concurrent " +
+          "process; re-read and retry")
     Icelite.write(headFile, next.version.toString)
     next
   }
@@ -179,10 +198,24 @@ class IceliteCatalog(val root: Path) {
     }
 
   /** DDL: remove a table from the catalog (the table itself is untouched —
-    * Iceberg's DROP TABLE without PURGE). */
+    * Iceberg's DROP TABLE without PURGE). Refuses while the table's pinned
+    * snapshot is still awaiting its publish fast-forward: dropping then
+    * would strand a COMMITTED transaction — `AtomicTxn.publishPending` only
+    * scans enrolled tables, so the pointer would never receive it, and once
+    * the pinning versions expire a `recover(sweepOrphans = true)` could
+    * delete the staged snapshot a catalog version had committed. Run
+    * `AtomicTxn.recover` (or publish) first. */
   def dropTable(name: String): CatalogVersion = lock.synchronized {
     val cur = versionState(version)
     require(cur.tables.contains(name), s"no table '$name' in catalog")
+    val ref = cur.tables(name)
+    if (ref.snapshotId >= 0 && IceliteTable.exists(ref.root)) {
+      val pendingPublish =
+        IceliteTable.load(ref.root).stagedSnapshotIds.contains(ref.snapshotId)
+      require(!pendingPublish,
+        s"table '$name' has a committed-but-unpublished snapshot " +
+          s"${ref.snapshotId}; run AtomicTxn.recover (publish) before dropping")
+    }
     commitVersion(CatalogVersion(
       version + 1, version, cur.tables - name, -1L, System.currentTimeMillis()))
   }

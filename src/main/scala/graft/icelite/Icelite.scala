@@ -15,7 +15,10 @@ import org.json4s.jackson.Serialization
   *     (bucket -> file list); files never mutated, only added;
   *   - atomic snapshot commits via write-temp + ATOMIC_MOVE rename of a single
   *     pointer file (`metadata/version-hint.text`) — readers always see a
-  *     complete snapshot or the previous one;
+  *     complete snapshot or the previous one — with each pointer TRANSITION
+  *     serialized cross-process by an exclusive per-parent claim file
+  *     (losers raise CommitConflictException and re-merge; see lockFor and
+  *     advancePointer);
   *   - schema evolution: every snapshot pins a schema id; schemas are
   *     append-only (`metadata/schema-N.json`); ADD COLUMN and widening
   *     (int->long, float->double) are legal evolutions;
@@ -49,12 +52,20 @@ import org.json4s.jackson.Serialization
 object Icelite {
   implicit val fmts: Formats = DefaultFormats
 
-  /** Cross-instance commit atomicity within one JVM: every IceliteTable
-    * over the same root shares one (reentrant) lock, so two writer
-    * instances' read-pointer -> write-pointer sections cannot interleave —
-    * the sandbox stand-in for an Iceberg catalog's atomic pointer CAS.
-    * Cross-PROCESS writers need a real catalog; `expectedParentId` gives
-    * them optimistic conflict detection on top. */
+  /** Commit serialization is two-layered. Within one JVM, every
+    * IceliteTable over the same root shares one lock, so co-resident writer
+    * instances' read-pointer -> write-pointer sections never interleave
+    * (cheap, no filesystem round-trips on the contended path). ACROSS
+    * processes, the lock is invisible — there the pointer move itself is a
+    * real CAS: each main-pointer transition must first win an atomic
+    * exclusive create of a per-parent CLAIM file
+    * (`metadata/claims/p<parentId>`, see [[IceliteTable]] advancePointer),
+    * so of any number of OS processes committing against the same parent
+    * snapshot exactly one advances and the rest raise
+    * [[Icelite.CommitConflictException]] and re-merge against the fresh
+    * head — the Iceberg optimistic-commit loop, with the filesystem's
+    * link(2) exclusivity standing in for the catalog service's CAS
+    * endpoint. Proven across forked JVMs by CrossProcessSpec. */
   private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def lockFor(root: java.nio.file.Path): Object =
     rootLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString, _ => new Object)
@@ -217,6 +228,33 @@ object Icelite {
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Atomically create `p` with content `s` IFF it does not exist — the
+    * cross-PROCESS compare-and-swap primitive the commit protocol builds
+    * on. `Files.move` without REPLACE_EXISTING is NOT exclusive on POSIX
+    * (Java maps ATOMIC_MOVE to rename(2), which silently replaces), and a
+    * bare createFile-then-write would expose a torn window where the file
+    * exists empty. link(2) gives both: write the full content to a temp
+    * file, then hard-link it to the final name — link fails with EEXIST
+    * atomically, and a successful link publishes the complete content in
+    * one metadata operation. Returns false when `p` already existed (the
+    * caller lost the race). */
+  private[icelite] def writeNew(p: Path, s: String): Boolean = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".new" + System.nanoTime())
+    Files.writeString(tmp, s, StandardOpenOption.CREATE_NEW)
+    try { Files.createLink(p, tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // a filesystem without hard links (unlikely here) would surface as
+      // UnsupportedOperationException — fall back to best-effort exclusive
+      // move (single-process safe, cross-process window accepted)
+      case _: UnsupportedOperationException =>
+        if (Files.exists(p)) false
+        else { Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE); return true }
+    }
+    finally Files.deleteIfExists(tmp)
+  }
+
   /** Recursively delete a table directory (DROP TABLE PURGE). Lives with
     * the table format's own file handling so callers (SQL DDL, tools) do
     * not depend on test/bench utilities for a core operation. */
@@ -238,6 +276,39 @@ class IceliteTable private (val root: Path) {
 
   private val metaDir = root.resolve("metadata")
   private val pointer = metaDir.resolve("version-hint.text")
+  private def claimsDir = metaDir.resolve("claims")
+
+  /** Move the main pointer `parentId -> childId` with CROSS-PROCESS
+    * atomicity. The invariant: the main chain never revisits a snapshot id
+    * (rollback commits a NEW snapshot), so each parent id has exactly one
+    * legal successor ever — a transition is claimed by atomically creating
+    * `claims/p<parentId>` (content: the child id). Winning the claim grants
+    * the exclusive right to move the pointer off `parentId`: any other
+    * process's transition from the same parent must create the same claim
+    * file and fails its exclusive create. Losers COMPLETE a winner that
+    * died between claim and pointer move (write the claimed child id —
+    * idempotent, all writers write the same value), then raise
+    * [[Icelite.CommitConflictException]] so the caller re-merges against
+    * the advanced head. A claim whose content equals our own child id means
+    * this same transition is being completed twice (e.g. two coordinators
+    * both finishing a staged publish) — proceed, the pointer write is
+    * idempotent. Claim files for expired snapshots are swept by
+    * [[expireSnapshots]]; a pathologically stale writer re-creating a swept
+    * claim is caught by the pointer re-check below (its parent can no
+    * longer be the current snapshot). */
+  private def advancePointer(parentId: Long, childId: Long): Unit = {
+    val claim = claimsDir.resolve(s"p$parentId")
+    if (Icelite.writeNew(claim, childId.toString)) {
+      write(pointer, childId.toString)
+    } else {
+      val theirs = Files.readString(claim).trim.toLong
+      if (theirs == childId) { write(pointer, childId.toString); return }
+      if (currentSnapshotId == parentId) write(pointer, theirs.toString)
+      throw new CommitConflictException(
+        s"concurrent committer won the transition from snapshot $parentId " +
+          s"(to $theirs); re-read and retry")
+    }
+  }
 
   def meta: TableMeta =
     Serialization.read[TableMeta](Files.readString(metaDir.resolve("table.json")))
@@ -487,7 +558,7 @@ class IceliteTable private (val root: Path) {
       throw new CommitConflictException(
         s"main advanced to snapshot $cur past branch '$name''s fork; " +
           "re-fork from the new head and replay the lane")
-    write(pointer, head.toString)
+    advancePointer(cur, head)
     writeBranches(branches - name)
     snapshot(head)
   }
@@ -817,6 +888,12 @@ class IceliteTable private (val root: Path) {
       }
     expired.filterNot(s => pinned.contains(s.snapshotId))
       .foreach(s => Files.deleteIfExists(metaDir.resolve(s"snap-${s.snapshotId}.json")))
+    // claim files key pointer transitions by parent id; an expired snapshot
+    // can never again be anyone's commit parent, so its claim is garbage.
+    // Safe against the stale-writer hazard: a writer re-creating a swept
+    // claim finds the pointer far past its parent and conflicts (see
+    // advancePointer).
+    expired.foreach(s => Files.deleteIfExists(claimsDir.resolve(s"p${s.snapshotId}")))
     expired.map(_.snapshotId)
   }
 
@@ -962,48 +1039,70 @@ class IceliteTable private (val root: Path) {
         finally stream.close()
     }
     maxSeenId = math.max(maxSeenId, parentId) + 1
-    // another INSTANCE on the same root may have allocated ids this
-    // instance's cache has never seen (a staged WAP snapshot moves no
+    // another INSTANCE (same JVM or another process) may have allocated ids
+    // this instance's cache has never seen (a staged WAP snapshot moves no
     // pointer, so parentId doesn't reveal it either; a branch lane's head
-    // is only in branches.json) — handing out such an id would overwrite
-    // that writer's snapshot via REPLACE_EXISTING and silently lose its
-    // merge. Probe forward past every id that is provably LIVE off-chain
-    // (registered staged, branch-reachable, tag-pinned). An existing file
-    // that is live by NONE of those is crash debris — a writer that died
-    // between manifest write and pointer move — and reusing (overwriting)
-    // its id is the documented recovery path.
-    while (Files.exists(metaDir.resolve(s"snap-$maxSeenId.json")) &&
-      liveOffChain(maxSeenId)) maxSeenId += 1
+    // is only in branches.json). Probe past every id whose manifest already
+    // exists; the manifest write itself is EXCLUSIVE (writeNew), so a
+    // same-id race that slips past this probe is caught there and re-probes
+    // — an id is never clobbered, in any interleaving, in any process.
+    // Crash debris (a manifest written by a writer that died before its
+    // pointer move, never adopted by a claim completion) permanently skips
+    // its id — one leaked integer, swept with the manifest by vacuum.
+    while (Files.exists(metaDir.resolve(s"snap-$maxSeenId.json"))) maxSeenId += 1
     maxSeenId
   }
 
-  /** Is `id` reachable by anything OTHER than the main pointer chain —
-    * registered as staged, on (or under) a branch, or tag-pinned? Main
-    * ancestors never qualify as allocation candidates (candidates start
-    * above the parent), so they need no check here. */
-  private def liveOffChain(id: Long): Boolean =
-    stagedIds.contains(id) ||
-      tags.valuesIterator.contains(id) ||
-      branches.valuesIterator.exists(h => h == id || isAncestorFrom(id, h))
-
   /** On-disk registry of live staged (WAP) snapshot ids — the one snapshot
     * class reachable from NO ref, which id allocation in any instance must
-    * still never clobber. Registered before the staged manifest is written
-    * (a crash in between leaks one skipped id, never a clobber);
-    * deregistered at publish/drop. */
+    * still never clobber. One MARKER FILE per id (`metadata/staged/<id>`),
+    * not a single list file: register/deregister are then per-id creates
+    * and deletes with no read-modify-write, so concurrent stagers in
+    * DIFFERENT processes can never lose each other's registrations (a
+    * shared JSON list would drop whichever write lands first). Registered
+    * before the staged manifest is written (a crash in between leaks one
+    * skipped id, never a clobber); deregistered at publish/drop. A legacy
+    * `staged.json` (pre-marker layout) is read as part of the set and
+    * drained on deregistration. */
   private def stagedFile: Path = metaDir.resolve("staged.json")
+  private def stagedDir: Path = metaDir.resolve("staged")
 
   /** Registered staged (unpublished) snapshot ids — the WAP in-flight set.
     * Public so a catalog-level recovery sweep ([[graft.engine.AtomicTxn
     * .recover]]) can drop stages orphaned by a committer crash. */
   def stagedSnapshotIds: Set[Long] = rootLock.synchronized(stagedIds)
 
-  private def stagedIds: Set[Long] =
-    if (Files.exists(stagedFile))
-      Serialization.read[List[Long]](Files.readString(stagedFile)).toSet
-    else Set.empty
-  private def writeStaged(ids: Set[Long]): Unit =
-    write(stagedFile, Serialization.writePretty(ids.toList.sorted))
+  private def stagedIds: Set[Long] = {
+    val legacy =
+      if (Files.exists(stagedFile))
+        Serialization.read[List[Long]](Files.readString(stagedFile)).toSet
+      else Set.empty[Long]
+    val markers =
+      if (!Files.exists(stagedDir)) Set.empty[Long]
+      else {
+        val s = Files.list(stagedDir)
+        try s.iterator().asScala
+          .flatMap(_.getFileName.toString.toLongOption).toSet
+        finally s.close()
+      }
+    legacy ++ markers
+  }
+
+  private def registerStaged(id: Long): Unit = {
+    Files.createDirectories(stagedDir)
+    try Files.createFile(stagedDir.resolve(id.toString))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  private def deregisterStaged(id: Long): Unit = {
+    Files.deleteIfExists(stagedDir.resolve(id.toString))
+    if (Files.exists(stagedFile)) {
+      val rest = Serialization.read[List[Long]](
+        Files.readString(stagedFile)).filterNot(_ == id)
+      if (rest.isEmpty) Files.deleteIfExists(stagedFile)
+      else write(stagedFile, Serialization.writePretty(rest.sorted))
+    }
+  }
 
   private def nextSchemaId: Int = {
     var i = 0
@@ -1038,11 +1137,19 @@ class IceliteTable private (val root: Path) {
     * `carriedEpochs`: idempotent re-delivery stays a no-op across
     * expiration).
     *
-    * Single-writer optimistic protocol: we re-read the pointer immediately
-    * before the rename and fail on concurrent movement. The sandbox is
-    * single-writer; a multi-writer deployment would swap this for a
-    * compare-and-swap on an object store / catalog service, which is exactly
-    * the Iceberg catalog contract.
+    * Multi-writer optimistic protocol, real across OS processes: the
+    * manifest file is created exclusively (same-id allocations by foreign
+    * processes re-probe instead of clobbering), the pointer is re-read
+    * immediately before the move, and the move itself must win the
+    * per-parent claim CAS (see [[advancePointer]]) — of any set of
+    * processes committing against one parent snapshot, exactly one
+    * advances; the rest raise [[Icelite.CommitConflictException]] and the
+    * engine re-merges against the fresh head. `expectedParentId` remains
+    * the EARLY conflict check (fail before writing a stale manifest); the
+    * claim is the authoritative late one. Proven across forked JVMs by
+    * CrossProcessSpec; on a real deployment the claim maps onto the
+    * object-store/catalog-service CAS, which is exactly the Iceberg
+    * catalog contract.
     */
   def commit(
       batchEpoch: Long,
@@ -1090,10 +1197,10 @@ class IceliteTable private (val root: Path) {
     if (expectedParentId != -2L && expectedParentId != parentId)
       throw new CommitConflictException(
         s"table advanced to snapshot $parentId past the writer's view $expectedParentId")
-    val id = allocSnapshotId(parentId)
+    var id = allocSnapshotId(parentId)
     // staged ids register BEFORE their manifest exists: the registry is
     // what stops another instance's allocator from clobbering the file
-    if (stage) writeStaged(stagedIds + id)
+    if (stage) registerStaged(id)
     // DELTA manifest: serialize only the touched buckets (each with its
     // complete post-commit list — append mode folds the parent's list in);
     // untouched buckets are inherited by the parent walk at read time
@@ -1102,7 +1209,7 @@ class IceliteTable private (val root: Path) {
       val key = k.toString
       key -> (if (append) parentFiles.getOrElse(key, Nil) ++ v else v)
     }
-    val snap = Snapshot(
+    val snap0 = Snapshot(
       snapshotId = id, parentId = parentId, batchEpoch = batchEpoch,
       schemaId = schemaId,
       bucketDelta = if (rebucketTo > 0) newBucketFiles.map { case (k, v) => k.toString -> v }
@@ -1120,7 +1227,19 @@ class IceliteTable private (val root: Path) {
         else parent.map(_.buckets).getOrElse(meta.buckets),
       rebucket = rebucketTo > 0,
       purge = purge)
-    write(metaDir.resolve(s"snap-$id.json"), Serialization.writePretty(snap))
+    // EXCLUSIVE manifest create: a foreign process's allocator can hand out
+    // the same id concurrently; losing the create means re-allocating the
+    // next id, never overwriting. A marker registered for a collided staged
+    // id is deliberately NOT removed — it may be the foreign writer's live
+    // registration (a spurious marker on a chain snapshot is inert).
+    var snap = snap0
+    while (!Icelite.writeNew(metaDir.resolve(s"snap-$id.json"),
+        Serialization.writePretty(snap))) {
+      maxSeenId = math.max(maxSeenId, id)
+      id = allocSnapshotId(parentId)
+      if (stage) registerStaged(id)
+      snap = snap0.copy(snapshotId = id)
+    }
     if (stage) return snap // manifest on disk, pointer untouched: invisible
     toBranch match {
       case Some(n) =>
@@ -1130,10 +1249,14 @@ class IceliteTable private (val root: Path) {
               s"found ${branchHead(n)}")
         writeBranches(branches + (n -> id))
       case None =>
+        // a CROSS-PROCESS winner may have advanced the pointer since the
+        // parent read (the in-JVM lock cannot see it) — surface it as the
+        // optimistic conflict it is, the engine's retry loop re-merges
         if (currentSnapshotId != parentId)
-          throw new IllegalStateException(
-            s"concurrent commit detected: expected parent $parentId, found $currentSnapshotId")
-        write(pointer, id.toString)
+          throw new CommitConflictException(
+            s"table advanced past parent $parentId to $currentSnapshotId " +
+              "during the merge; re-read and retry")
+        advancePointer(parentId, id)
     }
     snap
   }
@@ -1158,13 +1281,19 @@ class IceliteTable private (val root: Path) {
     if (staged.batchEpoch >= 0 && committedEpochs.contains(staged.batchEpoch))
       return snapshotChain.find(_.batchEpoch == staged.batchEpoch)
         .orElse(currentSnapshot).get
-    if (isAncestor(stagedId)) return staged // already published
+    if (isAncestor(stagedId)) {
+      // already published — possibly by another process that died between
+      // its pointer move and its registry cleanup: finish the cleanup here
+      // so the marker cannot linger forever
+      deregisterStaged(stagedId)
+      return staged
+    }
     if (staged.parentId != currentSnapshotId)
       throw new CommitConflictException(
         s"table advanced to snapshot $currentSnapshotId past staged $stagedId's " +
           s"parent ${staged.parentId}; re-stage and re-audit")
-    write(pointer, stagedId.toString)
-    writeStaged(stagedIds - stagedId) // now an ordinary main ancestor
+    advancePointer(staged.parentId, stagedId)
+    deregisterStaged(stagedId) // now an ordinary main ancestor
     staged
   }
 
@@ -1198,7 +1327,7 @@ class IceliteTable private (val root: Path) {
       }
     }
     Files.deleteIfExists(snapPath)
-    writeStaged(stagedIds - stagedId)
+    deregisterStaged(stagedId)
     doomed
   }
 

@@ -64,11 +64,19 @@ class IceliteSpec extends AnyFunSuite {
       "lineage":[],"totalRows":0,"commitMillis":0}""")
     assert(t.currentSnapshotId === 0) // pointer untouched -> old state visible
     assert(!t.committedEpochs.contains(99L)) // orphan epoch not committed
-    // next commit takes snapshot id 1, overwriting the orphan atomically
+    // manifest creation is EXCLUSIVE (cross-process id allocation): the next
+    // commit must never clobber the debris — it skips to the next free id,
+    // the orphan stays an invisible non-ancestor until vacuum sweeps it
     val s = t.commit(1, sid, Map(0 -> List(f("b.parquet"))), Nil, 1)
-    assert(s.snapshotId === 1 && s.batchEpoch === 1)
+    assert(s.snapshotId === 2 && s.batchEpoch === 1)
+    assert(java.nio.file.Files.exists(orphan)) // untouched, not overwritten
+    assert(!t.isAncestor(1L))
     assert(t.bucketFilesOf(t.currentSnapshot.get)("0").map(_.path) === List("b.parquet"))
     assert(t.committedEpochs === Set(0L, 1L))
+    // vacuum (no grace) reclaims the dead manifest (data/ must exist for
+    // the sweep to run — this metadata-only fixture never wrote data files)
+    java.nio.file.Files.createDirectories(t.root.resolve("data"))
+    assert(t.vacuum().contains("metadata/snap-1.json"))
   }
 
   test("incremental diff refuses a crash-orphaned (non-ancestor) since-snapshot") {
