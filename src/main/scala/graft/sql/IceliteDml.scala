@@ -108,14 +108,20 @@ object IceliteDml {
 
   /** Stamp an event frame and commit it as one non-batch engine epoch.
     * LSN = table high watermark + 1: strictly above every applied change,
-    * so the DML wins LWW against all history and loses to the next one. */
+    * so the DML wins LWW against all history and loses to the next one.
+    * `ts` is DERIVED from that LSN (epoch-millis = lsn), not wall clock:
+    * a DML statement has no source event time, and stamping `now()` was
+    * the one nondeterministic write in an otherwise seed-deterministic
+    * engine — replaying the same statements against the same table must
+    * produce a byte-identical table (SqlDmlSpec pins it). LWW order is
+    * decided by the LSN anyway; ts is carried payload. */
   private def commit(engine: CdcEngine, events: DataFrame,
       guardKeyDups: Boolean, what: String): Long = {
     val lsn = engine.highWatermark(engine.table.currentSnapshotId) + 1L
     val stamped = events
       .withColumn("commit_lsn", lit(lsn))
       .withColumn("seq", lit(0))
-      .withColumn("ts", lit(new java.sql.Timestamp(System.currentTimeMillis())))
+      .withColumn("ts", lit(new java.sql.Timestamp(lsn)))
       .persist()
     try {
       if (guardKeyDups) {
@@ -131,6 +137,66 @@ object IceliteDml {
   }
 
   private def asRows(n: Long): Seq[Row] = Seq(Row(n))
+
+  // -------------------------------------------------------------- ALTER
+
+  private[sql] def runAlter(spark: SparkSession, c: IceliteAlterCommand): Seq[Row] = {
+    val engine = engineOf(spark, c.name)
+    val state = engine.currentState()
+    def existing(n: String): Option[String] =
+      state.columns.find(_.equalsIgnoreCase(n))
+    def guardEngineCol(n: String): Unit = {
+      if (ChangeEvent.keyCols.exists(_.equalsIgnoreCase(n)))
+        IceliteSql.fail(s"${IceliteSql.Catalog}.${c.name}: key column $n is the " +
+          "MERGE identity and cannot be altered")
+      if (Envelope.exists(_.equalsIgnoreCase(n)) ||
+          ChangeEvent.envelopeCols.exists(_.equalsIgnoreCase(n)))
+        IceliteSql.fail(s"${IceliteSql.Catalog}.${c.name}: $n is an " +
+          "engine-managed envelope column")
+    }
+    val added = c.adds.value.map { qc =>
+      if (qc.path.exists(_.name.nonEmpty))
+        IceliteSql.fail(s"${IceliteSql.Catalog}.${c.name}: nested columns are " +
+          "not supported — payload columns are flat")
+      if (qc.default.nonEmpty)
+        IceliteSql.fail(s"${IceliteSql.Catalog}.${c.name}: column DEFAULTs are " +
+          "not supported — absent cells read as null (CDC carry-forward)")
+      guardEngineCol(qc.colName)
+      if (existing(qc.colName).nonEmpty)
+        IceliteSql.fail(s"${IceliteSql.Catalog}.${c.name}: column ${qc.colName} " +
+          "already exists")
+      org.apache.spark.sql.types.StructField(qc.colName, qc.dataType, nullable = true)
+    }
+    val widened = c.alters.value.map { sp =>
+      if (sp.column.name.size != 1)
+        IceliteSql.fail(s"${IceliteSql.Catalog}.${c.name}: nested columns are " +
+          "not supported — payload columns are flat")
+      val n = sp.column.name.head
+      guardEngineCol(n)
+      val cur = existing(n).getOrElse(IceliteSql.fail(
+        s"${IceliteSql.Catalog}.${c.name} has no column $n"))
+      val target = sp.newDataType.getOrElse(IceliteSql.fail(
+        s"${IceliteSql.Catalog}.${c.name}: only ALTER COLUMN ... TYPE " +
+          "(widening) is supported"))
+      val curType = state.schema(state.schema.fieldIndex(cur)).dataType
+      // reconcile() would also reject a narrow, but failing here names the
+      // statement instead of surfacing a batch-reconciliation error
+      if (!graft.engine.SchemaEvolve.widen(curType, target).contains(target))
+        IceliteSql.fail(s"${IceliteSql.Catalog}.${c.name}: illegal type change " +
+          s"for $cur: ${curType.simpleString} -> ${target.simpleString} " +
+          "(only widening byte/short/int/long, float/double)")
+      org.apache.spark.sql.types.StructField(cur, target, nullable = true)
+    }
+    // the evolved columns ride an EMPTY batch: reconcile() keeps every
+    // existing payload column and adds/widens exactly these
+    val envelope = ChangeEvent.schema.fields.filter(f =>
+      ChangeEvent.envelopeCols.contains(f.name)).toSeq
+    val ddlSchema = org.apache.spark.sql.types.StructType(
+      envelope ++ added ++ widened)
+    engine.applyBatch(-1L,
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), ddlSchema))
+    Nil
+  }
 
   // ------------------------------------------------------------- DELETE
 
@@ -298,6 +364,24 @@ object IceliteDml {
   * wrapping hides it — resolution happens in run(), by name, against the
   * live table frame. */
 case class Raw[T](value: T)
+
+/** `ALTER TABLE ice.t ADD COLUMN(S) ...` / `ALTER TABLE ice.t ALTER COLUMN
+  * c TYPE <wider>` — the two legal evolutions, routed through the SAME
+  * [[graft.engine.SchemaEvolve]] reconciliation the batch path uses: the
+  * DDL derives an EMPTY change batch whose payload schema carries exactly
+  * the added/widened columns and commits it as a non-batch engine epoch,
+  * so the evolved schema rides an ordinary snapshot commit — atomic with
+  * the pointer, and every older snapshot keeps its own schema id and still
+  * time-travels under it. Everything else (DROP / RENAME / REPLACE /
+  * narrowing / nested fields / defaults) stays loudly rejected, exactly as
+  * the batch reconciliation would reject it. */
+case class IceliteAlterCommand(name: String,
+    adds: Raw[Seq[org.apache.spark.sql.catalyst.plans.logical.QualifiedColType]],
+    alters: Raw[Seq[org.apache.spark.sql.catalyst.plans.logical.AlterColumnSpec]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = IceliteDml.runAlter(spark, this)
+}
 
 case class IceliteDeleteCommand(name: String, alias: Option[String],
     cond: Raw[Expression]) extends LeafRunnableCommand {

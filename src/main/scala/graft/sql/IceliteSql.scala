@@ -4,9 +4,9 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.AliasIdentifier
-import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, AsOfVersion, NoSuchTableException, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, AsOfVersion, NoSuchTableException, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, StartsWith}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, DescribeRelation, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, AlterTableCommand, DeleteFromTable, DescribeRelation, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -36,8 +36,15 @@ import graft.engine.{CdcEngine, StatsSkip}
   * The rule substitutes each reference with a FRESH engine read plan, so a
   * self-join resolves with distinct attribute ids and every query sees the
   * table head as of its own analysis — the same snapshot-per-query isolation
-  * the DataFrame API gives. Writes are rejected loudly: ingest goes through
-  * the engine's MERGE (`applyBatch`), never through SQL INSERT.
+  * the DataFrame API gives. Row-level writes go through [[IceliteDml]]:
+  * INSERT INTO / UPDATE / DELETE / MERGE INTO are re-expressed as
+  * change-event batches on the engine's MERGE (each statement is one
+  * engine commit stamped strictly above the high watermark, with a
+  * cardinality guard rejecting a source that touches a target key twice);
+  * bulk ingest still arrives through `applyBatch` / the streaming sink.
+  * DDL that would bypass the engine (CREATE/RENAME) is rejected loudly;
+  * ALTER TABLE ADD COLUMN / widening type changes route into the same
+  * SchemaEvolve reconciliation the batch path uses.
   *
   * Names are registered per SparkSession ([[IceliteSql.register]]), the
   * in-process analog of configuring `spark.sql.catalog.ice` — the resolution
@@ -327,6 +334,32 @@ class IceliteResolveRule(session: SparkSession) extends Rule[LogicalPlan] {
         fail(s"$Catalog.$name: INSERT OVERWRITE would replace table state — " +
           "use DELETE + INSERT, or rollbackTo for time travel")
       IceliteInsertCommand(name, cols, Raw(query), byName)
+
+    // ALTER TABLE ice.t: the two legal schema evolutions route into the
+    // engine's SchemaEvolve reconciliation (IceliteAlterCommand); every
+    // other shape is the same loud rejection the batch path gives
+    case a: AlterTableCommand if alterTarget(a.table).isDefined =>
+      val name = alterTarget(a.table).get
+      a match {
+        case AddColumns(_, cols) =>
+          IceliteAlterCommand(name, Raw(cols), Raw(Nil))
+        case AlterColumns(_, specs) =>
+          IceliteAlterCommand(name, Raw(Nil), Raw(specs))
+        case other =>
+          fail(s"$Catalog.$name: ${other.nodeName} is not supported — schema " +
+            "evolution is ADD COLUMN / ALTER COLUMN TYPE (widening) only, " +
+            "mirroring the engine's batch reconciliation rules")
+      }
+  }
+
+  /** The registered name when an ALTER target is `ice.<registered>`. */
+  private def alterTarget(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedTable => u.multipartIdentifier match {
+      case Seq(c, n) if c.equalsIgnoreCase(Catalog) =>
+        lookup(session, n).map(_ => n.toLowerCase)
+      case _ => None
+    }
+    case _ => None
   }
 
   /** `(registered-name, metadata-suffix, engine)` when the identifier is

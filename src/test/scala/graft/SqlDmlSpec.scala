@@ -292,4 +292,68 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(i.getMessage.contains("read-only") || i.getMessage.contains("not an INSERT target"),
       i.getMessage)
   }
+
+  test("ALTER TABLE ADD COLUMN routes through SchemaEvolve; old snapshots " +
+      "keep their schema") {
+    val (engine, t) = freshTable(seed = 301)
+    val sid0 = engine.table.currentSnapshotId
+    spark.sql(s"ALTER TABLE ice.$t ADD COLUMN stars INT")
+    assert(spark.sql(s"SELECT * FROM ice.$t").columns.contains("stars"))
+    // the DDL is one metadata-only snapshot commit; old rows read as null
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE stars IS NOT NULL") === 0)
+    // the new column is immediately DML-assignable
+    spark.sql(s"UPDATE ice.$t SET stars = 5 WHERE lang = 'scala'")
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE stars = 5") > 0)
+    // time travel below the DDL still reads under the OLD schema id
+    assert(!spark.sql(s"SELECT * FROM ice.$t VERSION AS OF $sid0")
+      .columns.contains("stars"))
+    // re-adding an existing column fails loudly
+    val dup = intercept[AnalysisException](
+      spark.sql(s"ALTER TABLE ice.$t ADD COLUMN stars INT"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+  }
+
+  test("ALTER COLUMN TYPE widens in place; narrow/drop/rename/key stay rejected") {
+    val (_, t) = freshTable(seed = 302)
+    spark.sql(s"ALTER TABLE ice.$t ADD COLUMN stars INT")
+    spark.sql(s"UPDATE ice.$t SET stars = 3 WHERE lang = 'py'")
+    spark.sql(s"ALTER TABLE ice.$t ALTER COLUMN stars TYPE BIGINT")
+    // files written under the int schema up-cast at read (per-file schema id)
+    assert(spark.sql(s"SELECT * FROM ice.$t").schema("stars").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(count(s"SELECT count(*) FROM ice.$t WHERE stars = 3") > 0)
+    val narrow = intercept[AnalysisException](
+      spark.sql(s"ALTER TABLE ice.$t ALTER COLUMN stars TYPE INT"))
+    assert(narrow.getMessage.contains("illegal type change"), narrow.getMessage)
+    val drop = intercept[AnalysisException](
+      spark.sql(s"ALTER TABLE ice.$t DROP COLUMN stars"))
+    assert(drop.getMessage.contains("not supported"), drop.getMessage)
+    val ren = intercept[AnalysisException](
+      spark.sql(s"ALTER TABLE ice.$t RENAME COLUMN stars TO s2"))
+    assert(ren.getMessage.contains("not supported"), ren.getMessage)
+    val key = intercept[AnalysisException](
+      spark.sql(s"ALTER TABLE ice.$t ALTER COLUMN repo TYPE BIGINT"))
+    assert(key.getMessage.contains("MERGE identity"), key.getMessage)
+  }
+
+  test("replayed DML yields an identical table — ts derives from the LSN, " +
+      "never wall clock") {
+    // two tables built from the same seed, the same DML script on both:
+    // every cell including the _ts envelope must match (before the fix,
+    // IceliteDml stamped System.currentTimeMillis and replay diverged)
+    val (_, t1) = freshTable(seed = 303)
+    val (_, t2) = freshTable(seed = 303)
+    for (t <- Seq(t1, t2)) {
+      spark.sql(s"DELETE FROM ice.$t WHERE lang = 'go'")
+      spark.sql(s"UPDATE ice.$t SET content = 'patched' WHERE lang = 'rs'")
+      spark.sql(s"INSERT INTO ice.$t (repo, path, lang, content) " +
+        "VALUES ('r-new', 'p-new', 'md', 'fresh')")
+    }
+    val a = spark.sql(s"SELECT * FROM ice.$t1")
+    val b = spark.sql(s"SELECT * FROM ice.$t2")
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "same DML on an identical table must replay to identical state " +
+        "(including _ts and content_sha256)")
+  }
 }
