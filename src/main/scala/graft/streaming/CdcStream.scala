@@ -59,10 +59,22 @@ object CdcStream {
       host: String,
       port: Int,
       checkpointDir: String,
+      maxRecordsPerTrigger: Long = 0L): Unit =
+    runBinlogAvailableNowBrokers(spark, engine, s"$host:$port", checkpointDir,
+      maxRecordsPerTrigger)
+
+  /** [[runBinlogAvailableNow]] against a SHARDED broker fleet:
+    * `brokers` = "host:port,host:port,..."; partition p is fetched from
+    * broker p % n (see BinlogTable's owner routing). */
+  def runBinlogAvailableNowBrokers(
+      spark: SparkSession,
+      engine: CdcEngine,
+      brokers: String,
+      checkpointDir: String,
       maxRecordsPerTrigger: Long = 0L): Unit = {
     import org.apache.spark.sql.functions.{col, from_json, lit}
     var reader = spark.readStream.format("cdc-binlog")
-      .option("host", host).option("port", port)
+      .option("brokers", brokers)
     if (maxRecordsPerTrigger > 0)
       reader = reader.option("maxRecordsPerTrigger", maxRecordsPerTrigger)
     // The raw value survives next to the parsed struct, and parsing runs

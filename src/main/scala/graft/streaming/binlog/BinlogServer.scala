@@ -56,6 +56,11 @@ import scala.collection.mutable.ArrayBuffer
   * re-reads are dedup'd by content. Offsets are the scale-correct design: a
   * 10^10-event replay cannot afford content-dedup on read.
   */
+object BinlogServer {
+  /** Records per FETCHB block (see the FETCHB handler). */
+  val BatchRecs = 512
+}
+
 final class BinlogServer(val partitions: Int, host: String = null) {
   require(partitions > 0, "partitions must be positive")
 
@@ -207,6 +212,40 @@ final class BinlogServer(val partitions: Int, host: String = null) {
                 out.write("END"); out.newLine(); out.flush()
                 synchronized { recordsServed += slice.size }
             }
+          case "FETCHB" =>
+            // batched framing: same range contract as FETCH, but records
+            // travel packed — blocks of up to BatchRecs records, each block
+            // one base64 line of repeated [offset:8][len:4][payload] —
+            // so the client pays one readLine + one base64 decode per
+            // block instead of per record. At 6M-record benches the
+            // per-record line framing was a measurable slice of the
+            // consumer-side CPU that capped ingest scaling.
+            val (p, from, until) = (parts(1).toInt, parts(2).toLong, parts(3).toLong)
+            val log = logs(p)
+            val sliceOrErr = log.synchronized {
+              if (from < logStart(p))
+                Left(s"ERR truncated: partition $p starts at ${logStart(p)}, fetch from $from")
+              else if (until > nextOffset(p))
+                Left(s"ERR past high-water: partition $p ends at ${nextOffset(p)}, fetch until $until")
+              else Right(log.view.slice(lowerBound(log, from), lowerBound(log, until)).toVector)
+            }
+            sliceOrErr match {
+              case Left(err) =>
+                out.write(err); out.newLine(); out.flush()
+              case Right(slice) =>
+                slice.grouped(BinlogServer.BatchRecs).foreach { blk =>
+                  val size = blk.iterator.map(r => 12 + r.payload.length).sum
+                  val buf = java.nio.ByteBuffer.allocate(size)
+                  blk.foreach { r =>
+                    buf.putLong(r.offset); buf.putInt(r.payload.length); buf.put(r.payload)
+                  }
+                  out.write("B ")
+                  out.write(Base64.getEncoder.encodeToString(buf.array()))
+                  out.newLine()
+                }
+                out.write("END"); out.newLine(); out.flush()
+                synchronized { recordsServed += slice.size }
+            }
           case "EARLIEST" =>
             out.write(earliest.mkString(" ")); out.newLine(); out.flush()
           case "TRUNCATE" =>
@@ -315,6 +354,41 @@ final class BinlogClient(host: String, port: Int) extends AutoCloseable {
           StandardCharsets.UTF_8)
         nextLine = advance()
         (off, r)
+      }
+    }
+  }
+
+  /** Batched-framing fetch (FETCHB): same contract and result shape as
+    * [[fetch]], but the wire carries packed blocks of up to
+    * [[BinlogServer.BatchRecs]] records — one readLine + one base64
+    * decode per block instead of per record, which is the consumer-side
+    * CPU that matters at millions of records per trigger. Blocks decode
+    * lazily as Spark pulls rows. */
+  def fetchBatched(partition: Int, from: Long, until: Long): Iterator[(Long, String)] = {
+    send(s"FETCHB $partition $from $until")
+    new Iterator[(Long, String)] {
+      private var block: java.nio.ByteBuffer = null
+      private var done = false
+      private def ensure(): Unit = {
+        while (!done && (block == null || !block.hasRemaining)) {
+          val l = in.readLine()
+          if (l == null || l == "END") { done = true; block = null }
+          else if (l.startsWith("ERR "))
+            throw new IllegalStateException(s"binlog fetch failed: ${l.drop(4)}")
+          else {
+            // "B <base64>"
+            block = java.nio.ByteBuffer.wrap(Base64.getDecoder.decode(l.substring(2)))
+          }
+        }
+      }
+      def hasNext: Boolean = { ensure(); !done }
+      def next(): (Long, String) = {
+        ensure()
+        val off = block.getLong()
+        val len = block.getInt()
+        val bytes = new Array[Byte](len)
+        block.get(bytes)
+        (off, new String(bytes, StandardCharsets.UTF_8))
       }
     }
   }

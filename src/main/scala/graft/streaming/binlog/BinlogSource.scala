@@ -67,15 +67,32 @@ object BinlogSource {
 
 private[binlog] final class BinlogTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
-  private val host = options.getOrDefault("host", "127.0.0.1")
-  private val port = {
-    val p = options.get("port")
-    require(p != null, "cdc-binlog requires option 'port'")
-    p.toInt
+  /** Broker endpoints. Either a single `host`/`port` pair, or `brokers` =
+    * "host:port,host:port,..." for a SHARDED log: broker i owns every
+    * partition p with p % nBrokers == i (the loader side,
+    * [[graft.tools.BinlogBroker]], applies the same rule). Sharding is the
+    * production topology — a Kafka cluster IS many brokers each owning a
+    * partition subset — and it removes the single-accept-loop/handler-JVM
+    * bottleneck that capped ingest scaling when one broker served all 16
+    * partitions. */
+  private val brokers: Seq[(String, Int)] = {
+    val list = options.get("brokers")
+    if (list != null && list.nonEmpty)
+      list.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { hp =>
+        val i = hp.lastIndexOf(':')
+        require(i > 0, s"cdc-binlog brokers entry '$hp' is not host:port")
+        (hp.substring(0, i), hp.substring(i + 1).toInt)
+      }
+    else {
+      val p = options.get("port")
+      require(p != null, "cdc-binlog requires option 'port' (or 'brokers')")
+      Seq((options.getOrDefault("host", "127.0.0.1"), p.toInt))
+    }
   }
   private val maxPerTrigger = options.getLong("maxRecordsPerTrigger", 0L)
 
-  override def name(): String = s"cdc-binlog://$host:$port"
+  override def name(): String =
+    s"cdc-binlog://${brokers.map { case (h, p) => s"$h:$p" }.mkString(",")}"
   override def schema(): StructType = BinlogSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
@@ -85,8 +102,8 @@ private[binlog] final class BinlogTable(options: CaseInsensitiveStringMap)
       override def readSchema(): StructType = BinlogSource.SCHEMA
       override def description(): String = name()
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new BinlogMicroBatchStream(host, port, maxPerTrigger)
-      override def toBatch: Batch = new BinlogBatch(host, port)
+        new BinlogMicroBatchStream(brokers, maxPerTrigger)
+      override def toBatch: Batch = new BinlogBatch(brokers)
     }
 }
 
@@ -109,28 +126,36 @@ private[binlog] final case class BinlogInputPartition(
     extends InputPartition
 
 private[binlog] final class BinlogMicroBatchStream(
-    host: String, port: Int, maxPerTrigger: Long)
+    brokers: Seq[(String, Int)], maxPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  // Driver-side control-plane client (LATEST polls). Lazy so a checkpoint
-  // restart constructs the stream before the first poll.
-  private def withClient[A](f: BinlogClient => A): A = {
-    val c = new BinlogClient(host, port)
-    try f(c) finally c.close()
-  }
+  // Driver-side control-plane polls, merged across the broker set: each
+  // broker reports the full partition-count vector but only its OWNED
+  // partitions carry real values (the rest sit at their initial 0), so
+  // the cluster-wide vector is the elementwise max. One broker is the
+  // degenerate case with zero merge cost.
+  private def merged(f: BinlogClient => Array[Long]): Array[Long] =
+    brokers.map { case (h, p) =>
+      val c = new BinlogClient(h, p)
+      try f(c) finally c.close()
+    }.reduce { (a, b) =>
+      require(a.length == b.length,
+        s"binlog brokers disagree on partition count: ${a.length} vs ${b.length}")
+      a.zip(b).map { case (x, y) => math.max(x, y) }
+    }
 
   /** AvailableNow target: high-water marks captured once at query start, so
     * the drain is bounded even while producers keep publishing. */
   @volatile private var availableNowTarget: Array[Long] = null
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = withClient(_.latest())
+    availableNowTarget = merged(_.latest())
 
   /** New streams start at the EARLIEST retained offsets (Kafka's
     * startingOffsets=earliest): a log whose prefix retention already
     * truncated must not be addressed from 0. */
   override def initialOffset(): Offset =
-    BinlogOffset(withClient(_.earliest()))
+    BinlogOffset(merged(_.earliest()))
 
   override def deserializeOffset(json: String): Offset = BinlogOffset.parse(json)
 
@@ -144,7 +169,7 @@ private[binlog] final class BinlogMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[BinlogOffset].offs
-    val headRaw = if (availableNowTarget != null) availableNowTarget else withClient(_.latest())
+    val headRaw = if (availableNowTarget != null) availableNowTarget else merged(_.latest())
     // A restart may bring a start vector shorter than the server's current
     // partition count only if the server changed shape — refuse loudly.
     require(headRaw.length == from.length,
@@ -152,7 +177,7 @@ private[binlog] final class BinlogMicroBatchStream(
     // Fail-fast data-loss check (Kafka's failOnDataLoss=true): a checkpoint
     // below the log-start means retention ran past the consumer — silently
     // skipping ahead would drop committed-but-unapplied changes.
-    val earliestNow = withClient(_.earliest())
+    val earliestNow = merged(_.earliest())
     from.indices.foreach { p =>
       if (from(p) < earliestNow(p))
         throw new IllegalStateException(
@@ -188,13 +213,15 @@ private[binlog] final class BinlogMicroBatchStream(
   }
 
   override def reportLatestOffset(): Offset =
-    BinlogOffset(if (availableNowTarget != null) availableNowTarget else withClient(_.latest()))
+    BinlogOffset(if (availableNowTarget != null) availableNowTarget else merged(_.latest()))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BinlogOffset].offs
     val e = end.asInstanceOf[BinlogOffset].offs
     s.indices.collect {
-      case p if e(p) > s(p) => BinlogInputPartition(host, port, p, s(p), e(p))
+      case p if e(p) > s(p) =>
+        val (h, pt) = brokers(p % brokers.size) // owner routing, loader rule
+        BinlogInputPartition(h, pt, p, s(p), e(p))
     }.toArray
   }
 
@@ -205,13 +232,18 @@ private[binlog] final class BinlogMicroBatchStream(
 }
 
 /** Bounded (batch) read: snapshot of [earliest, latest) at scan time. */
-private[binlog] final class BinlogBatch(host: String, port: Int) extends Batch {
+private[binlog] final class BinlogBatch(brokers: Seq[(String, Int)]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val c = new BinlogClient(host, port)
-    val (start, head) = try (c.earliest(), c.latest()) finally c.close()
+    def merged(f: BinlogClient => Array[Long]): Array[Long] =
+      brokers.map { case (h, p) =>
+        val c = new BinlogClient(h, p)
+        try f(c) finally c.close()
+      }.reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) })
+    val (start, head) = (merged(_.earliest()), merged(_.latest()))
     head.indices.collect {
       case p if head(p) > start(p) =>
-        BinlogInputPartition(host, port, p, start(p), head(p))
+        val (h, pt) = brokers(p % brokers.size)
+        BinlogInputPartition(h, pt, p, start(p), head(p))
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = BinlogReaderFactory
@@ -222,7 +254,7 @@ private[binlog] object BinlogReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[BinlogInputPartition]
     new PartitionReader[InternalRow] {
       private val client = new BinlogClient(p.host, p.port)
-      private val records = client.fetch(p.partition, p.from, p.until)
+      private val records = client.fetchBatched(p.partition, p.from, p.until)
       private var current: InternalRow = _
 
       override def next(): Boolean = {

@@ -328,4 +328,61 @@ class BinlogSourceSpec extends AnyFunSuite {
       assert(messages(err).exists(_.contains("data loss")), s"got: ${messages(err)}")
     } finally server.stop()
   }
+
+  test("batched fetch framing returns exactly the per-record frames, " +
+      "blocks and gaps included") {
+    val server = new BinlogServer(1)
+    try {
+      // more records than one FETCHB block, including empty and spacey
+      // payloads, then compact so the range has offset gaps
+      val n = BinlogServer.BatchRecs * 2 + 37
+      (0 until n).foreach(i => server.append(0, s"k${i % 50}", s"payload $i é"))
+      server.append(0, "")
+      server.compact(0)
+      val c = new BinlogClient(server.address, server.port)
+      try {
+        val plain = c.fetch(0, 0, n + 1).toVector
+        val batched = c.fetchBatched(0, 0, n + 1).toVector
+        assert(batched === plain, "FETCHB must frame exactly FETCH's records")
+        assert(batched.size === 51, "compaction left last-per-key + unkeyed")
+      } finally c.close()
+    } finally server.stop()
+  }
+
+  test("sharded broker fleet: owner-routed fetches reassemble the full log") {
+    // two servers, each owning p % 2 == idx (the BinlogBroker loader rule):
+    // the source's merged control plane + routing must yield exactly the
+    // single-server result through the stock streaming path
+    val all = eventsAsJson(4000)
+    val shard0 = new BinlogServer(PARTS)
+    val shard1 = new BinlogServer(PARTS)
+    try {
+      all.foreach { case (p, j) =>
+        (if (p % 2 == 0) shard0 else shard1).append(p, j)
+      }
+      val work = SparkTestBase.tmpDir("binlog-shard")
+      val t = IceliteTable.create(s"$work/t", Seq("repo", "path"), 8)
+      val engine = new CdcEngine(spark, t, EngineConf(buckets = 8))
+      CdcStream.runBinlogAvailableNowBrokers(spark, engine,
+        s"${shard0.address}:${shard0.port},${shard1.address}:${shard1.port}",
+        s"$work/ckpt")
+      // oracle: single unsharded server, fresh table
+      val single = new BinlogServer(PARTS)
+      try {
+        all.foreach { case (p, j) => single.append(p, j) }
+        val t2 = IceliteTable.create(s"$work/t2", Seq("repo", "path"), 8)
+        val e2 = new CdcEngine(spark, t2, EngineConf(buckets = 8))
+        CdcStream.runBinlogAvailableNow(spark, e2, single.address, single.port,
+          s"$work/ckpt2")
+        val cols = Seq("repo", "path", "commit", "lang", "content", "_lsn")
+        val a = engine.currentState().selectExpr(cols: _*)
+        val b = e2.currentState().selectExpr(cols: _*)
+        assert(a.count() === b.count())
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          "sharded tail diverged from single-broker tail")
+        // every shard actually served its owned partitions
+        assert(shard0.recordsServed > 0 && shard1.recordsServed > 0)
+      } finally single.stop()
+    } finally { shard0.stop(); shard1.stop() }
+  }
 }
