@@ -835,7 +835,16 @@ class IceliteTable private (val root: Path) {
     val chain = snapshotChain
     if (chain.size <= keepLast) return Seq.empty
     val (expired, kept) = chain.splitAt(chain.size - keepLast)
-    val epochsToCarry = expired.map(_.batchEpoch).filter(_ >= 0)
+    // BOTH the expired snapshots' own epochs AND the epochs they were
+    // already carrying: after the first expiry the old ROOT holds the
+    // accumulated carried set, and the next expiry evicts that root — a
+    // `batchEpoch`-only carry silently dropped the whole accumulated
+    // ledger there, so an epoch two retention-windows old re-APPLIED on
+    // re-delivery (double data). Caught by StreamIngestBench's 500-epoch
+    // ledger assert after ~12 expiry cycles; pinned by the repeated-expiry
+    // re-delivery test in IceliteSpec.
+    val epochsToCarry = expired.flatMap(_.carriedEpochs) ++
+      expired.map(_.batchEpoch).filter(_ >= 0)
     // the expired prefix's high watermark must survive the re-root: without
     // it a chain re-rooted onto a lineage-free snapshot (e.g. a compaction)
     // reports watermark -1 and a change-feed consumer gets the whole table

@@ -101,6 +101,12 @@ class IceliteSink(sqlContext: SQLContext, params: Map[String, String]) extends S
         params.get("tombstonePurgeLagLsn").map(_.toLong).getOrElse(-1L),
       retainSnapshots = params.get("retainSnapshots").map(_.toInt).getOrElse(0),
       vacuumAfterExpire = params.get("vacuumAfterExpire").exists(_.toBoolean),
+      // orphan-file grace for those vacuums (EngineConf default: 1 hour —
+      // safe, but a sustained-ingest run shorter than the grace reclaims
+      // NOTHING and disk grows by the full write volume; set it to a few
+      // multiples of the batch write time, same contract as remove_orphan_files)
+      vacuumGraceMillis = params.get("vacuumGraceMillis").map(_.toLong)
+        .getOrElse(EngineConf().vacuumGraceMillis),
       // comma-separated payload columns to harvest [min,max] bounds for on
       // merged writes (column-stats file skipping; see EngineConf.statsCols)
       statsCols = params.get("statsCols")

@@ -193,9 +193,11 @@ object BinlogBench {
         levelCores.map(acct).mkString +
         s""","broker":"${if (inproc) "inproc" else "forked-jvm-fleet"}"}"""
     println(json)
+    // joined with "\n|": the template below runs through stripMargin, which
+    // would otherwise strip each table row's leading pipe as a margin char
     val acctRows = levelCores.flatMap(c => cpuAccounting.get(c).map { case (sc, bc, w) =>
       f"| local[$c] | $w%.1f | $sc%.1f | $bc%.1f | ${(sc + bc) / w}%.1f |"
-    }).mkString("\n")
+    }).mkString("\n|")
     val md =
       s"""
          |## Binlog (network) ingest scaling — measured ${java.time.LocalDate.now()}

@@ -92,6 +92,7 @@ object StreamIngestBench {
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(mtimeBase + b * 1000L))
     }
+    ScalingBench.deleteRecursivelyPublic(work.resolve("gen")) // skeleton + _SUCCESS
     val schema = spark.read.parquet(input.resolve("batch-000000.parquet").toString)
       .schema
 
@@ -114,6 +115,10 @@ object StreamIngestBench {
         // hostile case. GC retention bounds are ChurnBench's measurement.
         .option("retainSnapshots", "40")
         .option("vacuumAfterExpire", "true")
+        // EngineConf's 1-hour orphan grace would reclaim NOTHING inside a
+        // sub-hour run (first attempt grew 44 GB and filled the disk);
+        // 60 s is ~10x the batch write time, same safety contract
+        .option("vacuumGraceMillis", "60000")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()

@@ -156,6 +156,34 @@ class IceliteSpec extends AnyFunSuite {
     assert(t.bucketFilesOf(t.currentSnapshot.get)("0").map(_.path) === List("f3.parquet"))
   }
 
+  test("carried epochs survive REPEATED expiry re-roots (the accumulated " +
+      "ledger rides every eviction of a carrying root)") {
+    // regression: the re-root used to carry only the expired snapshots' OWN
+    // batchEpochs — once the first expiry's root (holding the accumulated
+    // carriedEpochs) was itself expired, the whole earlier ledger vanished
+    // and an ancient re-delivery re-APPLIED (double data). Surfaced by
+    // StreamIngestBench's 500-epoch ledger assert after ~12 expiry cycles.
+    val t = mkTable()
+    val sid = t.ensureSchema(schemaA)
+    var next = 0L
+    def commitBatch(): Unit = {
+      t.commit(next, sid, Map(0 -> List(f(s"e$next.parquet"))), Nil, 1)
+      next += 1
+    }
+    (1 to 5).foreach { cycle =>
+      (1 to 4).foreach(_ => commitBatch())
+      t.expireSnapshots(keepLast = 2)
+      // the FULL ledger must survive every re-root, not just one
+      assert(t.committedEpochs === (0L until next).toSet,
+        s"cycle $cycle lost epochs: ${(0L until next).toSet -- t.committedEpochs}")
+    }
+    // an epoch many retention windows old must still no-op on re-delivery
+    val head = t.currentSnapshotId
+    val s2 = t.commit(0, sid, Map(0 -> List(f("ancient-dup.parquet"))), Nil, 1)
+    assert(s2.snapshotId === head && t.currentSnapshotId === head,
+      "re-delivering an epoch from many expiry cycles ago must not re-apply")
+  }
+
   test("manifest lsn stats: file groups prune by range; stat-free files never skipped") {
     val t = mkTable()
     val sid = t.ensureSchema(schemaA)
